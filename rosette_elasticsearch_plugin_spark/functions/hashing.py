@@ -1,0 +1,135 @@
+"""Deterministic cross-engine hashing + MinHash / SimHash primitives.
+
+The reference's blocking is delegated to the Rosette kb-linker; we build
+it natively (SURVEY.md §2.4 R5).  Everything here is a pure Spark column
+expression with an exact DuckDB-SQL mirror, so the driver's oracle can
+verify signatures value-for-value.
+
+Common 56-bit hash h56(s):
+  Spark : conv(substring(md5(s), 1, 14), 16, 10) :: long
+  DuckDB: cast(concat('0x', substring(md5(s), 1, 14)) as bigint)
+Both read the first 14 hex digits of the MD5 → [0, 2^56), no sign issues.
+
+MinHash permutation i over a shingle set S:
+  sig_i = min_{x in S} (A_i * (h56(x) % P) + B_i) % P,  P = 2^31 - 1
+A_i * (h56 % P) < 2^31 * 2^31 = 2^62 → no int64 overflow on either engine.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 31) - 1  # 2147483647, prime
+
+
+def h56_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
+
+
+def h56_sql(expr: str) -> str:
+    return f"cast(concat('0x', substring(md5({expr}), 1, 14)) as bigint)"
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs; A_i in [1, P), B_i in [0, P)."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+# --- char-shingles ------------------------------------------------------------
+def shingles_col(c: Column, n: int = 3) -> Column:
+    """Character n-grams of a string as an array; whole string if len < n.
+    transform over sequence(1, len-n+1) keeps everything JVM-side."""
+    short = F.array(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(c) < n, short).otherwise(grams)
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    return (
+        f"case when length({expr}) < {n} then [{expr}] "
+        f"else list_transform(generate_series(1, length({expr}) - {n - 1}), "
+        f"i -> substring({expr}, i, {n})) end"
+    )
+
+
+# --- MinHash signature --------------------------------------------------------
+def minhash_sig_col(shingles: Column, params: list[tuple[int, int]]) -> Column:
+    """Array<long> signature: per permutation, min over shingles."""
+    p = F.lit(MERSENNE_P)
+
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a) * (h56_col(x) % p) + F.lit(b)) % p
+
+    sig = [F.array_min(F.transform(shingles, perm(a, b))) for a, b in params]
+    return F.array(*sig)
+
+
+def minhash_sig_sql(shingles_expr: str, params: list[tuple[int, int]]) -> str:
+    h = h56_sql("x")
+    parts = [
+        f"list_min(list_transform({shingles_expr}, "
+        f"x -> ({a} * ({h} % {MERSENNE_P}) + {b}) % {MERSENNE_P}))"
+        for a, b in params
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def lsh_band_keys_col(sig: Column, bands: int, rows: int) -> Column:
+    """Array of band keys 'b:<i>:<v1>_<v2>_...' from an array signature."""
+    keys = []
+    for b in range(bands):
+        vals = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+        keys.append(
+            F.concat_ws("_", F.lit(f"b{b}"), *[v.cast("string") for v in vals])
+        )
+    return F.array(*keys)
+
+
+def lsh_band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
+    keys = []
+    for b in range(bands):
+        vals = " || '_' || ".join(
+            f"cast({sig_expr}[{b * rows + r + 1}] as varchar)" for r in range(rows)
+        )
+        keys.append(f"'b{b}' || '_' || {vals}")
+    return "[" + ", ".join(keys) + "]"
+
+
+# --- SimHash (56-bit, over token sets) -----------------------------------------
+def simhash_col(tokens: Column, bits: int = 56) -> Column:
+    """Sum of 2^j over bits j where the majority of token hashes set bit j.
+    Strict majority (2*cnt > n) keeps parity with the SQL mirror."""
+    n = F.size(tokens)
+    out = F.lit(0).cast("long")
+
+    def bit_set(j: int):
+        return lambda t: F.shiftright(h56_col(t), j) % 2 == 1
+
+    for j in range(bits):
+        cnt = F.size(F.filter(tokens, bit_set(j)))
+        out = out + F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_sql(tokens_expr: str, bits: int = 56) -> str:
+    h = h56_sql("t")
+    terms = []
+    for j in range(bits):
+        cnt = f"len(list_filter({tokens_expr}, t -> ({h} // {1 << j}) % 2 = 1))"
+        terms.append(
+            f"(case when 2 * {cnt} > len({tokens_expr}) "
+            f"then cast({1 << j} as bigint) else 0 end)"
+        )
+    return "(" + " + ".join(terms) + ")"
