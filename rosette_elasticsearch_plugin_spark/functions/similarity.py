@@ -99,21 +99,6 @@ def token_jaccard_col(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
-def combined_score_col(
-    a: Column,
-    b: Column,
-    w_jw: float = 0.5,
-    w_lev: float = 0.3,
-    w_jac: float = 0.2,
-) -> Column:
-    """R7/R8 combined score: weighted JW + Levenshtein-sim + token-Jaccard."""
-    return (
-        F.lit(w_jw) * jaro_winkler_udf(a, b)
-        + F.lit(w_lev) * levenshtein_sim_col(a, b)
-        + F.lit(w_jac) * token_jaccard_col(a, b)
-    )
-
-
 def token_jaccard_sql(a: str, b: str) -> str:
     """DuckDB mirror of token_jaccard_col."""
     ta = f"list_distinct(string_split({a}, ' '))"
@@ -130,14 +115,4 @@ def levenshtein_sim_sql(a: str, b: str) -> str:
         f"case when greatest(length({a}), length({b})) = 0 then 1.0 "
         f"else 1.0 - cast(levenshtein({a}, {b}) as double) "
         f"/ greatest(length({a}), length({b})) end"
-    )
-
-
-def combined_score_sql(
-    a: str, b: str, w_jw: float = 0.5, w_lev: float = 0.3, w_jac: float = 0.2
-) -> str:
-    return (
-        f"({w_jw} * jaro_winkler_similarity({a}, {b}) "
-        f"+ {w_lev} * {levenshtein_sim_sql(a, b)} "
-        f"+ {w_jac} * {token_jaccard_sql(a, b)})"
     )

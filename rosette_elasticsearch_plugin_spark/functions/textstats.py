@@ -1,0 +1,195 @@
+"""Deterministic text classifiers + text-quality statistics.
+
+The reference's language/categories/sentiment processors call a remote
+NLP service and keep the top-1 result (``LanguageProcessor.java:66``,
+``CategoriesProcessor.java:66``, ``SentimentProcessor.java:67``).  Our
+deterministic stand-ins are marker-lexicon counters with an
+argmax-by-count (ties → earlier label wins), built as pure Spark
+column expressions with exact DuckDB mirrors so the driver oracle can
+verify them.  Output labels keep the reference's shapes: ISO 639-3
+codes, IAB-style category labels, pos/neg/neu.
+
+Also: token counting, quality scoring, and rolling-hash document
+fingerprints for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# --- marker lexicons ---------------------------------------------------------
+LANG_MARKERS: list[tuple[str, str]] = [
+    # (ISO 639-3 label, RE2+Java-regex-compatible pattern over lower(text))
+    ("eng", r"\b(the|and|is|of|this|that|very|with|for)\b"),
+    ("spa", r"\b(el|la|los|las|de|que|es|una|y|en)\b"),
+    ("deu", r"\b(der|die|das|und|ist|ein|nicht|mit)\b"),
+    ("fra", r"\b(le|les|et|est|une|dans|pour|sur)\b"),
+    ("rus", r"[а-яё]{2,}"),
+    ("jpn", r"[ぁ-んァ-ヺ一-龯]"),
+]
+
+SENT_POS = r"\b(love|great|good|excellent|happy|win|best|amazing|fast)\b"
+SENT_NEG = r"\b(hate|bad|terrible|awful|lose|worst|sad|slow)\b"
+
+CATEGORY_KEYWORDS: list[tuple[str, str]] = [
+    ("SPORTS", r"\b(game|team|match|score|league|champion|tournament|sports?)\b"),
+    ("TECHNOLOGY_AND_COMPUTING",
+     r"\b(computer|software|data|spark|query|vector|hash|table|stream|batch)\b"),
+    ("BUSINESS", r"\b(market|company|stock|trade|customer|order|price)\b"),
+    ("ENTERTAINMENT", r"\b(film|movie|actor|music|show|series)\b"),
+]
+
+STOPWORDS = "the and is of this that very with for a an to in on at".split()
+
+# BPE-ish token pattern: words, numbers, or single non-space symbols
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _count(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0)))
+
+
+def _count_sql(expr: str, pattern: str) -> str:
+    esc = pattern.replace("'", "''")
+    return f"len(regexp_extract_all(lower({expr}), '{esc}'))"
+
+
+def argmax_label_col(c: Column, table: list[tuple[str, str]]) -> Column:
+    """Label with the max marker count; ties → earlier entry; all-zero → null.
+
+    Built as a >=-chain so the DuckDB mirror is trivially identical."""
+    counts = [(label, _count(c, pat)) for label, pat in table]
+    total = counts[0][1]
+    for _, cnt in counts[1:]:
+        total = total + cnt
+    expr = F.lit(None).cast("string")
+    # build from last to first so earlier labels take precedence on ties
+    for i in range(len(counts) - 1, -1, -1):
+        label, cnt = counts[i]
+        cond = None
+        for j, (_, other) in enumerate(counts):
+            if j == i:
+                continue
+            c2 = (cnt >= other) if j > i else (cnt > other)
+            cond = c2 if cond is None else (cond & c2)
+        expr = F.when(cond, F.lit(label)).otherwise(expr)
+    return F.when(total > 0, expr)
+
+
+def argmax_label_sql(expr: str, table: list[tuple[str, str]]) -> str:
+    counts = [(label, _count_sql(expr, pat)) for label, pat in table]
+    total = " + ".join(c for _, c in counts)
+    whens = []
+    for i, (label, cnt) in enumerate(counts):
+        conds = []
+        for j, (_, other) in enumerate(counts):
+            if j == i:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{cnt} {op} {other}")
+        whens.append(f"when {' and '.join(conds)} then '{label}'")
+    chain = " ".join(whens)
+    return f"case when ({total}) > 0 then (case {chain} end) end"
+
+
+def detect_language_col(c: Column) -> Column:
+    return argmax_label_col(c, LANG_MARKERS)
+
+
+def detect_language_sql(expr: str) -> str:
+    return argmax_label_sql(expr, LANG_MARKERS)
+
+
+def categorize_col(c: Column) -> Column:
+    return argmax_label_col(c, CATEGORY_KEYWORDS)
+
+
+def categorize_sql(expr: str) -> str:
+    return argmax_label_sql(expr, CATEGORY_KEYWORDS)
+
+
+def sentiment_col(c: Column) -> Column:
+    """pos/neg/neu from lexicon counts (reference labels,
+    ``SentimentProcessor.java:67`` + fixture ``sentiment_response.json``)."""
+    p, n = _count(c, SENT_POS), _count(c, SENT_NEG)
+    return (
+        F.when(p > n, F.lit("pos"))
+        .when(n > p, F.lit("neg"))
+        .otherwise(F.lit("neu"))
+    )
+
+
+def sentiment_sql(expr: str) -> str:
+    p, n = _count_sql(expr, SENT_POS), _count_sql(expr, SENT_NEG)
+    return (
+        f"case when {p} > {n} then 'pos' "
+        f"when {n} > {p} then 'neg' else 'neu' end"
+    )
+
+
+# --- training-data text statistics -------------------------------------------
+def token_count_col(c: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), F.lit(0))).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"cast({_count_sql(expr, TOKEN_PATTERN)} as bigint)"
+
+
+def quality_score_col(c: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + alpha ratio + stopword hit.
+
+    length band: 1 if 100<=len<=5000 else len/100 (short) or 5000/len (long);
+    alpha ratio: alphabetic chars / total; stopword: any stopword present."""
+    ln = F.length(c).cast("double")
+    len_band = (
+        F.when(ln >= 100, F.when(ln <= 5000, F.lit(1.0)).otherwise(5000.0 / ln))
+        .otherwise(ln / 100.0)
+    )
+    alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-zа-яё]", "")).cast("double")
+    alpha_ratio = F.when(ln > 0, alpha / ln).otherwise(F.lit(0.0))
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    has_stop = F.when(_count(c, stop_pat) > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * len_band + 0.4 * alpha_ratio + 0.2 * has_stop, 6)
+
+
+def quality_score_sql(expr: str) -> str:
+    ln = f"cast(length({expr}) as double)"
+    len_band = (
+        f"case when {ln} >= 100 then (case when {ln} <= 5000 then 1.0 "
+        f"else 5000.0 / {ln} end) else {ln} / 100.0 end"
+    )
+    alpha = f"cast(length(regexp_replace(lower({expr}), '[^a-zа-яё]', '', 'g')) as double)"
+    alpha_ratio = f"case when {ln} > 0 then {alpha} / {ln} else 0.0 end"
+    stop_pat = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+    has_stop = f"case when {_count_sql(expr, stop_pat)} > 0 then 1.0 else 0.0 end"
+    return f"round(0.4 * ({len_band}) + 0.4 * ({alpha_ratio}) + 0.2 * ({has_stop}), 6)"
+
+
+FP_BASE = 131
+FP_MOD = (1 << 31) - 1
+
+
+def fingerprint_col(c: Column) -> Column:
+    """Rolling polynomial hash over whitespace tokens: fold of
+    (acc*B + h56(token)) mod P.  Order-sensitive document fingerprint."""
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    from .hashing import h56_col
+
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + h56_col(t) % FP_MOD) % FP_MOD,
+    )
+
+
+def fingerprint_sql(expr: str) -> str:
+    from .hashing import h56_sql
+
+    toks = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    h = h56_sql("t")
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform({toks}, t -> {h} % {FP_MOD})), "
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+    )

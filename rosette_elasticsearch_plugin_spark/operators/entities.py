@@ -1,0 +1,273 @@
+"""P6 — ``ros_entities``: mention extraction, grouping, projection.
+
+Reference flow (``EntitiesProcessor.java:69-99, 132-184``): the Rosette
+REX service returns an ADM whose entity layer groups coreferent
+mentions; the processor projects each entity to
+``{mention(head normalized), entityId, type, count}`` plus optional
+``offsets`` / ``translation`` / ``sentiment``.
+
+Spark-first decomposition (SURVEY.md P6a-P6g):
+
+* R1  span assembly  — sort spans by offset, keep text spans for NER,
+  never touch the spans column itself (span-sequence invariant).
+* P6a extraction     — deterministic NER: capitalized-sequence regex +
+  gazetteer typing, run as an Arrow-batched pandas UDF that returns
+  ``array<struct<start,end,surface>>`` per text span (offsets are
+  span-relative like ADM token offsets).
+* P6c head mention   — first mention in document order (our groups are
+  surface-form groups, so every member shares the normalized form;
+  the head pick is the min (start) row ≈ ``headMentionIndex``).
+* P6d count          — mentions per group (``EntitiesProcessor.java:142``).
+* P6e offsets        — ``{start,end}`` structs in mention order (:144-153).
+* P6f translation    — only for PERSON/LOCATION/ORGANIZATION (:156-159),
+  via the name-translation stage's broadcast dictionary + transliteration.
+* P6g sentiment      — per-entity label when requested (:179-181).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.normalize import normalize_col
+from ..functions.textstats import sentiment_col
+
+# capitalized-token sequences, Latin (incl. accented capitals) + Cyrillic;
+# a token may end in '.' so initials ("J. Svensson") stay one mention
+MENTION_PATTERN = (
+    r"(?:[A-ZÀ-ÖØ-ÞА-ЯЁ][\w'\-]*\.?)(?:[ ](?:[A-ZÀ-ÖØ-ÞА-ЯЁ][\w'\-]*\.?))*"
+)
+
+_SPAN_MENTIONS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("surface", T.StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_SPAN_MENTIONS_TYPE)
+def extract_mentions_udf(texts: pd.Series) -> pd.Series:
+    """P6a: regex NER over a batch of text spans (Arrow-vectorized)."""
+    import re
+
+    pat = re.compile(MENTION_PATTERN)
+    out = []
+    for t in texts:
+        if not t:
+            out.append([])
+            continue
+        out.append(
+            [
+                {"start": m.start(), "end": m.end(), "surface": m.group(0)}
+                for m in pat.finditer(t)
+            ]
+        )
+    return pd.Series(out)
+
+
+def text_spans(docs: DataFrame) -> DataFrame:
+    """R1: project out the text spans; media spans are left untouched in
+    the original ``spans`` column.  Document order is (span.offset,
+    char start) and is carried explicitly — no reliance on array order."""
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))).alias("span"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("span.offset").alias("span_offset"),
+        F.col("span.text").alias("text"),
+    )
+
+
+def extract_mentions(docs: DataFrame, gazetteer: DataFrame | None = None) -> DataFrame:
+    """P6a+typing: mention rows
+    (doc_id, mention_id, span_offset, start, end, surface, normalized,
+    source, type).
+
+    ``gazetteer``: optional (normalized, type) dim, broadcast-joined;
+    unknown mentions default to 'MISC' (the reference would get the
+    type from the service; typing is config data here).
+    """
+    spans = text_spans(docs)
+    m = spans.withColumn("ms", extract_mentions_udf(F.col("text")))
+    m = m.select(
+        "doc_id",
+        "span_offset",
+        F.posexplode("ms").alias("pos", "mention"),
+    ).select(
+        "doc_id",
+        "span_offset",
+        F.col("mention.start").alias("start"),
+        F.col("mention.end").alias("end"),
+        F.col("mention.surface").alias("surface"),
+    )
+    m = m.withColumn("normalized", normalize_col(F.col("surface"))).where(
+        F.length("normalized") > 0
+    )
+    m = m.withColumn(
+        "mention_id",
+        F.concat_ws(":", "doc_id", F.col("span_offset").cast("string"),
+                    F.col("start").cast("string")),
+    ).withColumn("source", F.lit("statistical"))
+    if gazetteer is not None:
+        gaz = gazetteer.select(
+            F.col(gazetteer.columns[0]).alias("normalized"),
+            F.col(gazetteer.columns[1]).alias("type"),
+        )
+        m = m.join(F.broadcast(gaz), "normalized", "left").withColumn(
+            "type", F.coalesce("type", F.lit("MISC"))
+        )
+    else:
+        m = m.withColumn("type", F.lit("MISC"))
+    return m.select(
+        "doc_id", "mention_id", "span_offset", "start", "end",
+        "surface", "normalized", "source", "type",
+    )
+
+
+@dataclass(frozen=True)
+class EntitiesConfig:
+    """Mirrors EntitiesProcessor.Parameters (EntitiesProcessor.java:186-191)."""
+
+    include_offsets: bool = False
+    include_translation: bool = False
+    translation_language: str = "eng"
+    include_sentiment: bool = False
+
+
+def project_entities(
+    mentions: DataFrame,
+    entity_ids: DataFrame | None = None,
+    cfg: EntitiesConfig = EntitiesConfig(),
+    doc_texts: DataFrame | None = None,
+    translation_col: Column | None = None,
+) -> DataFrame:
+    """P6c-P6g: group mentions per (doc, cluster) → one entity row each.
+
+    entity_ids: optional (normalized, entityId) mapping — the resolution
+    layer's output (R10) or a KB dim.  Without it, entityId falls back
+    to ``T:<normalized>`` (the reference uses the same convention of a
+    type-prefixed temporary id when the linker has no QID).
+
+    Returns (doc_id, ros_entities: array<struct<...>>).
+    """
+    m = mentions
+    if entity_ids is not None:
+        eid = entity_ids.select(
+            F.col(entity_ids.columns[0]).alias("normalized"),
+            F.col(entity_ids.columns[1]).alias("entityId"),
+        )
+        m = m.join(F.broadcast(eid), "normalized", "left")
+        m = m.withColumn(
+            "entityId",
+            F.coalesce("entityId", F.concat(F.lit("T:"), F.col("normalized"))),
+        )
+    else:
+        m = m.withColumn("entityId", F.concat(F.lit("T:"), F.col("normalized")))
+
+    # absolute document order of a mention = (span_offset, start)
+    grouped = (
+        m.groupBy("doc_id", "entityId")
+        .agg(
+            F.min(F.struct("span_offset", "start", "end", "surface", "normalized",
+                           "type")).alias("head"),
+            F.count("*").cast("int").alias("count"),
+            F.sort_array(
+                F.collect_list(F.struct("span_offset", "start", "end"))
+            ).alias("ordered_mentions"),
+        )
+    )
+    # P6c: head mention's *normalized* string is the canonical mention
+    # (EntitiesProcessor.java:133-134 mentions.get(headMentionIndex).getNormalized())
+    ent = grouped.select(
+        "doc_id",
+        "entityId",
+        F.col("head.normalized").alias("mention"),
+        F.col("head.type").alias("type"),
+        "count",
+        "ordered_mentions",
+        F.col("head.span_offset").alias("head_span_offset"),
+        F.col("head.start").alias("head_start"),
+    )
+
+    struct_fields = [
+        F.col("mention"), F.col("entityId"), F.col("type"), F.col("count")
+    ]
+    if cfg.include_offsets:
+        # P6e: {start,end} per mention in document order (:144-153)
+        ent = ent.withColumn(
+            "offsets",
+            F.transform(
+                "ordered_mentions",
+                lambda om: F.struct(
+                    om["start"].alias("start"), om["end"].alias("end")
+                ),
+            ),
+        )
+        struct_fields.append(F.col("offsets"))
+    if cfg.include_translation:
+        # P6f: RNT only for PERSON/LOCATION/ORGANIZATION (:156-159)
+        from .name_translation import has_cyrillic_col, transliterate_cyr_col
+
+        xlat = translation_col if translation_col is not None else (
+            F.when(has_cyrillic_col(F.col("mention")),
+                   transliterate_cyr_col(F.col("mention")))
+        )
+        ent = ent.withColumn(
+            "translation",
+            F.when(
+                F.upper("type").isin("PERSON", "LOCATION", "ORGANIZATION"), xlat
+            ),
+        )
+        struct_fields.append(F.col("translation"))
+    if cfg.include_sentiment and doc_texts is not None:
+        # P6g: entity sentiment from the doc text around the entity —
+        # deterministic stand-in: doc-level sentiment (fixture grants one
+        # label per entity, sentiment_adm_response.json)
+        ent = ent.join(doc_texts, "doc_id", "left").withColumn(
+            "sentiment", sentiment_col(F.col(doc_texts.columns[1]))
+        )
+        struct_fields.append(F.col("sentiment"))
+
+    per_entity = ent.withColumn("e", F.struct(*struct_fields)).withColumn(
+        "order_key",
+        F.struct(F.col("head_span_offset"), F.col("head_start")),
+    )
+    return (
+        per_entity.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("order_key", "e"))),
+                lambda s: s["e"],
+            ).alias("ros_entities")
+        )
+    )
+
+
+def entities_stage(
+    docs: DataFrame,
+    gazetteer: DataFrame | None = None,
+    entity_ids: DataFrame | None = None,
+    cfg: EntitiesConfig = EntitiesConfig(),
+) -> DataFrame:
+    """Full P6: docs (doc_id, spans, ...) → docs + ros_entities column.
+    The spans column passes through untouched (R1 invariant)."""
+    mentions = extract_mentions(docs, gazetteer)
+    doc_texts = None
+    if cfg.include_sentiment:
+        doc_texts = (
+            text_spans(docs)
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list("text")).alias("__fulltext"))
+        )
+    ents = project_entities(mentions, entity_ids, cfg, doc_texts)
+    return docs.join(ents, "doc_id", "left")

@@ -1,0 +1,70 @@
+"""Sequential enrichment pipeline + config parsing.
+
+Reference: an ES ingest pipeline is an ordered processor list built
+from JSON (``it_processors/all.json:1-20``); each factory parses its
+config at creation time (``EntitiesProcessor.java:109-127``).  Spark
+mapping: parse a config list → list of DataFrame→DataFrame callables →
+``reduce`` composition.  Build-time validation errors surface before
+any job runs (same phase as the reference's factory errors).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.base import StageConfig, split_quarantine
+from ..operators.categories import categories_stage
+from ..operators.language import language_stage
+from ..operators.name_translation import name_translation_stage
+from ..operators.sentiment import sentiment_stage
+
+Stage = Callable[[DataFrame], DataFrame]
+
+
+def compose(stages: list[Stage]) -> Stage:
+    """Ordered composition — the ingest pipeline itself (SURVEY.md §2.2)."""
+    return lambda df: reduce(lambda acc, st: st(acc), stages, df)
+
+
+def build_pipeline(
+    spark: SparkSession, processors: list[dict]
+) -> Stage:
+    """Parse a reference-shaped processor config list, e.g.
+    ``[{"ros_language": {"field": "text", "target_field": "language"}}, ...]``
+    (cf. it_processors/*.json).  Unknown processor names raise at build
+    time like ES's factory resolution."""
+    stages: list[Stage] = []
+    for p in processors:
+        if len(p) != 1:
+            raise ValueError(f"each processor entry must have one key: {p}")
+        (name, cfg), = p.items()
+        field = cfg.get("field", "text")
+        target = cfg.get("target_field", "")
+        sc = StageConfig(field=field, target_field=target)
+        if name == "ros_language":
+            stages.append(language_stage(sc))
+        elif name == "ros_categories":
+            stages.append(categories_stage(sc))
+        elif name == "ros_sentiment":
+            stages.append(sentiment_stage(sc))
+        elif name == "ros_name_translation":
+            stages.append(
+                name_translation_stage(
+                    spark, sc,
+                    target_language=cfg.get("target_language", "eng"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown processor [{name}]")
+    return compose(stages)
+
+
+def run_with_quarantine(
+    stage: Stage, df: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a pipeline and split failed rows (on_failure routing)."""
+    out = stage(df)
+    return split_quarantine(out)

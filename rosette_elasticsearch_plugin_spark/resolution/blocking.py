@@ -1,0 +1,125 @@
+"""R3/R4/R5 — blocking key generation.
+
+Input: a names table ``(node, key)`` where ``node`` is the normalized
+mention form (the cluster node identity) and ``key`` is the ER
+canonical form used for blocking — the transliterated normalized name,
+so cross-script variants collide (plans/er_pipeline.py computes it).
+
+Three key families, unioned:
+
+* ``x:`` exact canonical key              (R3)
+* ``m:`` Double Metaphone primary/secondary per token (R4)
+* ``h:`` MinHash-LSH band buckets over char-3-gram shingles (R5)
+
+Output is the long format ``(node, block_key)`` — one row per
+(node, key).  Long format scales: the downstream self-join shuffles on
+``block_key``, so each family adds rows, never columns.
+
+Scale notes (100 TB / 10^12 docs):
+- blocking runs on the distinct-names table, which is orders of
+  magnitude smaller than the mention table;
+- hot blocks (ultra-common names) are capped/salted in pairs.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import (
+    lsh_band_keys_col,
+    minhash_params,
+    minhash_sig_col,
+    shingles_col,
+)
+from ..functions.phonetics import double_metaphone_udf
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    use_exact: bool = True
+    use_metaphone: bool = True
+    use_minhash: bool = True
+    minhash_bands: int = 3
+    minhash_rows: int = 2
+    shingle_n: int = 3
+    minhash_seed: int = 42
+    # metaphone is keyed per whitespace token to survive token reordering
+    metaphone_max_tokens: int = 4
+
+    @property
+    def num_perm(self) -> int:
+        return self.minhash_bands * self.minhash_rows
+
+    def params(self) -> list[tuple[int, int]]:
+        return minhash_params(self.num_perm, self.minhash_seed)
+
+
+def exact_blocks(names: DataFrame) -> DataFrame:
+    """R3: one key per name — its canonical form."""
+    return names.select(
+        "node", F.concat(F.lit("x:"), F.col("key")).alias("block_key")
+    )
+
+
+def metaphone_blocks(
+    names: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> DataFrame:
+    """R4: per-token Double Metaphone primary+secondary keys.
+
+    Tokenizing first makes 'aykroyd dan' and 'dan aykroyd' collide.
+    Empty codes (e.g. CJK names) produce no key → those names rely on
+    the other families.
+    """
+    toks = names.select(
+        "node",
+        F.explode(
+            F.slice(F.split(F.col("key"), " "), 1, cfg.metaphone_max_tokens)
+        ).alias("tok"),
+    ).where(F.length("tok") > 0)
+    coded = toks.select("node", double_metaphone_udf(F.col("tok")).alias("dm"))
+    keys = coded.select(
+        "node",
+        F.explode(F.array_distinct(F.array("dm.primary", "dm.secondary"))).alias(
+            "code"
+        ),
+    ).where(F.length("code") > 0)
+    return keys.select(
+        "node", F.concat(F.lit("m:"), F.col("code")).alias("block_key")
+    ).distinct()
+
+
+def minhash_blocks(
+    names: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> DataFrame:
+    """R5: banded MinHash-LSH bucket keys over char shingles."""
+    sig = minhash_sig_col(shingles_col(F.col("key"), cfg.shingle_n), cfg.params())
+    keys = names.select(
+        "node",
+        F.explode(
+            lsh_band_keys_col(sig, cfg.minhash_bands, cfg.minhash_rows)
+        ).alias("k"),
+    )
+    return keys.select(
+        "node", F.concat(F.lit("h:"), F.col("k")).alias("block_key")
+    )
+
+
+def all_blocks(
+    names: DataFrame, cfg: BlockingConfig = BlockingConfig()
+) -> DataFrame:
+    """Union of enabled key families, deduped per (node, block_key)."""
+    parts = []
+    if cfg.use_exact:
+        parts.append(exact_blocks(names))
+    if cfg.use_metaphone:
+        parts.append(metaphone_blocks(names, cfg))
+    if cfg.use_minhash:
+        parts.append(minhash_blocks(names, cfg))
+    if not parts:
+        raise ValueError("at least one blocking family must be enabled")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -1,0 +1,88 @@
+"""R9/R10 — transitive clustering: iterative hash-min connected
+components over the match-edge graph, then stable min-id cluster labels.
+
+Algorithm (label = lexicographic min node reachable so far):
+  labels_0(v) = v
+  labels_{t+1}(v) = min(labels_t(v), min over neighbors u of labels_t(u))
+until no label changes.  Converges in O(diameter) rounds; name-variant
+clusters have tiny diameters (2-4), so this beats large-star/small-star
+constant factors here while staying pure DataFrame ops.
+
+Scale handling (SURVEY.md §4):
+* ``localCheckpoint`` each round cuts the growing lineage (mandatory —
+  an un-checkpointed loop re-executes the whole history every round).
+* every round is one shuffle on ``node``; AQE handles residual skew.
+* convergence check is a cheap aggregate on the changed-count.
+
+The matching DuckDB oracle is a recursive CTE computing min reachable
+node (see plans/er_pipeline.py), so the driver can verify clusters
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "node_a",
+    dst: str = "node_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (node, cluster) — cluster = min node in the component.
+
+    edges: undirected edge list (each pair once is fine).
+    nodes: optional node universe (isolated nodes become singletons);
+           defaults to nodes appearing in edges.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    if nodes is None:
+        node_df = sym.select(F.col("u").alias("node")).distinct()
+    else:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+
+    labels = node_df.select("node", F.col("node").alias("cluster"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min label among neighbors
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+                (F.col("nbr_min") < F.col("cluster")).alias("changed"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        n_changed = new.where(F.col("changed")).limit(1).count()
+        labels = new.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def assign_cluster_ids(
+    mentions: DataFrame, name_clusters: DataFrame, name_col: str = "normalized"
+) -> DataFrame:
+    """R10: propagate name-level clusters back to mention rows.
+
+    Names not present in the cluster table (unblocked singletons)
+    cluster as themselves.
+    """
+    joined = mentions.join(
+        name_clusters.withColumnRenamed("node", name_col), name_col, "left"
+    )
+    return joined.withColumn("cluster", F.coalesce("cluster", F.col(name_col)))
