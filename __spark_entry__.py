@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (full entity-resolution
+pipeline over the interleaved-span adapter view of sf0.001).
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with DuckDB oracle mirrors (see
+rosette_elasticsearch_plugin_spark/plans/driver_queries.py).
 """
 
 from __future__ import annotations
@@ -15,24 +15,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline (extraction → blocking → scoring →
+    connected components) over interleaved documents built from
+    /root/testdata/sf0.001; returns the mention table with cluster ids."""
+    from pyspark.sql import functions as F
+
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        resolve_documents,
+    )
+    from rosette_elasticsearch_plugin_spark.sources.adapter import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    # the flat driver corpus is lowercase word soup: mention = word token
+    assigned, _ = resolve_documents(docs, pattern=r"[a-z]{2,}")
+    return assigned.select(
+        "doc_id", "mention_id", "surface", "normalized", "cluster"
+    ).orderBy("doc_id", "mention_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

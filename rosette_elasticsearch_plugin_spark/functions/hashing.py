@@ -63,15 +63,48 @@ def shingles_sql(expr: str, n: int = 3) -> str:
 
 
 # --- MinHash signature --------------------------------------------------------
-def minhash_sig_col(shingles: Column, params: list[tuple[int, int]]) -> Column:
-    """Array<long> signature: per permutation, min over shingles."""
+def hashed_shingles_col(shingles: Column) -> Column:
+    """h56 % P per shingle, as array<long> — materialize this ONCE per row
+    (own projection) so the md5 work is not repeated per permutation."""
+    return F.transform(shingles, lambda x: h56_col(x) % F.lit(MERSENNE_P))
+
+
+def hashed_shingles_sql(shingles_expr: str) -> str:
+    return (
+        f"list_transform({shingles_expr}, x -> {h56_sql('x')} % {MERSENNE_P})"
+    )
+
+
+def minhash_sig_from_hashes_col(
+    hashes: Column, params: list[tuple[int, int]]
+) -> Column:
+    """Array<long> signature from pre-hashed shingles: pure arithmetic
+    per permutation (no re-hashing)."""
     p = F.lit(MERSENNE_P)
 
     def perm(a: int, b: int):
-        return lambda x: (F.lit(a) * (h56_col(x) % p) + F.lit(b)) % p
+        return lambda h: (F.lit(a) * h + F.lit(b)) % p
 
-    sig = [F.array_min(F.transform(shingles, perm(a, b))) for a, b in params]
+    sig = [F.array_min(F.transform(hashes, perm(a, b))) for a, b in params]
     return F.array(*sig)
+
+
+def minhash_sig_from_hashes_sql(
+    hashes_expr: str, params: list[tuple[int, int]]
+) -> str:
+    parts = [
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        for a, b in params
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def minhash_sig_col(shingles: Column, params: list[tuple[int, int]]) -> Column:
+    """Array<long> signature: per permutation, min over shingles.
+    Convenience one-expression form; for wide inputs prefer the
+    two-step hashed_shingles_col → minhash_sig_from_hashes_col."""
+    return minhash_sig_from_hashes_col(hashed_shingles_col(shingles), params)
 
 
 def minhash_sig_sql(shingles_expr: str, params: list[tuple[int, int]]) -> str:
@@ -106,6 +139,34 @@ def lsh_band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
 
 
 # --- SimHash (56-bit, over token sets) -----------------------------------------
+def simhash_from_hashes_col(hashes: Column, bits: int = 56) -> Column:
+    """SimHash from a precomputed array<long> of token hashes — hash each
+    token once, not once per bit (56× cheaper than hashing inline)."""
+    n = F.size(hashes)
+    out = F.lit(0).cast("long")
+
+    def bit_set(j: int):
+        return lambda h: F.shiftright(h, j) % 2 == 1
+
+    for j in range(bits):
+        cnt = F.size(F.filter(hashes, bit_set(j)))
+        out = out + F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_from_hashes_sql(hashes_expr: str, bits: int = 56) -> str:
+    terms = []
+    for j in range(bits):
+        cnt = f"len(list_filter({hashes_expr}, h -> (h // {1 << j}) % 2 = 1))"
+        terms.append(
+            f"(case when 2 * {cnt} > len({hashes_expr}) "
+            f"then cast({1 << j} as bigint) else 0 end)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def simhash_col(tokens: Column, bits: int = 56) -> Column:
     """Sum of 2^j over bits j where the majority of token hashes set bit j.
     Strict majority (2*cnt > n) keeps parity with the SQL mirror."""

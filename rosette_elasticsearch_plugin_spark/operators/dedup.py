@@ -1,0 +1,166 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all designed for 100 TB inputs:
+
+* exact          — md5-groupBy; one shuffle on the hash, map-side combine.
+* MinHash-LSH    — token-shingle MinHash signatures → banded keys →
+                   bucket self-join (candidates only; never all-pairs) →
+                   exact n-gram Jaccard verification.
+* SimHash        — 56-bit signature per doc (JVM-side bit arithmetic);
+                   near-dup = small Hamming distance within LSH buckets.
+* n-gram Jaccard — exact verification metric, exposed standalone.
+* embedding      — cosine near-dup over the embeddings table (see ann.py).
+
+Everything is pure column expressions over the cross-engine hash
+(functions/hashing.py), so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import (
+    h56_col,
+    hashed_shingles_col,
+    lsh_band_keys_col,
+    minhash_params,
+    minhash_sig_from_hashes_col,
+    simhash_from_hashes_col,
+)
+
+# token 3-gram shingles ("w1 w2 w3") over lowercased word tokens
+def token_shingles_col(text: Column, n: int = 3) -> Column:
+    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def token_shingles_sql(expr: str, n: int = 3) -> str:
+    toks = f"regexp_extract_all(lower({expr}), '[a-z0-9]+')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_docs, keeper_doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_perm: int = 12, seed: int = 42
+) -> DataFrame:
+    """Two-step plan: materialize hashed shingles once per row (one md5
+    pass), then each permutation is pure long arithmetic — without the
+    split Catalyst re-evaluates the whole shingle+md5 pipeline per
+    permutation (measured 10× slower)."""
+    params = minhash_params(num_perm, seed)
+    hashed = docs.select(
+        "doc_id",
+        hashed_shingles_col(token_shingles_col(F.col(text_col))).alias("__h"),
+    )
+    return hashed.select(
+        "doc_id", minhash_sig_from_hashes_col(F.col("__h"), params).alias("minhash_sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash buckets.
+
+    Scale shape: explode to (doc_id, band_key), self-join on band_key —
+    the shuffle key is the bucket, so work is proportional to bucket
+    sizes, never |docs|²."""
+    params = minhash_params(bands * rows, seed)
+    hashed = docs.select(
+        "doc_id",
+        hashed_shingles_col(token_shingles_col(F.col(text_col))).alias("__h"),
+    )
+    sig = minhash_sig_from_hashes_col(F.col("__h"), params)
+    keys = hashed.select(
+        "doc_id",
+        F.explode(lsh_band_keys_col(sig, bands, rows)).alias("band_key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_col(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact token-n-gram Jaccard between two text columns."""
+    sa, sb = token_shingles_col(a, n), token_shingles_col(b, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.round(F.when(union == 0, 0.0).otherwise(inter / union), 6)
+
+
+def ngram_jaccard_sql(a: str, b: str, n: int = 3) -> str:
+    sa, sb = token_shingles_sql(a, n), token_shingles_sql(b, n)
+    return (
+        f"round(case when len(list_distinct({sa} || {sb})) = 0 then 0.0 "
+        f"else cast(len(list_intersect({sa}, {sb})) as double) "
+        f"/ len(list_distinct({sa} || {sb})) end, 6)"
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
+    cands = lsh_candidate_pairs(docs, text_col, bands, rows, seed)
+    texts = docs.select("doc_id", F.col(text_col).alias("__t"))
+    j = (
+        cands.join(texts.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("__t", "text_a"), "doc_id_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("__t", "text_b"), "doc_id_b")
+    )
+    out = j.withColumn(
+        "jaccard", ngram_jaccard_col(F.col("text_a"), F.col("text_b"))
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "doc_id_a", "doc_id_b", "jaccard"
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 56-bit signature over word tokens.  Token
+    hashes are materialized once in a prior projection, then the 56 bit
+    counters run over the long array (no per-bit re-hashing)."""
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0))
+    )
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: h56_col(t)).alias("__h")
+    )
+    return hashed.select("doc_id", simhash_from_hashes_col(F.col("__h")).alias("simhash"))
+
+
+def simhash_hamming_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -54,13 +54,17 @@ _SPAN_MENTIONS_TYPE = T.ArrayType(
 
 
 @pandas_udf(_SPAN_MENTIONS_TYPE)
-def extract_mentions_udf(texts: pd.Series) -> pd.Series:
-    """P6a: regex NER over a batch of text spans (Arrow-vectorized)."""
+def extract_mentions_udf(texts: pd.Series, patterns: pd.Series) -> pd.Series:
+    """P6a: regex NER over a batch of text spans (Arrow-vectorized).
+    ``patterns`` is a literal column (one compile per batch)."""
     import re
 
-    pat = re.compile(MENTION_PATTERN)
     out = []
-    for t in texts:
+    pat = None
+    pat_src = None
+    for t, p in zip(texts, patterns):
+        if pat_src != p:
+            pat, pat_src = re.compile(p), p
         if not t:
             out.append([])
             continue
@@ -88,7 +92,11 @@ def text_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions(docs: DataFrame, gazetteer: DataFrame | None = None) -> DataFrame:
+def extract_mentions(
+    docs: DataFrame,
+    gazetteer: DataFrame | None = None,
+    pattern: str = MENTION_PATTERN,
+) -> DataFrame:
     """P6a+typing: mention rows
     (doc_id, mention_id, span_offset, start, end, surface, normalized,
     source, type).
@@ -96,9 +104,13 @@ def extract_mentions(docs: DataFrame, gazetteer: DataFrame | None = None) -> Dat
     ``gazetteer``: optional (normalized, type) dim, broadcast-joined;
     unknown mentions default to 'MISC' (the reference would get the
     type from the service; typing is config data here).
+    ``pattern``: the mention regex — capitalized sequences by default;
+    lowercase corpora (the driver's flat tables) use a token pattern.
     """
     spans = text_spans(docs)
-    m = spans.withColumn("ms", extract_mentions_udf(F.col("text")))
+    m = spans.withColumn(
+        "ms", extract_mentions_udf(F.col("text"), F.lit(pattern))
+    )
     m = m.select(
         "doc_id",
         "span_offset",

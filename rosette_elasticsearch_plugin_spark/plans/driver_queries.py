@@ -1,0 +1,729 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exposed as
+(spark, sf_dir) -> DataFrame with an exact DuckDB oracle SQL mirror.
+
+Tables available: the driver's parquet at sf_dir (documents, embeddings,
+customer, nation, region, ...).  The oracle runs on pre-registered
+DuckDB views of the same files, so every expression here exists twice —
+once as a Spark column expression, once as ANSI-ish SQL — built from
+the shared mirror builders in functions/ (single source of truth for
+constants/weights).
+
+Column names and types are aligned pairwise (driver hashes values with
+columns sorted by name): every computed column is aliased identically
+and cast to bigint/double/string on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import hashing as H
+from ..functions import normalize as N
+from ..functions import textstats as TS
+from ..functions.translit import has_cyrillic_sql
+from ..operators import ann, dedup
+from ..operators.base import apply_guarded
+from ..operators.name_translation import (
+    DEFAULT_DICTIONARY,
+    name_translation_stage,
+    transliterate_cyr_sql,
+)
+from ..resolution.clustering import connected_components
+from ..resolution.scoring import ScoringConfig, score_expr, score_sql
+from ..sources.adapter import flat_to_spans
+
+TOKEN_RE = r"[a-z]+"
+# demo threshold for the token-cluster queries (the short fixed vocab
+# needs a looser τ than name ER to produce non-trivial components)
+TOKEN_TAU = 0.38
+# rows=1: single-hash bands, so 3-5 char tokens sharing any frequent
+# shingle collide — with rows≥2 the tiny vocab yields zero candidates
+MINHASH_BANDS, MINHASH_ROWS = 4, 1
+DEDUP_BANDS, DEDUP_ROWS = 4, 3
+ANN_QUERIES, ANN_K = 50, 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("token"))
+        .distinct()
+    )
+
+
+_TOKENS_SQL = (
+    "select distinct unnest(regexp_extract_all(lower(text), '[a-z]+')) as token "
+    "from documents"
+)
+
+
+def _token_band_keys(tokens: DataFrame) -> DataFrame:
+    """MinHash bands ∪ first-char blocks (two of the three blocking
+    families, both SQL-mirrorable; metaphone is pandas-UDF-only and has
+    its own rows-only query)."""
+    params = H.minhash_params(MINHASH_BANDS * MINHASH_ROWS)
+    sig = H.minhash_sig_col(H.shingles_col(F.col("token")), params)
+    bands = tokens.select(
+        "token",
+        F.explode(H.lsh_band_keys_col(sig, MINHASH_BANDS, MINHASH_ROWS)).alias(
+            "band_key"
+        ),
+    )
+    first = tokens.select(
+        "token", F.concat(F.lit("c:"), F.substring("token", 1, 1)).alias("band_key")
+    )
+    return bands.unionByName(first)
+
+
+def _token_band_keys_sql() -> str:
+    params = H.minhash_params(MINHASH_BANDS * MINHASH_ROWS)
+    sig = H.minhash_sig_sql(H.shingles_sql("token"), params)
+    keys = H.lsh_band_keys_sql("sig", MINHASH_BANDS, MINHASH_ROWS)
+    return (
+        f"select token, unnest({keys}) as band_key "
+        f"from (select token, {sig} as sig from toks) "
+        f"union all select token, 'c:' || substring(token, 1, 1) from toks"
+    )
+
+
+def _token_pairs(tokens: DataFrame) -> DataFrame:
+    keys = _token_band_keys(tokens)
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b")
+        )
+        .distinct()
+    )
+
+
+_TOKEN_PAIRS_SQL = (
+    "select distinct a.token as token_a, b.token as token_b "
+    "from keys a join keys b using (band_key) where a.token < b.token"
+)
+
+
+def _with_ctes(body: str) -> str:
+    return (
+        f"with toks as ({_TOKENS_SQL}), "
+        f"keys as ({_token_band_keys_sql()}), "
+        f"pairs as ({_TOKEN_PAIRS_SQL}) "
+        f"{body}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1 — span assembly over the interleaved adapter view
+def q_er_span_assembly(spark, sf_dir):
+    docs = flat_to_spans(_docs(spark, sf_dir))
+    ex = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("span.kind").alias("kind"),
+        F.coalesce(F.col("span.text"), F.col("span.media_ref")).alias("content"),
+    )
+
+
+SQL_ER_SPAN_ASSEMBLY = """
+select cast(doc_id as varchar) as doc_id, cast(0 as bigint) as span_idx,
+       'text' as kind, text as content
+from documents
+union all
+select cast(doc_id as varchar), cast(1 as bigint), 'image',
+       'img://doc/' || cast(doc_id as varchar)
+from documents where doc_id % 3 = 0
+"""
+
+
+# P6a (token flavor) — mention extraction on the flat corpus
+def q_er_mentions(spark, sf_dir):
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(toks).alias("token")
+    )
+
+
+SQL_ER_MENTIONS = (
+    "select distinct doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+    "as token from documents"
+)
+
+
+# R2 — normalization
+def q_er_normalize(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", N.normalize_col(F.col("text")).alias("norm_text")
+    )
+
+
+SQL_ER_NORMALIZE = (
+    f"select doc_id, {N.normalize_sql('text')} as norm_text from documents"
+)
+
+
+# R3 — exact-key blocking stats
+def q_er_block_exact(spark, sf_dir):
+    m = q_er_mentions(spark, sf_dir)
+    return m.groupBy(F.col("token").alias("block_key")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+SQL_ER_BLOCK_EXACT = (
+    f"select token as block_key, cast(count(*) as bigint) as n_docs "
+    f"from ({SQL_ER_MENTIONS}) group by token"
+)
+
+
+# R5 — MinHash-LSH band keys
+def q_er_block_minhash(spark, sf_dir):
+    return _token_band_keys(_tokens_df(spark, sf_dir))
+
+
+SQL_ER_BLOCK_MINHASH = _with_ctes("select token, band_key from keys")
+
+
+# R6 — candidate pairs
+def q_er_candidate_pairs(spark, sf_dir):
+    return _token_pairs(_tokens_df(spark, sf_dir))
+
+
+SQL_ER_CANDIDATE_PAIRS = _with_ctes("select token_a, token_b from pairs")
+
+
+# R7 — vectorized scoring (pandas-UDF JW vs DuckDB jaro_winkler)
+def q_er_scored_pairs(spark, sf_dir):
+    pairs = _token_pairs(_tokens_df(spark, sf_dir))
+    return pairs.withColumn(
+        "score", score_expr(F.col("token_a"), F.col("token_b"))
+    )
+
+
+SQL_ER_SCORED_PAIRS = _with_ctes(
+    f"select token_a, token_b, {score_sql('token_a', 'token_b')} as score from pairs"
+)
+
+
+# R8 — match decision
+def q_er_match_edges(spark, sf_dir):
+    return q_er_scored_pairs(spark, sf_dir).where(F.col("score") >= TOKEN_TAU)
+
+
+SQL_ER_MATCH_EDGES = _with_ctes(
+    f"select token_a, token_b, score from "
+    f"(select token_a, token_b, {score_sql('token_a', 'token_b')} as score from pairs) "
+    f"where score >= {TOKEN_TAU}"
+)
+
+
+# R9/R10 — connected components + stable min-id cluster
+def q_er_clusters(spark, sf_dir):
+    tokens = _tokens_df(spark, sf_dir)
+    edges = q_er_match_edges(spark, sf_dir).select("token_a", "token_b")
+    return connected_components(
+        edges, nodes=tokens, src="token_a", dst="token_b"
+    ).select(F.col("node").alias("token"), "cluster")
+
+
+SQL_ER_CLUSTERS = f"""
+with recursive
+toks as ({_TOKENS_SQL}),
+keys as ({_token_band_keys_sql()}),
+pairs as ({_TOKEN_PAIRS_SQL}),
+match as (select token_a, token_b from
+  (select token_a, token_b, {score_sql('token_a', 'token_b')} as score from pairs)
+  where score >= {TOKEN_TAU}),
+edges as (select token_a as u, token_b as v from match
+          union all select token_b as u, token_a as v from match),
+reach(u, v) as (select u, v from edges
+                union
+                select r.u, e.v from reach r join edges e on r.v = e.u)
+select t.token, least(t.token, coalesce(min(r.v), t.token)) as cluster
+from toks t left join reach r on r.u = t.token
+group by t.token
+"""
+
+
+def q_er_cluster_sizes(spark, sf_dir):
+    return (
+        q_er_clusters(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_members"))
+    )
+
+
+SQL_ER_CLUSTER_SIZES = (
+    f"select cluster, cast(count(*) as bigint) as n_members from "
+    f"({SQL_ER_CLUSTERS}) group by cluster"
+)
+
+
+# R11 — pairwise F1 (truth: lang equality; predicted: detected-language equality)
+def q_er_pairwise_f1(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id", "lang", TS.detect_language_col(F.col("text")).alias("dl")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        (F.col("a.lang") == F.col("b.lang")).alias("is_match"),
+        (
+            F.coalesce(F.col("a.dl"), F.lit(""))
+            == F.coalesce(F.col("b.dl"), F.lit(""))
+        ).alias("pred"),
+    )
+    agg = p.agg(
+        F.sum(F.when(F.col("is_match") & F.col("pred"), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(~F.col("is_match") & F.col("pred"), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(F.col("is_match") & ~F.col("pred"), 1).otherwise(0))
+        .cast("long").alias("fn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(prec + rec == 0, 0.0).otherwise(2 * prec * rec / (prec + rec))
+    return agg.select(
+        "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+SQL_ER_PAIRWISE_F1 = f"""
+with d as (select doc_id, lang, {TS.detect_language_sql('text')} as dl
+           from documents where doc_id < 200),
+p as (select (a.lang = b.lang) as is_match,
+             (coalesce(a.dl, '') = coalesce(b.dl, '')) as pred
+      from d a join d b on a.doc_id < b.doc_id),
+agg as (select
+  cast(sum(case when is_match and pred then 1 else 0 end) as bigint) as tp,
+  cast(sum(case when not is_match and pred then 1 else 0 end) as bigint) as fp,
+  cast(sum(case when is_match and not pred then 1 else 0 end) as bigint) as fn
+  from p)
+select tp, fp, fn,
+  round(tp / greatest(tp + fp, 1), 6) as precision,
+  round(tp / greatest(tp + fn, 1), 6) as recall,
+  round(case when (tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)) = 0
+        then 0.0 else 2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+        / ((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1))) end, 6) as f1
+from agg
+"""
+
+
+# P2/P3/P4 — enrichment processors
+def q_ros_language(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.detect_language_col(F.col("text")).alias("ros_language")
+    )
+
+
+SQL_ROS_LANGUAGE = (
+    f"select doc_id, {TS.detect_language_sql('text')} as ros_language from documents"
+)
+
+
+def q_ros_categories(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.categorize_col(F.col("text")).alias("ros_category")
+    )
+
+
+SQL_ROS_CATEGORIES = (
+    f"select doc_id, {TS.categorize_sql('text')} as ros_category from documents"
+)
+
+
+def q_ros_sentiment(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.sentiment_col(F.col("text")).alias("ros_sentiment")
+    )
+
+
+SQL_ROS_SENTIMENT = (
+    f"select doc_id, {TS.sentiment_sql('text')} as ros_sentiment from documents"
+)
+
+
+# P5 — name translation over the fixture names
+_XLAT_FIXTURE_NAMES = [
+    "Владимир Путин", "Владимир Набоков", "マット・デイモン",
+    "Vladimir Putin", "Дмитрий Петров", "plain latin name",
+]
+
+
+def q_ros_translation(spark, sf_dir):
+    names = spark.createDataFrame(
+        [(n,) for n in _XLAT_FIXTURE_NAMES], "name string"
+    )
+    stage = name_translation_stage(spark)
+    out = stage(names.withColumnRenamed("name", "text"))
+    return out.select(
+        F.col("text").alias("name"), F.col("ros_translation")
+    )
+
+
+def _sql_ros_translation() -> str:
+    vals = ", ".join(f"('{n}')" for n in _XLAT_FIXTURE_NAMES)
+    dict_whens = " ".join(
+        f"when '{src}' then '{dst}'"
+        for src, lang, dst in DEFAULT_DICTIONARY
+        if lang == "eng"
+    )
+    fallback = (
+        f"case when {has_cyrillic_sql('name')} then {transliterate_cyr_sql('name')} end"
+    )
+    return (
+        f"with names(name) as (values {vals}) "
+        f"select name, coalesce(case name {dict_whens} end, {fallback}) "
+        f"as ros_translation from names"
+    )
+
+
+SQL_ROS_TRANSLATION = _sql_ros_translation()
+
+
+# P6d — per-document entity mention counts
+def q_ros_entities_counts(spark, sf_dir):
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    ex = _docs(spark, sf_dir).select("doc_id", F.explode(toks).alias("mention"))
+    return ex.groupBy("doc_id", "mention").agg(
+        F.count("*").cast("long").alias("count")
+    )
+
+
+SQL_ROS_ENTITIES_COUNTS = (
+    "select doc_id, mention, cast(count(*) as bigint) as count from "
+    "(select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as mention "
+    "from documents) group by doc_id, mention"
+)
+
+
+# P1 — guard semantics (empty input passthrough + fail-on-empty-result)
+def q_guard_passthrough(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("")).otherwise(F.col("text")).alias(
+            "text2"
+        ),
+    )
+    out = apply_guarded(
+        d, "text2", "ros_language", TS.detect_language_col(F.col("text2"))
+    )
+    return out.select("doc_id", "ros_language", F.col("ros_language__error").alias("error"))
+
+
+SQL_GUARD_PASSTHROUGH = f"""
+with d as (select doc_id,
+  case when doc_id % 10 = 0 then '' else text end as text2 from documents),
+g as (select doc_id,
+  case when text2 is null or length(text2) = 0 then null
+       else {TS.detect_language_sql('text2')} end as ros_language,
+  text2 from d)
+select doc_id, ros_language,
+  case when not (text2 is null or length(text2) = 0) and ros_language is null
+       then 'no result for [ros_language]' end as error
+from g
+"""
+
+
+# --- training-data operators -------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = (
+    "select md5(text) as text_md5, cast(count(*) as bigint) as n_docs, "
+    "min(doc_id) as keeper_doc_id from documents group by md5(text)"
+)
+
+
+def _docs_with_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_DOCS_WITH_DUPS_SQL = (
+    "select doc_id, text from documents "
+    "union all select doc_id + 1000000, text from documents where doc_id % 7 = 0"
+)
+
+
+def q_dedup_near_minhash(spark, sf_dir):
+    return dedup.near_dup_pairs(
+        _docs_with_dups(spark, sf_dir),
+        bands=DEDUP_BANDS, rows=DEDUP_ROWS, threshold=0.8,
+    )
+
+
+def _sql_dedup_near_minhash() -> str:
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    jac = dedup.ngram_jaccard_sql("ta.text", "tb.text")
+    return f"""
+with d as ({_DOCS_WITH_DUPS_SQL}),
+sigs as (select doc_id, {sig} as sig from d),
+keys as (select doc_id, unnest({band}) as band_key from sigs),
+cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+         from keys a join keys b using (band_key)
+         where a.doc_id < b.doc_id),
+scored as (select doc_id_a, doc_id_b, {jac} as jaccard
+           from cand join d ta on ta.doc_id = cand.doc_id_a
+                     join d tb on tb.doc_id = cand.doc_id_b)
+select doc_id_a, doc_id_b, jaccard from scored where jaccard >= 0.8
+"""
+
+
+SQL_DEDUP_NEAR_MINHASH = _sql_dedup_near_minhash()
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def _sql_dedup_simhash() -> str:
+    toks = "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    hashes = f"list_transform({toks}, t -> {H.h56_sql('t')})"
+    sim = H.simhash_from_hashes_sql("h")
+    return (
+        f"select doc_id, {sim} as simhash from "
+        f"(select doc_id, {hashes} as h from documents)"
+    )
+
+
+SQL_DEDUP_SIMHASH = _sql_dedup_simhash()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH candidates (unthresholded scores)."""
+    cands = dedup.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), bands=DEDUP_BANDS, rows=DEDUP_ROWS
+    )
+    d = _docs_with_dups(spark, sf_dir)
+    j = (
+        cands.join(
+            d.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("text", "ta"),
+            "doc_id_a",
+        ).join(
+            d.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("text", "tb"),
+            "doc_id_b",
+        )
+    )
+    return j.select(
+        "doc_id_a", "doc_id_b",
+        dedup.ngram_jaccard_col(F.col("ta"), F.col("tb")).alias("jaccard"),
+    )
+
+
+def _sql_dedup_ngram_jaccard() -> str:
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    jac = dedup.ngram_jaccard_sql("ta.text", "tb.text")
+    return f"""
+with d as ({_DOCS_WITH_DUPS_SQL}),
+sigs as (select doc_id, {sig} as sig from d),
+keys as (select doc_id, unnest({band}) as band_key from sigs),
+cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+         from keys a join keys b using (band_key)
+         where a.doc_id < b.doc_id)
+select doc_id_a, doc_id_b, {jac} as jaccard
+from cand join d ta on ta.doc_id = cand.doc_id_a
+          join d tb on tb.doc_id = cand.doc_id_b
+"""
+
+
+SQL_DEDUP_NGRAM_JACCARD = _sql_dedup_ngram_jaccard()
+
+
+# --- similarity search --------------------------------------------------------
+def q_ann_brute_topk(spark, sf_dir):
+    return ann.brute_topk(_emb(spark, sf_dir), k=ANN_K, n_queries=ANN_QUERIES)
+
+
+def _sql_ann_brute_topk() -> str:
+    cos = ann.cosine_sql("q.qv", "c.cv")
+    return f"""
+with q as (select vec_id as query_id, embedding as qv from embeddings
+           where vec_id < {ANN_QUERIES}),
+c as (select vec_id as neighbor_id, embedding as cv from embeddings),
+scored as (select query_id, neighbor_id, {cos} as cosine
+           from q join c on query_id != neighbor_id),
+ranked as (select query_id, neighbor_id, cosine,
+           cast(row_number() over (partition by query_id
+                order by cosine desc, neighbor_id asc) as bigint) as rank
+           from scored)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {ANN_K}
+"""
+
+
+SQL_ANN_BRUTE_TOPK = _sql_ann_brute_topk()
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    planes = ann.hyperplanes()
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id", ann.lsh_bucket_col(F.col("embedding"), planes).alias("bucket")
+    )
+
+
+def _sql_ann_lsh_buckets() -> str:
+    planes = ann.hyperplanes()
+    return (
+        f"select vec_id, {ann.lsh_bucket_sql('embedding', planes)} as bucket "
+        f"from embeddings"
+    )
+
+
+SQL_ANN_LSH_BUCKETS = _sql_ann_lsh_buckets()
+
+
+# --- text analysis -------------------------------------------------------------
+def q_text_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+SQL_TEXT_QUALITY = (
+    f"select doc_id, {TS.quality_score_sql('text')} as quality from documents"
+)
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.token_count_col(F.col("text")).alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = (
+    f"select doc_id, {TS.token_count_sql('text')} as n_tokens from documents"
+)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TS.fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = (
+    f"select doc_id, {TS.fingerprint_sql('text')} as fingerprint from documents"
+)
+
+
+# --- media plumbing (no SQL oracle: mapInPandas stub) ---------------------------
+def q_media_metadata(spark, sf_dir):
+    from ..operators.media import decode_media
+
+    docs = flat_to_spans(_docs(spark, sf_dir))
+    return decode_media(docs)
+
+
+# --- P4-pattern broadcast dim join over the star schema -------------------------
+def q_region_customer_counts(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+SQL_REGION_CUSTOMER_COUNTS = """
+select r_name, cast(count(*) as bigint) as n_customers
+from customer c join nation n on c.c_nationkey = n.n_nationkey
+                join region r on n.n_regionkey = r.r_regionkey
+group by r_name
+"""
+
+
+QUERIES: dict[str, Callable] = {
+    "er_span_assembly": q_er_span_assembly,
+    "er_mentions": q_er_mentions,
+    "er_normalize": q_er_normalize,
+    "er_block_exact": q_er_block_exact,
+    "er_block_minhash": q_er_block_minhash,
+    "er_candidate_pairs": q_er_candidate_pairs,
+    "er_scored_pairs": q_er_scored_pairs,
+    "er_match_edges": q_er_match_edges,
+    "er_clusters": q_er_clusters,
+    "er_cluster_sizes": q_er_cluster_sizes,
+    "er_pairwise_f1": q_er_pairwise_f1,
+    "ros_language": q_ros_language,
+    "ros_categories": q_ros_categories,
+    "ros_sentiment": q_ros_sentiment,
+    "ros_translation": q_ros_translation,
+    "ros_entities_counts": q_ros_entities_counts,
+    "guard_passthrough": q_guard_passthrough,
+    "dedup_exact": q_dedup_exact,
+    "dedup_near_minhash": q_dedup_near_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "media_metadata": q_media_metadata,
+    "region_customer_counts": q_region_customer_counts,
+}
+
+ORACLES: dict[str, str] = {
+    "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
+    "er_mentions": SQL_ER_MENTIONS,
+    "er_normalize": SQL_ER_NORMALIZE,
+    "er_block_exact": SQL_ER_BLOCK_EXACT,
+    "er_block_minhash": SQL_ER_BLOCK_MINHASH,
+    "er_candidate_pairs": SQL_ER_CANDIDATE_PAIRS,
+    "er_scored_pairs": SQL_ER_SCORED_PAIRS,
+    "er_match_edges": SQL_ER_MATCH_EDGES,
+    "er_clusters": SQL_ER_CLUSTERS,
+    "er_cluster_sizes": SQL_ER_CLUSTER_SIZES,
+    "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
+    "ros_language": SQL_ROS_LANGUAGE,
+    "ros_categories": SQL_ROS_CATEGORIES,
+    "ros_sentiment": SQL_ROS_SENTIMENT,
+    "ros_translation": SQL_ROS_TRANSLATION,
+    "ros_entities_counts": SQL_ROS_ENTITIES_COUNTS,
+    "guard_passthrough": SQL_GUARD_PASSTHROUGH,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_near_minhash": SQL_DEDUP_NEAR_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    # media_metadata: mapInPandas stub, no SQL oracle (rows-only check)
+    "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
+}

@@ -66,11 +66,14 @@ def resolve_documents(
     docs: DataFrame,
     gazetteer: DataFrame | None = None,
     cfg: ERConfig = ERConfig(),
+    pattern: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline over interleaved-span documents.
 
     Returns (mentions_with_cluster, name_clusters)."""
-    mentions = extract_mentions(docs, gazetteer)
+    from ..operators.entities import MENTION_PATTERN
+
+    mentions = extract_mentions(docs, gazetteer, pattern or MENTION_PATTERN)
     names = mentions.select(F.col("normalized").alias("node")).distinct()
     name_clusters = resolve_names(names, cfg)
     assigned = assign_cluster_ids(mentions, name_clusters, "normalized")

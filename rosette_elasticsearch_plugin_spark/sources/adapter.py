@@ -1,0 +1,49 @@
+"""Adapter: flat driver documents → interleaved-span documents.
+
+The engine's native input is the ``input_hint`` shape
+(doc_id string, spans array<struct<kind,text,media_ref,offset>>); the
+driver's ``documents.parquet`` is flat (doc_id int64, text, lang,
+source, n_chars) — FIXTURES.md §8 prescribes a small adapter view that
+maps each flat row to a one-text-span document.  For multimodal-path
+exercises we also interleave a deterministic synthetic media span on
+every third document (doc_id % 3 == 0) — deterministic, so tests and
+oracles can reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def flat_to_spans(flat: DataFrame, with_media: bool = True) -> DataFrame:
+    """(doc_id int64, text, ...) → (doc_id string, spans array<struct>).
+
+    Text span at offset 0; optional media span at offset = n_chars."""
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.length("text").alias("offset"),
+    )
+    if with_media:
+        spans = F.when(
+            F.col("doc_id") % 3 == 0, F.array(text_span, media_span)
+        ).otherwise(F.array(text_span))
+    else:
+        spans = F.array(text_span)
+    return flat.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+
+
+def load_documents(spark, sf_dir: str, with_media: bool = True) -> DataFrame:
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return flat_to_spans(flat, with_media)

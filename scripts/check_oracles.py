@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet, compare row count, column names, and order-insensitive
+values.  Usage: python3 scripts/check_oracles.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df, float_dp=6):
+    """pandas DataFrame → sorted list of row tuples with canonical values."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            elif isinstance(v, float):
+                vals.append(round(v, float_dp))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols, out
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from __spark_entry__ import oracle_sql, queries
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("check_oracles")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, os_ = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {str(e)[:200]}")
+            continue
+        if name not in os_:
+            print(f"skip  {name}: no oracle (rows-only) — spark rows={len(sdf)} "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(os_[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            continue
+        scols, svals = canon(sdf)
+        dcols, dvals = canon(ddf)
+        if scols != dcols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ: spark={scols} duck={dcols}")
+            continue
+        if len(svals) != len(dvals):
+            failures.append(name)
+            print(f"FAIL  {name}: rows differ: spark={len(svals)} duck={len(dvals)}")
+            continue
+        bad = [(a, b) for a, b in zip(svals, dvals) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: {len(bad)} value mismatches; first: {bad[0]}")
+            continue
+        print(f"ok    {name}: rows={len(svals)} [{time.time()-t0:.1f}s]")
+
+    spark.stop()
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
