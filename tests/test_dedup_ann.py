@@ -1,0 +1,81 @@
+"""Training-data operators: dedup families + ANN paths."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from rosette_elasticsearch_plugin_spark.operators import ann, dedup
+
+TEXTS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup
+    (4, "completely different content about spark query optimization today"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    groups = {r["n_docs"]: r for r in out}
+    assert groups[2]["keeper_doc_id"] == 1
+    assert len(out) == 3  # 4 docs, one pair collapsed
+
+
+def test_near_dup_pairs(spark):
+    out = dedup.near_dup_pairs(_docs(spark), bands=6, rows=1, threshold=0.5)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_near_for_near_texts(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_brute_topk_exact_neighbors(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = ann.brute_topk(df, k=3, n_queries=1).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [1, 2, 3]
+    assert abs(ranked[0]["cosine"] - (0.9 / math.sqrt(0.81 + 0.01))) < 1e-6
+    assert ranked[2]["cosine"] == -1.0
+
+
+def test_lsh_buckets_identical_vectors_collide(spark):
+    vecs = [(0, [0.5] * 64), (1, [0.5] * 64), (2, [-0.5] * 64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = ann.hyperplanes(dim=64, k=6)
+    got = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", ann.lsh_bucket_col(F.col("embedding"), planes).alias("b")
+    ).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_lsh_topk_agrees_with_brute_on_bucket_mates(spark):
+    vecs = [(i, [float(i % 3 == j) + 0.01 * i for j in range(3)]) for i in range(9)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = ann.hyperplanes(dim=3, k=2)
+    out = ann.lsh_topk(df, k=2, planes=planes)
+    # sanity: every returned neighbor shares the query's bucket
+    keyed = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", ann.lsh_bucket_col(F.col("embedding"), planes).alias("b")
+    ).collect()}
+    for r in out.collect():
+        assert keyed[r["query_id"]] == keyed[r["neighbor_id"]]

@@ -1,0 +1,46 @@
+"""Driver contract consistency + sampled oracle parity at sf0.001
+(the full set runs via scripts/check_oracles.py; here a fast subset
+guards against regressions in pytest)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from __spark_entry__ import oracle_sql, queries
+
+SF = "/root/testdata/sf0.001"
+SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
+          "ann_brute_topk", "ros_language", "guard_passthrough"]
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = queries(), oracle_sql()
+    assert set(os_) <= set(qs)
+    # media_metadata is the only intentionally oracle-less query
+    assert set(qs) - set(os_) == {"media_metadata"}
+
+
+def test_sampled_oracle_parity(spark, duck):
+    sys.path.insert(0, "/root/repo/scripts")
+    from check_oracles import TABLES, canon
+
+    for t in TABLES:
+        duck.execute(
+            f"create view if not exists {t} as select * from '{SF}/{t}.parquet'"
+        )
+    qs, os_ = queries(), oracle_sql()
+    for name in SAMPLE:
+        sdf = qs[name](spark, SF).toPandas()
+        ddf = duck.execute(os_[name]).fetchdf()
+        scols, svals = canon(sdf)
+        dcols, dvals = canon(ddf)
+        assert scols == dcols, name
+        assert svals == dvals, name
+
+
+def test_entry_smoke(spark):
+    from __spark_entry__ import entry
+
+    df = entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "mention_id", "surface", "normalized", "cluster"]

@@ -1,0 +1,92 @@
+"""Resolution layer: blocking recall, pair generation (cap + salt),
+connected components, and the end-to-end F1 target (≥0.99, the north
+rule's bar) on planted truth."""
+
+from pyspark.sql import functions as F
+
+from rosette_elasticsearch_plugin_spark import corpus
+from rosette_elasticsearch_plugin_spark.plans.er_pipeline import resolve_documents
+from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+    BlockingConfig,
+    all_blocks,
+)
+from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+    connected_components,
+)
+from rosette_elasticsearch_plugin_spark.resolution.pairs import candidate_pairs
+
+
+def test_blocking_covers_variant_pairs(spark):
+    names = ["dan aykroyd", "dan akroyd", "aykroyd dan", "владимир путин",
+             "vladimir putin", "ghostbusters", "ghost busters"]
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import er_key_col
+
+    df = spark.createDataFrame([(n,) for n in names], "node string")
+    keyed = df.select("node", er_key_col(F.col("node")).alias("key"))
+    blocks = all_blocks(keyed, BlockingConfig())
+    pairs = candidate_pairs(blocks, max_block_size=100)
+    got = {(r["node_a"], r["node_b"]) for r in pairs.collect()}
+
+    def covered(a, b):
+        return (min(a, b), max(a, b)) in got
+
+    assert covered("dan aykroyd", "dan akroyd")         # typo
+    assert covered("dan aykroyd", "aykroyd dan")        # swap (metaphone)
+    assert covered("владимир путин", "vladimir putin")  # cross-script (translit)
+    assert covered("ghostbusters", "ghost busters")
+
+
+def test_candidate_pairs_salted_block_complete(spark):
+    """A block above salt_threshold must still yield every pair exactly once."""
+    n = 24
+    rows = [(f"name{i:02d}", "blk") for i in range(n)]
+    blocks = spark.createDataFrame(rows, "node string, block_key string")
+    pairs = candidate_pairs(blocks, max_block_size=50, n_salt=4, salt_threshold=8)
+    got = [(r["node_a"], r["node_b"]) for r in pairs.collect()]
+    assert len(got) == len(set(got)) == n * (n - 1) // 2
+
+
+def test_candidate_pairs_cap_drops_megablock(spark):
+    rows = [(f"n{i}", "hot") for i in range(30)] + [("a", "cold"), ("b", "cold")]
+    blocks = spark.createDataFrame(rows, "node string, block_key string")
+    pairs = candidate_pairs(blocks, max_block_size=20)
+    got = {(r["node_a"], r["node_b"]) for r in pairs.collect()}
+    assert got == {("a", "b")}
+
+
+def test_connected_components_chain_and_isolated(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "node_a string, node_b string"
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("lonely",)], "node string"
+    )
+    got = {r["node"]: r["cluster"] for r in
+           connected_components(edges, nodes=nodes).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+                   "lonely": "lonely"}
+
+
+def test_end_to_end_f1_meets_north_rule(spark):
+    for seed in (42, 7):
+        c = corpus.generate(n_docs=120, seed=seed)
+        docs, truth = corpus.to_spark(spark, c)
+        _, name_clusters = resolve_documents(docs)
+        t = truth.select("mention_id", "entity_label", "normalized")
+        tc = t.join(
+            name_clusters.withColumnRenamed("node", "normalized"),
+            "normalized", "left",
+        ).withColumn("cluster", F.coalesce("cluster", F.col("normalized")))
+        a, b = tc.alias("a"), tc.alias("b")
+        p = a.join(b, F.col("a.mention_id") < F.col("b.mention_id")).select(
+            (F.col("a.entity_label") == F.col("b.entity_label")).alias("m"),
+            (F.col("a.cluster") == F.col("b.cluster")).alias("p"),
+        ).cache()
+        tp = p.where("m and p").count()
+        fp = p.where("not m and p").count()
+        fn = p.where("m and not p").count()
+        prec = tp / max(tp + fp, 1)
+        rec = tp / max(tp + fn, 1)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+        assert fp == 0, f"seed {seed}: false merges"
+        assert f1 >= 0.99, f"seed {seed}: f1={f1:.4f}"
