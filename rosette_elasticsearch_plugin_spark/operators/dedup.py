@@ -92,10 +92,17 @@ def lsh_candidate_pairs(
         "doc_id",
         hashed_shingles_col(token_shingles_col(F.col(text_col))).alias("__h"),
     )
-    sig = minhash_sig_from_hashes_col(F.col("__h"), params)
-    keys = hashed.select(
+    # signature in its own projection: lsh_band_keys_col references the
+    # sig array bands*rows times via element_at, and inlining the full
+    # 12-perm expression there multiplies the MinHash work 12x per row
+    # (CollapseProject keeps this split because "sig" is non-cheap and
+    # multiply-referenced)
+    sigs = hashed.select(
+        "doc_id", minhash_sig_from_hashes_col(F.col("__h"), params).alias("sig")
+    )
+    keys = sigs.select(
         "doc_id",
-        F.explode(lsh_band_keys_col(sig, bands, rows)).alias("band_key"),
+        F.explode(lsh_band_keys_col(F.col("sig"), bands, rows)).alias("band_key"),
     )
     a, b = keys.alias("a"), keys.alias("b")
     return (

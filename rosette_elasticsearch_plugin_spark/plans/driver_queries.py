@@ -75,12 +75,17 @@ def _token_band_keys(tokens: DataFrame) -> DataFrame:
     families, both SQL-mirrorable; metaphone is pandas-UDF-only and has
     its own rows-only query)."""
     params = H.minhash_params(MINHASH_BANDS * MINHASH_ROWS)
-    sig = H.minhash_sig_col(H.shingles_col(F.col("token")), params)
-    bands = tokens.select(
+    # sig in its own projection so band-key element_at references don't
+    # each inline (and re-evaluate) the full MinHash expression
+    sigs = tokens.select(
         "token",
-        F.explode(H.lsh_band_keys_col(sig, MINHASH_BANDS, MINHASH_ROWS)).alias(
-            "band_key"
-        ),
+        H.minhash_sig_col(H.shingles_col(F.col("token")), params).alias("sig"),
+    )
+    bands = sigs.select(
+        "token",
+        F.explode(
+            H.lsh_band_keys_col(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)
+        ).alias("band_key"),
     )
     first = tokens.select(
         "token", F.concat(F.lit("c:"), F.substring("token", 1, 1)).alias("band_key")

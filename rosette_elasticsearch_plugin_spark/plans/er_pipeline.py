@@ -74,6 +74,13 @@ def resolve_documents(
     from ..operators.entities import MENTION_PATTERN
 
     mentions = extract_mentions(docs, gazetteer, pattern or MENTION_PATTERN)
+    # the mention table feeds three consumers (distinct names, the CC
+    # loop's edge materialization, and the final cluster-assignment
+    # join); without persisting, the Arrow extraction UDF — the single
+    # most expensive stage — re-runs once per consumer.  At cluster
+    # scale this is the "write the mention table to storage once"
+    # step; locally MEMORY_AND_DISK is the same play.
+    mentions = mentions.persist()
     names = mentions.select(F.col("normalized").alias("node")).distinct()
     name_clusters = resolve_names(names, cfg)
     assigned = assign_cluster_ids(mentions, name_clusters, "normalized")

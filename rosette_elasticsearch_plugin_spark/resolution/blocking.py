@@ -94,11 +94,19 @@ def minhash_blocks(
     names: DataFrame, cfg: BlockingConfig = BlockingConfig()
 ) -> DataFrame:
     """R5: banded MinHash-LSH bucket keys over char shingles."""
-    sig = minhash_sig_col(shingles_col(F.col("key"), cfg.shingle_n), cfg.params())
-    keys = names.select(
+    # sig gets its own projection: lsh_band_keys_col pulls bands*rows
+    # element_at's out of it, and inlining would re-evaluate the whole
+    # MinHash expression per reference
+    sigs = names.select(
+        "node",
+        minhash_sig_col(
+            shingles_col(F.col("key"), cfg.shingle_n), cfg.params()
+        ).alias("sig"),
+    )
+    keys = sigs.select(
         "node",
         F.explode(
-            lsh_band_keys_col(sig, cfg.minhash_bands, cfg.minhash_rows)
+            lsh_band_keys_col(F.col("sig"), cfg.minhash_bands, cfg.minhash_rows)
         ).alias("k"),
     )
     return keys.select(

@@ -48,6 +48,8 @@ def connected_components(
     labels = node_df.select("node", F.col("node").alias("cluster"))
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    if sym.limit(1).count() == 0:  # no edges → all singletons, skip loop
+        return labels
 
     for _ in range(max_iter):
         # min label among neighbors
