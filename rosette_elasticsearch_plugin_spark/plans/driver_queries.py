@@ -642,6 +642,26 @@ SQL_DOC_FINGERPRINT = (
 )
 
 
+# --- R12: resumable staged pipeline (no SQL oracle: snapshot/resume
+# semantics are not SQL-expressible; driver records a rows-only check) ---------
+def q_er_resume_pipeline(spark, sf_dir):
+    """Runs the staged snapshot-committed pipeline, then re-runs it from
+    a fresh driver object — the returned rows come from the RESUMED run
+    (all stages read back from committed snapshots)."""
+    import tempfile
+
+    from ..plans.state import ResumableERPipeline
+    from ..sources.adapter import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="er_state_")
+    ResumableERPipeline(root).run(spark, docs, pattern=r"[a-z]{2,}")
+    resumed = ResumableERPipeline(root)
+    out = resumed.run(spark, docs, pattern=r"[a-z]{2,}")
+    assert all(m["resumed"] for m in resumed.metrics()[:2])
+    return out.select("doc_id", "mention_id", "normalized", "cluster")
+
+
 # --- media plumbing (no SQL oracle: mapInPandas stub) ---------------------------
 def q_media_metadata(spark, sf_dir):
     from ..operators.media import decode_media
@@ -698,6 +718,7 @@ QUERIES: dict[str, Callable] = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "er_resume_pipeline": q_er_resume_pipeline,
     "media_metadata": q_media_metadata,
     "region_customer_counts": q_region_customer_counts,
 }

@@ -1,0 +1,85 @@
+"""Structured-Streaming ingest-time enrichment (SURVEY.md §1.3: the
+reference enriches at ES index time — a per-document micro-batch; the
+Spark-native equivalent is ``readStream → stages → foreachBatch``).
+
+The reference itself has no streaming operators (SURVEY.md §2.5), so
+this module is the forward-looking ingest path the north star implies:
+documents land in a directory (or any streaming source), each
+micro-batch runs the SAME batch enrichment stages (plans/pipeline.py —
+one code path for batch and streaming), failed rows are split to a
+quarantine table (``on_failure`` routing, docs/...Doc-Enrichment.md:276-304),
+and every micro-batch commits atomically to a snapshot table
+(sources/table_io.py) — giving exactly-once visibility per batch plus
+resume via the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.base import split_quarantine
+from ..sources.table_io import SnapshotTable
+
+
+def flat_docs_schema() -> T.StructType:
+    """Schema of the driver's flat documents table (streaming file
+    sources require an explicit schema — no inference mid-stream)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+
+def enrich_stream(
+    spark: SparkSession,
+    input_dir: str,
+    stage,
+    table_root: str,
+    checkpoint_dir: str,
+    quarantine_root: str | None = None,
+    schema: T.StructType | None = None,
+    available_now: bool = True,
+):
+    """Start an ingest-enrichment stream; returns the StreamingQuery.
+
+    ``stage``: a batch DataFrame→DataFrame enrichment (from
+    plans/pipeline.build_pipeline) — reused verbatim per micro-batch.
+    ``available_now=True`` drains the current backlog then stops
+    (test/batch-catchup mode); False runs continuously.
+    """
+    table = SnapshotTable(table_root)
+    quarantine = SnapshotTable(quarantine_root) if quarantine_root else None
+
+    stream = (
+        spark.readStream.schema(schema or flat_docs_schema())
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = stage(batch_df)
+        ok, bad = split_quarantine(out)
+        table.commit(ok, stage=f"stream-batch-{batch_id}", mode="append")
+        if quarantine is not None:
+            n_bad = bad.count()
+            if n_bad:
+                quarantine.commit(
+                    bad,
+                    stage=f"stream-batch-{batch_id}",
+                    metrics={"rows": n_bad},
+                    mode="append",
+                )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
