@@ -104,6 +104,11 @@ def lsh_candidate_pairs(
         "doc_id",
         F.explode(lsh_band_keys_col(F.col("sig"), bands, rows)).alias("band_key"),
     )
+    # materialize the banded keys once: the self-join otherwise evaluates
+    # the whole shingle→md5→MinHash chain on BOTH sides (2× the dominant
+    # cost).  At warehouse scale this is "write the signature table,
+    # self-join the table" — the standard LSH shape.
+    keys = keys.localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(b, "band_key")
@@ -116,12 +121,21 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard_col(a: Column, b: Column, n: int = 3) -> Column:
-    """Exact token-n-gram Jaccard between two text columns."""
-    sa, sb = token_shingles_col(a, n), token_shingles_col(b, n)
+def ngram_jaccard_from_arrays_col(sa: Column, sb: Column) -> Column:
+    """Jaccard of two precomputed shingle-array columns.  Prefer this
+    over :func:`ngram_jaccard_col` in joins: shingling per DOCUMENT then
+    joining arrays beats shingling per PAIR (a pair expression is also
+    re-evaluated when a threshold filter is pushed into the projection)."""
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = F.size(F.array_union(sa, sb)).cast("double")
     return F.round(F.when(union == 0, 0.0).otherwise(inter / union), 6)
+
+
+def ngram_jaccard_col(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact token-n-gram Jaccard between two text columns."""
+    return ngram_jaccard_from_arrays_col(
+        token_shingles_col(a, n), token_shingles_col(b, n)
+    )
 
 
 def ngram_jaccard_sql(a: str, b: str, n: int = 3) -> str:
@@ -143,13 +157,21 @@ def near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
     cands = lsh_candidate_pairs(docs, text_col, bands, rows, seed)
-    texts = docs.select("doc_id", F.col(text_col).alias("__t"))
+    # shingle once per document and join the arrays — never per pair
+    sh = docs.select(
+        "doc_id", token_shingles_col(F.col(text_col)).alias("__sh")
+    )
     j = (
-        cands.join(texts.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("__t", "text_a"), "doc_id_a")
-        .join(texts.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("__t", "text_b"), "doc_id_b")
+        cands.join(
+            sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("__sh", "sh_a"),
+            "doc_id_a",
+        ).join(
+            sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("__sh", "sh_b"),
+            "doc_id_b",
+        )
     )
     out = j.withColumn(
-        "jaccard", ngram_jaccard_col(F.col("text_a"), F.col("text_b"))
+        "jaccard", ngram_jaccard_from_arrays_col(F.col("sh_a"), F.col("sh_b"))
     )
     return out.where(F.col("jaccard") >= threshold).select(
         "doc_id_a", "doc_id_b", "jaccard"

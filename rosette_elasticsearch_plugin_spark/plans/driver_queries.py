@@ -528,19 +528,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     cands = dedup.lsh_candidate_pairs(
         _docs_with_dups(spark, sf_dir), bands=DEDUP_BANDS, rows=DEDUP_ROWS
     )
-    d = _docs_with_dups(spark, sf_dir)
+    sh = _docs_with_dups(spark, sf_dir).select(
+        "doc_id", dedup.token_shingles_col(F.col("text")).alias("sh")
+    )
     j = (
         cands.join(
-            d.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("text", "ta"),
+            sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("sh", "sa"),
             "doc_id_a",
         ).join(
-            d.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("text", "tb"),
+            sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("sh", "sb"),
             "doc_id_b",
         )
     )
     return j.select(
         "doc_id_a", "doc_id_b",
-        dedup.ngram_jaccard_col(F.col("ta"), F.col("tb")).alias("jaccard"),
+        dedup.ngram_jaccard_from_arrays_col(F.col("sa"), F.col("sb")).alias(
+            "jaccard"
+        ),
     )
 
 

@@ -16,8 +16,9 @@ SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
 def test_oracle_keys_subset_of_queries():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
-    # media_metadata is the only intentionally oracle-less query
-    assert set(qs) - set(os_) == {"media_metadata"}
+    # intentionally oracle-less (rows-only) queries: media stub and
+    # the snapshot/resume pipeline (non-SQL-expressible semantics)
+    assert set(qs) - set(os_) == {"media_metadata", "er_resume_pipeline"}
 
 
 def test_sampled_oracle_parity(spark, duck):
