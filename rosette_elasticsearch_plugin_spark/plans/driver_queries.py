@@ -612,6 +612,121 @@ def _sql_ann_lsh_buckets() -> str:
 SQL_ANN_LSH_BUCKETS = _sql_ann_lsh_buckets()
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the 100 TB scale path: cosine only within
+    hyperplane buckets)."""
+    return ann.lsh_topk(_emb(spark, sf_dir), k=ANN_K)
+
+
+def _sql_ann_lsh_topk() -> str:
+    planes = ann.hyperplanes()
+    bucket = ann.lsh_bucket_sql("embedding", planes)
+    cos = ann.cosine_sql("a.v", "b.v")
+    return f"""
+with keyed as (select vec_id as vid, embedding as v, {bucket} as bucket
+               from embeddings),
+scored as (select a.vid as query_id, b.vid as neighbor_id, {cos} as cosine
+           from keyed a join keyed b using (bucket) where a.vid != b.vid),
+ranked as (select query_id, neighbor_id, cosine,
+           cast(row_number() over (partition by query_id
+                order by cosine desc, neighbor_id asc) as bigint) as rank
+           from scored)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {ANN_K}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+
+# --- P6 full projection: entity rows with head mention, count, offsets,
+# conditional translation (flattened so the value-hash compare is exact) --------
+_ENT_DOCS = [
+    (1, "Dan Aykroyd spoke with Дмитрий Петров about Ghostbusters. "
+        "Dan Aykroyd laughed while Ghostbusters played."),
+    (2, "The Hollywood Reporter praised Ghostbusters and Владимир Путин watched."),
+    (3, "Ghost Busters is not Ghostbusters, said J. Svensson."),
+]
+_ENT_GAZ = [
+    ("dan aykroyd", "PERSON"),
+    ("дмитрий петров", "PERSON"),
+    ("владимир путин", "PERSON"),
+    ("ghostbusters", "PRODUCT"),
+    ("the hollywood reporter", "ORGANIZATION"),
+]
+# RE2-safe mention pattern (no \w: DuckDB's RE2 treats \w as ASCII while
+# the Python extractor is unicode-aware — explicit classes keep the two
+# engines identical on Cyrillic)
+_ENT_CAP = "A-ZÀ-ÖØ-ÞА-ЯЁ"
+_ENT_REST = "A-Za-zÀ-ÖØ-Þß-öø-ÿА-Яа-яЁё'\\-"
+ENT_PATTERN = (
+    f"(?:[{_ENT_CAP}][{_ENT_REST}]*\\.?)(?: (?:[{_ENT_CAP}][{_ENT_REST}]*\\.?))*"
+)
+
+
+def q_ros_entities_project(spark, sf_dir):
+    from ..operators.entities import (
+        EntitiesConfig,
+        extract_mentions,
+        project_entities,
+    )
+    from ..sources.adapter import flat_to_spans
+
+    flat = spark.createDataFrame(_ENT_DOCS, "doc_id long, text string")
+    docs = flat_to_spans(flat, with_media=False)
+    gaz = spark.createDataFrame(_ENT_GAZ, "normalized string, type string")
+    mentions = extract_mentions(docs, gaz, ENT_PATTERN)
+    ents = project_entities(
+        mentions,
+        cfg=EntitiesConfig(include_offsets=True, include_translation=True),
+    )
+    ex = ents.select("doc_id", F.explode("ros_entities").alias("e"))
+    return ex.select(
+        "doc_id",
+        F.col("e.entityId").alias("entity_id"),
+        F.col("e.mention").alias("mention"),
+        F.col("e.type").alias("type"),
+        F.col("e.count").cast("long").alias("n_mentions"),
+        F.size("e.offsets").cast("long").alias("n_offsets"),
+        F.col("e.translation").alias("translation"),
+    )
+
+
+def _sql_ros_entities_project() -> str:
+    docs_vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _ENT_DOCS
+    )
+    gaz_vals = ", ".join(f"('{n}', '{t}')" for n, t in _ENT_GAZ)
+    norm = N.normalize_sql("surface")
+    xlat = (
+        f"case when {has_cyrillic_sql('mention')} "
+        f"then {transliterate_cyr_sql('mention')} end"
+    )
+    pat_sql = ENT_PATTERN.replace("'", "''")
+    return f"""
+with docs(doc_id, text) as (values {docs_vals}),
+gaz(normalized, type) as (values {gaz_vals}),
+m as (select doc_id, unnest(regexp_extract_all(text, '{pat_sql}')) as surface
+      from docs),
+nm as (select doc_id, {norm} as normalized from m
+       where length({norm}) > 0),
+grp as (select doc_id, normalized as mention,
+               cast(count(*) as bigint) as n_mentions
+        from nm group by doc_id, normalized),
+typed as (select g.doc_id, 'T:' || g.mention as entity_id, g.mention,
+                 coalesce(z.type, 'MISC') as type, g.n_mentions,
+                 g.n_mentions as n_offsets
+          from grp g left join gaz z on z.normalized = g.mention)
+select cast(doc_id as varchar) as doc_id, entity_id, mention, type,
+       n_mentions, n_offsets,
+       case when upper(type) in ('PERSON', 'LOCATION', 'ORGANIZATION')
+            then {xlat} end as translation
+from typed
+"""
+
+
+SQL_ROS_ENTITIES_PROJECT = _sql_ros_entities_project()
+
+
 # --- text analysis -------------------------------------------------------------
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select(
@@ -719,6 +834,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ros_entities_project": q_ros_entities_project,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -751,6 +868,8 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
