@@ -11,9 +11,10 @@ Spark-first decomposition (SURVEY.md P6a-P6g):
 * R1  span assembly  — sort spans by offset, keep text spans for NER,
   never touch the spans column itself (span-sequence invariant).
 * P6a extraction     — deterministic NER: capitalized-sequence regex +
-  gazetteer typing, run as an Arrow-batched pandas UDF that returns
-  ``array<struct<start,end,surface>>`` per text span (offsets are
-  span-relative like ADM token offsets).
+  gazetteer typing, run as an Arrow-batched ``mapInPandas`` that emits
+  flat mention rows (offsets are span-relative like ADM token
+  offsets).  Flat columnar emission — not ``array<struct>`` + explode —
+  is deliberate: see ``extract_mentions`` and BENCH.md §1.
 * P6c head mention   — first mention in document order (our groups are
   surface-form groups, so every member shares the normalized form;
   the head pick is the min (start) row ≈ ``headMentionIndex``).

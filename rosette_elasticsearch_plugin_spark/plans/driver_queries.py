@@ -781,6 +781,43 @@ def q_er_resume_pipeline(spark, sf_dir):
     return out.select("doc_id", "mention_id", "normalized", "cluster")
 
 
+# --- end-to-end name-ER F1 on the planted-truth corpus (rows-only: the
+# blocking stack includes the Double Metaphone pandas UDF, which has no
+# SQL mirror; the ≥0.99 bar itself is asserted in tests/test_resolution) ------
+def q_er_name_f1(spark, sf_dir):
+    from .. import corpus
+    from .er_pipeline import resolve_documents
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    _, name_clusters = resolve_documents(docs)
+    t = truth.select("mention_id", "entity_label", "normalized")
+    tc = t.join(
+        name_clusters.withColumnRenamed("node", "normalized"),
+        "normalized",
+        "left",
+    ).withColumn("cluster", F.coalesce("cluster", F.col("normalized")))
+    a, b = tc.alias("a"), tc.alias("b")
+    p = a.join(b, F.col("a.mention_id") < F.col("b.mention_id")).select(
+        (F.col("a.entity_label") == F.col("b.entity_label")).alias("m"),
+        (F.col("a.cluster") == F.col("b.cluster")).alias("p"),
+    )
+    agg = p.agg(
+        F.sum(F.when(F.col("m") & F.col("p"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(~F.col("m") & F.col("p"), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("m") & ~F.col("p"), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(prec + rec == 0, 0.0).otherwise(2 * prec * rec / (prec + rec))
+    return agg.select(
+        "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 # --- media plumbing (no SQL oracle: mapInPandas stub) ---------------------------
 def q_media_metadata(spark, sf_dir):
     from ..operators.media import decode_media
@@ -840,6 +877,7 @@ QUERIES: dict[str, Callable] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "er_resume_pipeline": q_er_resume_pipeline,
+    "er_name_f1": q_er_name_f1,
     "media_metadata": q_media_metadata,
     "region_customer_counts": q_region_customer_counts,
 }

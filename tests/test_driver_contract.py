@@ -18,7 +18,9 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_) <= set(qs)
     # intentionally oracle-less (rows-only) queries: media stub and
     # the snapshot/resume pipeline (non-SQL-expressible semantics)
-    assert set(qs) - set(os_) == {"media_metadata", "er_resume_pipeline"}
+    assert set(qs) - set(os_) == {
+        "media_metadata", "er_resume_pipeline", "er_name_f1"
+    }
 
 
 def test_sampled_oracle_parity(spark, duck):
