@@ -781,6 +781,40 @@ def q_er_resume_pipeline(spark, sf_dir):
     return out.select("doc_id", "mention_id", "normalized", "cluster")
 
 
+# --- P6 + R10 linked: entity projection whose entityId IS the resolution
+# layer's cluster id (the reference's kb-linker role,
+# EntitiesProcessor.java:140 / entities_response.json entityId).  Rows-only:
+# resolution includes the Double Metaphone pandas UDF. --------------------------
+def q_ros_entities_linked(spark, sf_dir):
+    from ..operators.entities import (
+        EntitiesConfig,
+        extract_mentions,
+        project_entities,
+    )
+    from ..sources.adapter import flat_to_spans
+    from .er_pipeline import resolve_names
+
+    flat = spark.createDataFrame(_ENT_DOCS, "doc_id long, text string")
+    docs = flat_to_spans(flat, with_media=False)
+    gaz = spark.createDataFrame(_ENT_GAZ, "normalized string, type string")
+    mentions = extract_mentions(docs, gaz, ENT_PATTERN)
+    names = mentions.select(F.col("normalized").alias("node")).distinct()
+    clusters = resolve_names(names)  # e.g. ghost busters ∪ ghostbusters
+    ents = project_entities(
+        mentions,
+        entity_ids=clusters.select("node", F.concat(F.lit("C:"), "cluster")),
+        cfg=EntitiesConfig(include_offsets=True),
+    )
+    ex = ents.select("doc_id", F.explode("ros_entities").alias("e"))
+    return ex.select(
+        "doc_id",
+        F.col("e.entityId").alias("entity_id"),
+        F.col("e.mention").alias("mention"),
+        F.col("e.type").alias("type"),
+        F.col("e.count").cast("long").alias("n_mentions"),
+    ).orderBy("doc_id", "entity_id", "mention")
+
+
 # --- end-to-end name-ER F1 on the planted-truth corpus (rows-only: the
 # blocking stack includes the Double Metaphone pandas UDF, which has no
 # SQL mirror; the ≥0.99 bar itself is asserted in tests/test_resolution) ------
@@ -878,6 +912,7 @@ QUERIES: dict[str, Callable] = {
     "doc_fingerprint": q_doc_fingerprint,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_name_f1": q_er_name_f1,
+    "ros_entities_linked": q_ros_entities_linked,
     "media_metadata": q_media_metadata,
     "region_customer_counts": q_region_customer_counts,
 }

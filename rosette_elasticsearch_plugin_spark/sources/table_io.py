@@ -99,6 +99,8 @@ class SnapshotTable:
         stage: str,
         metrics: dict[str, float] | None = None,
         mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        buckets: tuple[str, int] | None = None,
     ) -> Snapshot:
         """Write df as a new snapshot; visible only once the manifest
         rename lands (atomic on POSIX).
@@ -107,26 +109,45 @@ class SnapshotTable:
         files (stage tables — each pipeline stage owns the table).
         ``mode="append"``: Iceberg-style — the snapshot's view is the
         parent's files plus the new ones (ingest/stream tables).
+        ``partition_by``: hive-style directory partitioning.
+        ``buckets=(col, n)``: the north star's bucket-by-block layout —
+        rows are hash-bucketed on ``col`` into ``n`` stable buckets
+        (``__bucket`` partition dirs), so a downstream self-join on the
+        block key reads co-located buckets (Iceberg ``bucket(n, col)``
+        transform emulation).
         """
+        from pyspark.sql import functions as F
+
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.current_snapshot()
         sid = (parent.snapshot_id + 1) if parent else 1
         out_dir = os.path.join(self.data_dir, f"snap-{sid:05d}")
-        df.write.mode("overwrite").parquet(out_dir)
+        parts = list(partition_by or [])
+        if buckets is not None:
+            col, n = buckets
+            df = df.withColumn("__bucket", F.pmod(F.hash(F.col(col)), F.lit(n)))
+            df = df.repartition(n, "__bucket")
+            parts.append("__bucket")
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(out_dir)
 
         files = list(parent.files) if (mode == "append" and parent) else []
-        for name in sorted(os.listdir(out_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(out_dir, name)
-            files.append(
-                {
-                    "path": path,
-                    "rows": _parquet_rows(path),
-                    "bytes": os.path.getsize(path),
-                }
-            )
+        for root_, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(root_, name)
+                files.append(
+                    {
+                        "path": path,
+                        "rows": _parquet_rows(path),
+                        "bytes": os.path.getsize(path),
+                        "partition": os.path.relpath(root_, out_dir),
+                    }
+                )
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent.snapshot_id if parent else None,
@@ -154,7 +175,22 @@ class SnapshotTable:
             )
             if snap is None:
                 raise FileNotFoundError(f"snapshot {snapshot_id} not in {self.root}")
-        return spark.read.parquet(*[f["path"] for f in snap.files])
+        # group files by their owning snap-dir so hive partition columns
+        # (partition_by / bucket layout) are recovered via basePath
+        groups: dict[str, list[str]] = {}
+        for f in snap.files:
+            rel = os.path.relpath(f["path"], self.data_dir)
+            groups.setdefault(rel.split(os.sep)[0], []).append(f["path"])
+        dfs = [
+            spark.read.option("basePath", os.path.join(self.data_dir, top)).parquet(
+                *paths
+            )
+            for top, paths in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
 
 def _parquet_rows(path: str) -> int:

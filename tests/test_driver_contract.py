@@ -19,7 +19,8 @@ def test_oracle_keys_subset_of_queries():
     # intentionally oracle-less (rows-only) queries: media stub and
     # the snapshot/resume pipeline (non-SQL-expressible semantics)
     assert set(qs) - set(os_) == {
-        "media_metadata", "er_resume_pipeline", "er_name_f1"
+        "media_metadata", "er_resume_pipeline", "er_name_f1",
+        "ros_entities_linked"
     }
 
 
