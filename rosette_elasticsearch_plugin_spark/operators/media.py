@@ -19,7 +19,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 MEDIA_META = T.StructType(
@@ -84,3 +84,96 @@ def decode_media(docs: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return spans.mapInPandas(batches, MEDIA_META)
+
+
+def _h4_sql(sha_expr: str, pos: int) -> str:
+    return f"cast(concat('0x', substring({sha_expr}, {pos}, 4)) as bigint)"
+
+
+def decode_media_sql(doc_id_expr: str, ref_expr: str, kind_expr: str) -> str:
+    """DuckDB mirror of the fake decode (sha256-derived dims) as a
+    select-list fragment; yields width, height, n_frames, sha."""
+    sha = f"sha256({ref_expr})"
+    return (
+        f"cast({doc_id_expr} as varchar) as doc_id, {ref_expr} as media_ref, "
+        f"{kind_expr} as kind, "
+        f"cast(64 + {_h4_sql(sha, 1)} % 1920 as int) as width, "
+        f"cast(64 + {_h4_sql(sha, 5)} % 1080 as int) as height, "
+        f"cast(case when {kind_expr} = 'image' then 1 "
+        f"else 1 + {_h4_sql(sha, 9)} % 300 end as int) as n_frames, "
+        f"substring({sha}, 1, 16) as sha"
+    )
+
+
+def resize_dims(meta: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Aspect-preserving downscale targets (never upscale) — pure column
+    math, the planning half of a resize kernel; the pixel work would be
+    a Pandas UDF over the decoded bytes."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return meta.select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("int")
+        .alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("int")
+        .alias("out_h"),
+    )
+
+
+def resize_dims_sql(max_w: int = 224, max_h: int = 224) -> str:
+    scale = (
+        f"least(cast({max_w} as double) / width, "
+        f"cast({max_h} as double) / height, 1.0)"
+    )
+    return (
+        f"select doc_id, media_ref, width, height, "
+        f"cast(greatest(floor(width * {scale}), 1) as int) as out_w, "
+        f"cast(greatest(floor(height * {scale}), 1) as int) as out_h"
+    )
+
+
+def sample_frames(meta: DataFrame, stride: int = 30) -> DataFrame:
+    """Frame-sampling plan: one row per sampled frame index (0, stride,
+    2*stride, … < n_frames).  The decode of each sampled frame is the
+    stubbed kernel; the explode IS the real distribution shape (frame
+    rows stay partition-local, no shuffle)."""
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+    return meta.select(
+        "doc_id",
+        "media_ref",
+        "n_frames",
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
+def media_feature_col(sha_col: Column, dim: int = 8) -> Column:
+    """Deterministic fake feature vector from the decode sha — stands in
+    for an image-embedding Pandas UDF; array<double> in [-1, 1)."""
+    comps = [
+        F.round(
+            F.conv(F.substring(sha_col, 2 * i + 1, 2), 16, 10).cast("double")
+            / 255.0
+            * 2.0
+            - 1.0,
+            6,
+        )
+        for i in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def media_feature_sql(sha_expr: str, dim: int = 8) -> str:
+    comps = [
+        f"round(cast(concat('0x', substring({sha_expr}, {2 * i + 1}, 2)) as bigint)"
+        f" / 255.0 * 2.0 - 1.0, 6)"
+        for i in range(dim)
+    ]
+    return "[" + ", ".join(comps) + "]"

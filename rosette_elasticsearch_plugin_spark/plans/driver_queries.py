@@ -852,12 +852,108 @@ def q_er_name_f1(spark, sf_dir):
     )
 
 
-# --- media plumbing (no SQL oracle: mapInPandas stub) ---------------------------
+# --- media plumbing: decode stub (mapInPandas, Arrow-batched) with a full
+# sha256-based DuckDB mirror, plus resize / frame-sample / feature plans --------
 def q_media_metadata(spark, sf_dir):
     from ..operators.media import decode_media
 
     docs = flat_to_spans(_docs(spark, sf_dir))
     return decode_media(docs)
+
+
+def _media_sql_base(kind: str, mod: int, scheme: str) -> str:
+    from ..operators.media import decode_media_sql
+
+    frag = decode_media_sql(
+        "doc_id", f"'{scheme}://doc/' || cast(doc_id as varchar)", f"'{kind}'"
+    )
+    return f"select {frag} from documents where doc_id % {mod} = 0"
+
+
+SQL_MEDIA_METADATA = _media_sql_base("image", 3, "img")
+
+
+def _video_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    span = F.struct(
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("vid://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit(0).alias("offset"),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(span).alias("spans"),
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from ..operators.media import decode_media, sample_frames
+
+    meta = decode_media(_video_docs(spark, sf_dir))
+    out = sample_frames(meta, stride=30)
+    return out.select(
+        "doc_id", "media_ref",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+with m as ({_media_sql_base("video", 5, "vid")})
+select doc_id, media_ref, cast(n_frames as bigint) as n_frames,
+       cast(unnest(generate_series(0, n_frames - 1, 30)) as bigint) as frame_idx
+from m
+"""
+
+
+def q_media_resize(spark, sf_dir):
+    from ..operators.media import decode_media, resize_dims
+
+    meta = decode_media(flat_to_spans(_docs(spark, sf_dir)))
+    return resize_dims(meta)
+
+
+def _sql_media_resize() -> str:
+    from ..operators.media import resize_dims_sql
+
+    return f"with m as ({SQL_MEDIA_METADATA}) {resize_dims_sql()} from m"
+
+
+SQL_MEDIA_RESIZE = _sql_media_resize()
+
+
+def q_media_features(spark, sf_dir):
+    from ..operators.media import decode_media, media_feature_col
+
+    meta = decode_media(flat_to_spans(_docs(spark, sf_dir)))
+    feat = meta.select(
+        "doc_id", "media_ref", media_feature_col(F.col("sha")).alias("f")
+    )
+    return feat.select(
+        "doc_id", "media_ref",
+        F.posexplode("f").alias("dim_idx", "value"),
+    ).select(
+        "doc_id", "media_ref",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        "value",
+    )
+
+
+def _sql_media_features() -> str:
+    from ..operators.media import media_feature_sql
+
+    return f"""
+with m as ({SQL_MEDIA_METADATA}),
+f as (select doc_id, media_ref, {media_feature_sql('sha')} as fv from m)
+select doc_id, media_ref, cast(i - 1 as bigint) as dim_idx, fv[i] as value
+from f cross join generate_series(1, 8) g(i)
+"""
+
+
+SQL_MEDIA_FEATURES = _sql_media_features()
 
 
 # --- P4-pattern broadcast dim join over the star schema -------------------------
@@ -914,6 +1010,9 @@ QUERIES: dict[str, Callable] = {
     "er_name_f1": q_er_name_f1,
     "ros_entities_linked": q_ros_entities_linked,
     "media_metadata": q_media_metadata,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
+    "media_features": q_media_features,
     "region_customer_counts": q_region_customer_counts,
 }
 
@@ -946,6 +1045,9 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
-    # media_metadata: mapInPandas stub, no SQL oracle (rows-only check)
+    "media_metadata": SQL_MEDIA_METADATA,
+    "media_resize": SQL_MEDIA_RESIZE,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "media_features": SQL_MEDIA_FEATURES,
     "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
 }

@@ -16,11 +16,10 @@ SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
 def test_oracle_keys_subset_of_queries():
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
-    # intentionally oracle-less (rows-only) queries: media stub and
-    # the snapshot/resume pipeline (non-SQL-expressible semantics)
+    # intentionally oracle-less (rows-only) queries: snapshot/resume and
+    # pipelines whose blocking uses the Double Metaphone pandas UDF
     assert set(qs) - set(os_) == {
-        "media_metadata", "er_resume_pipeline", "er_name_f1",
-        "ros_entities_linked"
+        "er_resume_pipeline", "er_name_f1", "ros_entities_linked"
     }
 
 
