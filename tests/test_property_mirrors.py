@@ -1,0 +1,86 @@
+"""Property-based cross-engine parity: for randomized inputs, the Spark
+column expression, the DuckDB SQL mirror, and (where present) the Python
+mirror must agree exactly — this is the invariant the driver's oracle
+gate rests on, probed beyond the hand-picked fixtures."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rosette_elasticsearch_plugin_spark.functions import hashing as H
+from rosette_elasticsearch_plugin_spark.functions import normalize as N
+from rosette_elasticsearch_plugin_spark.resolution.scoring import (
+    score_expr,
+    score_sql,
+)
+
+# printable Latin + accented + Cyrillic + punctuation/space soup
+NAME_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "áàâäãåéèêëíìîïóòôöõúùûüçñýÿšžœæß"
+    "абвгдежзиклмнопрстуфхцчшщэюяАБВГДЕЖЗИКЛМНОПРСТУФХЦЧШЩЭЮЯЁё"
+    "-'.,!?_0123456789"
+)
+names = st.text(alphabet=NAME_ALPHABET, min_size=0, max_size=24)
+
+SET = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _duck_one(sql: str, **params):
+    con = duckdb.connect()
+    for k, v in params.items():
+        con.execute(f"create temp table {k}(v varchar)")
+        con.execute(f"insert into {k} values (?)", [v])
+    return con.execute(sql).fetchone()
+
+
+@SET
+@given(s=names)
+def test_normalize_three_way(spark, s):
+    got_py = N.normalize_py(s)
+    got_spark = spark.createDataFrame([(s,)], "v string").select(
+        N.normalize_col(F.col("v")).alias("o")
+    ).collect()[0]["o"]
+    got_duck = _duck_one(f"select {N.normalize_sql('v')} from t", t=s)[0]
+    assert got_spark == got_duck == got_py
+
+
+@SET
+@given(s=st.text(alphabet="abcdef абв-' ", min_size=0, max_size=16))
+def test_h56_and_minhash_two_way(spark, s):
+    params = H.minhash_params(4)
+    row = spark.createDataFrame([(s,)], "v string").select(
+        H.h56_col(F.col("v")).alias("h"),
+        H.minhash_sig_col(H.shingles_col(F.col("v")), params).alias("sig"),
+    ).collect()[0]
+    want = _duck_one(
+        f"select {H.h56_sql('v')}, "
+        f"{H.minhash_sig_sql(H.shingles_sql('v'), params)} from t",
+        t=s,
+    )
+    assert row["h"] == want[0]
+    assert list(row["sig"]) == list(want[1])
+
+
+@SET
+@given(a=st.text(alphabet="abcdefgh ", min_size=1, max_size=14),
+       b=st.text(alphabet="abcdefgh ", min_size=1, max_size=14))
+def test_pair_score_two_way(spark, a, b):
+    # scoring operates on normalized names: collapse runs/trim like R2
+    a, b = " ".join(a.split()), " ".join(b.split())
+    if not a or not b:
+        return
+    got = spark.createDataFrame([(a, b)], "a string, b string").select(
+        score_expr(F.col("a"), F.col("b")).alias("s")
+    ).collect()[0]["s"]
+    con = duckdb.connect()
+    con.execute("create temp table p(a varchar, b varchar)")
+    con.execute("insert into p values (?, ?)", [a, b])
+    want = con.execute(f"select {score_sql('a', 'b')} from p").fetchone()[0]
+    assert got == pytest.approx(want, abs=1e-6)
