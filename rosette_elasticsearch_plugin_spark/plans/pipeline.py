@@ -23,6 +23,18 @@ from ..operators.sentiment import sentiment_stage
 
 Stage = Callable[[DataFrame], DataFrame]
 
+# P0 — processor registry (RosetteTextAnalysisPlugin.java:42-55): name →
+# factory(spark, StageConfig, raw_cfg) -> Stage.  One shared dict per
+# module, like the reference's one registry per node.
+STAGES: dict[str, Callable] = {
+    "ros_language": lambda spark, sc, cfg: language_stage(sc),
+    "ros_categories": lambda spark, sc, cfg: categories_stage(sc),
+    "ros_sentiment": lambda spark, sc, cfg: sentiment_stage(sc),
+    "ros_name_translation": lambda spark, sc, cfg: name_translation_stage(
+        spark, sc, target_language=cfg.get("target_language", "eng")
+    ),
+}
+
 
 def compose(stages: list[Stage]) -> Stage:
     """Ordered composition — the ingest pipeline itself (SURVEY.md §2.2)."""
@@ -44,21 +56,10 @@ def build_pipeline(
         field = cfg.get("field", "text")
         target = cfg.get("target_field", "")
         sc = StageConfig(field=field, target_field=target)
-        if name == "ros_language":
-            stages.append(language_stage(sc))
-        elif name == "ros_categories":
-            stages.append(categories_stage(sc))
-        elif name == "ros_sentiment":
-            stages.append(sentiment_stage(sc))
-        elif name == "ros_name_translation":
-            stages.append(
-                name_translation_stage(
-                    spark, sc,
-                    target_language=cfg.get("target_language", "eng"),
-                )
-            )
-        else:
+        factory = STAGES.get(name)
+        if factory is None:
             raise ValueError(f"unknown processor [{name}]")
+        stages.append(factory(spark, sc, cfg))
     return compose(stages)
 
 
