@@ -197,22 +197,38 @@ def run_scaling_worker(cpus: int) -> None:
     )
 
 
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+
+
+def _scaling_trial(cpus: int) -> dict:
+    # pin the whole process tree (JVM task threads + Python UDF workers)
+    # to exactly `cpus` physical cores — without pinning, local[N]'s N
+    # task threads plus N Arrow workers spill onto ~2N cores and the
+    # N-vs-4N comparison measures nothing
+    pin = ["taskset", "-c", f"0-{cpus - 1}"]
+    out = subprocess.run(
+        pin
+        + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_scaling() -> None:
-    results = {}
-    for cpus in (SCALE_N, SCALE_4N):
-        # pin the whole process tree (JVM task threads + Python UDF
-        # workers) to exactly `cpus` physical cores — without pinning,
-        # local[8]'s 8 task threads plus 8 Arrow workers spill onto
-        # ~16 cores and the N-vs-4N comparison measures nothing
-        pin = ["taskset", "-c", f"0-{cpus - 1}"]
-        out = subprocess.run(
-            pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    # interleaved best-of-TRIALS per level: this VM has host-level
+    # noisy-neighbor episodes that only ever SLOW a run, so the min
+    # time per level is the capacity measurement; interleaving keeps a
+    # noise episode from biasing one level systematically
+    trials: dict[int, list[dict]] = {SCALE_N: [], SCALE_4N: []}
+    for _ in range(SCALE_TRIALS):
+        for cpus in (SCALE_N, SCALE_4N):
+            trials[cpus].append(_scaling_trial(cpus))
+    results = {
+        cpus: min(ts, key=lambda t: t["sec"]) for cpus, ts in trials.items()
+    }
     thr_n = results[SCALE_N]["docs_per_sec"]
     thr_4n = results[SCALE_4N]["docs_per_sec"]
     eff = round((thr_4n / thr_n) / 4.0, 3)
@@ -231,6 +247,10 @@ def run_scaling() -> None:
                 "docs_per_sec": {
                     f"local[{SCALE_N}]": thr_n,
                     f"local[{SCALE_4N}]": thr_4n,
+                },
+                "trials_sec": {
+                    f"local[{c}]": [t["sec"] for t in ts]
+                    for c, ts in trials.items()
                 },
             }
         )

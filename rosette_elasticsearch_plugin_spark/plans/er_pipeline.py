@@ -52,6 +52,17 @@ def resolve_names(names: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
     # 40s pipeline at 200k docs).  The names table itself is tiny
     # (distinct surface forms), so an eager localCheckpoint is cheap.
     names = names.localCheckpoint(eager=True)
+    # size the name table's partitioning to its actual row count (known
+    # for free after the eager checkpoint): a vocabulary of a few
+    # thousand names spread over defaultParallelism partitions makes
+    # every blocking/scoring stage schedule dozens of near-empty tasks
+    # and Arrow batches — pure serial overhead.  ~20k names per
+    # partition keeps big vocabularies parallel and small ones cheap.
+    n_names = names.count()
+    cur = names.rdd.getNumPartitions()
+    target = max(1, min(cur, n_names // 20_000 + 1))
+    if target < cur:
+        names = names.coalesce(target)
     keyed = names.select("node", er_key_col(F.col("node")).alias("key"))
     blocks = all_blocks(keyed, cfg.blocking)
     pairs = candidate_pairs(
