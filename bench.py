@@ -36,7 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # replication factor for --scaling: enough docs that executor-side work
 # (Arrow-batched extraction + scoring) dominates driver/stage overhead
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_4N = 4 * SCALE_N
 SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "240"))
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import hashing as H
 from ..functions import normalize as N
@@ -31,7 +31,7 @@ from ..operators.name_translation import (
     transliterate_cyr_sql,
 )
 from ..resolution.clustering import connected_components
-from ..resolution.scoring import ScoringConfig, score_expr, score_sql
+from ..resolution.scoring import score_expr, score_sql
 from ..sources.adapter import flat_to_spans
 
 TOKEN_RE = r"[a-z]+"
