@@ -569,6 +569,104 @@ from cand join d ta on ta.doc_id = cand.doc_id_a
 SQL_DEDUP_NGRAM_JACCARD = _sql_dedup_ngram_jaccard()
 
 
+# simhash near-dup: pairs of docs whose 56-bit signatures are within a
+# small Hamming radius, candidates restricted to shared LSH band buckets
+SIMHASH_RADIUS = 12
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    sigs = dedup.simhash_signatures(d)
+    cands = dedup.lsh_candidate_pairs(d, bands=DEDUP_BANDS, rows=DEDUP_ROWS)
+    j = (
+        cands.join(
+            sigs.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
+                "simhash", "sig_a"
+            ),
+            "doc_id_a",
+        ).join(
+            sigs.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+                "simhash", "sig_b"
+            ),
+            "doc_id_b",
+        )
+    )
+    out = j.withColumn(
+        "hamming",
+        dedup.simhash_hamming_col(F.col("sig_a"), F.col("sig_b")).cast("long"),
+    )
+    return out.where(F.col("hamming") <= SIMHASH_RADIUS).select(
+        "doc_id_a", "doc_id_b", "hamming"
+    )
+
+
+def _sql_dedup_simhash_pairs() -> str:
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    toks = "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    hashes = f"list_transform({toks}, t -> {H.h56_sql('t')})"
+    sim = H.simhash_from_hashes_sql("h")
+    return f"""
+with d as ({_DOCS_WITH_DUPS_SQL}),
+sigs as (select doc_id, {sim} as simhash from
+         (select doc_id, {hashes} as h from d)),
+mkeys as (select doc_id, unnest({band}) as band_key from
+          (select doc_id, {sig} as sig from d)),
+cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+         from mkeys a join mkeys b using (band_key)
+         where a.doc_id < b.doc_id)
+select doc_id_a, doc_id_b,
+       cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint) as hamming
+from cand join sigs sa on sa.doc_id = cand.doc_id_a
+          join sigs sb on sb.doc_id = cand.doc_id_b
+where bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_RADIUS}
+"""
+
+
+SQL_DEDUP_SIMHASH_PAIRS = _sql_dedup_simhash_pairs()
+
+
+# embedding-cosine near-dup: vector pairs in the same hyperplane bucket
+# with cosine >= threshold (the embedding member of the dedup family)
+# synthetic embeddings are near-orthogonal random vectors; in-bucket max
+# cosine at sf0.01 is ~0.46, so the demo threshold sits at the p99 tail
+EMB_DUP_TAU = 0.34
+
+
+def q_dedup_embedding(spark, sf_dir):
+    planes = ann.hyperplanes()
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        ann.lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, "bucket").where(F.col("a.vid") < F.col("b.vid"))
+    out = pairs.select(
+        F.col("a.vid").alias("vec_id_a"),
+        F.col("b.vid").alias("vec_id_b"),
+        ann.cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return out.where(F.col("cosine") >= EMB_DUP_TAU)
+
+
+def _sql_dedup_embedding() -> str:
+    planes = ann.hyperplanes()
+    bucket = ann.lsh_bucket_sql("embedding", planes)
+    cos = ann.cosine_sql("a.v", "b.v")
+    return f"""
+with keyed as (select vec_id as vid, embedding as v, {bucket} as bucket
+               from embeddings)
+select a.vid as vec_id_a, b.vid as vec_id_b, {cos} as cosine
+from keyed a join keyed b using (bucket)
+where a.vid < b.vid and {cos} >= {EMB_DUP_TAU}
+"""
+
+
+SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
+
+
 # --- similarity search --------------------------------------------------------
 def q_ann_brute_topk(spark, sf_dir):
     return ann.brute_topk(_emb(spark, sf_dir), k=ANN_K, n_queries=ANN_QUERIES)
@@ -999,6 +1097,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding": q_dedup_embedding,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1038,6 +1138,8 @@ ORACLES: dict[str, str] = {
     "dedup_near_minhash": SQL_DEDUP_NEAR_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
