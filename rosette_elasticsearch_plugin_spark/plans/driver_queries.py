@@ -452,6 +452,24 @@ from g
 """
 
 
+# §2.3 exists-predicate search (docker/test.sh:186-193 constant_score/
+# exists on the enriched field): docs whose enrichment produced a value
+def q_exists_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TS.detect_language_col(F.col("text")).alias("ros_language")
+    )
+    return d.where(F.col("ros_language").isNotNull()).select(
+        "doc_id", "ros_language"
+    )
+
+
+SQL_EXISTS_FILTER = f"""
+select doc_id, ros_language from
+  (select doc_id, {TS.detect_language_sql('text')} as ros_language from documents)
+where ros_language is not null
+"""
+
+
 # --- training-data operators -------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
@@ -1093,6 +1111,7 @@ QUERIES: dict[str, Callable] = {
     "ros_translation": q_ros_translation,
     "ros_entities_counts": q_ros_entities_counts,
     "guard_passthrough": q_guard_passthrough,
+    "exists_filter": q_exists_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1134,6 +1153,7 @@ ORACLES: dict[str, str] = {
     "ros_translation": SQL_ROS_TRANSLATION,
     "ros_entities_counts": SQL_ROS_ENTITIES_COUNTS,
     "guard_passthrough": SQL_GUARD_PASSTHROUGH,
+    "exists_filter": SQL_EXISTS_FILTER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_near_minhash": SQL_DEDUP_NEAR_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
