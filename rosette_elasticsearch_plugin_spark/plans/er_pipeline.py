@@ -29,7 +29,12 @@ from ..resolution.scoring import ScoringConfig, match_edges, score_pairs
 class ERConfig:
     blocking: BlockingConfig = dc_field(default_factory=BlockingConfig)
     scoring: ScoringConfig = dc_field(default_factory=ScoringConfig)
-    max_block_size: int = 50
+    # cap = the point where a block is declared low-information and
+    # dropped; the salted grid join keeps blocks below it cheap, so the
+    # cap can sit high (500 members = ~125k pairs, trivial) — at 50 a
+    # merely *popular* surname's metaphone block was capped away and
+    # its families lost their initial-form variants (recall hit)
+    max_block_size: int = 500
     n_salt: int = 8
     salt_threshold: int = 16
     cc_max_iter: int = 25

@@ -56,7 +56,17 @@ class ScoringConfig:
     w_lev: float = 0.25
     w_jac: float = 0.15
     w_cov: float = 0.15
+    # both-single-token pairs: jac/cov are structurally 0, so the
+    # general weights cap their score at w_jw+w_lev = 0.70 = τ and no
+    # typo could ever match; renormalize over jw/lev instead
+    w_jw_single: float = 0.65
+    w_lev_single: float = 0.35
     single_token_penalty: float = 0.8
+    contradiction_penalty: float = 0.5
+    # initial-expansion pairs ("d novak" ~ "dmitri novak": equal token
+    # counts, every aligned token prefix-compatible, ≥1 initial↔word
+    # agreement) are canonical abbreviation matches; floor their score
+    expansion_floor: float = 0.75
     threshold: float = 0.70
 
 
@@ -70,6 +80,65 @@ def sort_tokens_sql(expr: str) -> str:
 
 def _tok_match(t: str, u: str) -> bool:
     return t.startswith(u) or u.startswith(t) or jaro_winkler_py(t, u) >= TOKEN_JW_MIN
+
+
+def _pair_class(t: str, u: str) -> str | None:
+    """Alignment-pair validity class: "ii" equal initials, "iw" initial
+    agreeing with the word's first letter, "ww" word-word token match,
+    None = invalid pairing."""
+    if len(t) == 1 and len(u) == 1:
+        return "ii" if t == u else None
+    if len(t) == 1:
+        return "iw" if u[0] == t else None
+    if len(u) == 1:
+        return "iw" if t[0] == u else None
+    return "ww" if _tok_match(t, u) else None
+
+
+def _alignments(x: str, y: str):
+    """Candidate token alignments for equal-count names: for 2-token
+    names BOTH pairings of the sorted lists (sorting alone can cross-
+    pair an initial with the other name's surname — "b petrov" vs
+    "p berg" must not align b↔berg / petrov↔p); for n≥3 the sorted
+    positional alignment only (the SQL mirror does the same)."""
+    tx, ty = sorted(x.split(" ")), sorted(y.split(" "))
+    if len(tx) != len(ty):
+        return tx, ty, []
+    if len(tx) == 2:
+        return tx, ty, [(0, 1), (1, 0)]
+    return tx, ty, [tuple(range(len(tx)))]
+
+
+def _expand_py(x: str, y: str) -> float:
+    """Initial-expansion detector: some valid alignment pairs every
+    token, with at least one initial↔word pair AND at least one
+    word↔word anchor — "d novak" ~ "dmitri novak" yes; "b petrov" ~
+    "p berg" no (no shared word anchors the match)."""
+    tx, ty, perms = _alignments(x, y)
+    if not perms or len(tx) < 2:
+        return 0.0
+    for pm in perms:
+        classes = [_pair_class(tx[i], ty[pm[i]]) for i in range(len(tx))]
+        if all(c is not None for c in classes):
+            if "iw" in classes and "ww" in classes:
+                return 1.0
+    return 0.0
+
+
+def _contra_py(x: str, y: str) -> float:
+    """Contradiction gate: equal-count names with NO valid alignment at
+    all (no pairing of tokens where words token-match and initials
+    agree by letter) denote different entities no matter how similar a
+    shared surname makes them look — this stops surname-hub chains
+    ("d lindqvist"–"t lindqvist") from transitively merging families."""
+    tx, ty, perms = _alignments(x, y)
+    if not perms:
+        return 0.0
+    for pm in perms:
+        classes = [_pair_class(tx[i], ty[pm[i]]) for i in range(len(tx))]
+        if all(c is not None for c in classes):
+            return 0.0
+    return 1.0
 
 
 def _cover_py(x: str, y: str) -> float:
@@ -89,7 +158,12 @@ def _cover_py(x: str, y: str) -> float:
 
 
 _FEATURES_TYPE = T.StructType(
-    [T.StructField("jw", T.DoubleType()), T.StructField("cov", T.DoubleType())]
+    [
+        T.StructField("jw", T.DoubleType()),
+        T.StructField("cov", T.DoubleType()),
+        T.StructField("contra", T.DoubleType()),
+        T.StructField("expand", T.DoubleType()),
+    ]
 )
 
 
@@ -100,7 +174,7 @@ def pair_features_udf(
     """jw-best + token-cover per pair — one Python hop per batch."""
     av, bv = a.fillna("").to_numpy(), b.fillna("").to_numpy()
     sav, sbv = sa.fillna("").to_numpy(), sb.fillna("").to_numpy()
-    jw, cov = [], []
+    jw, cov, contra, expand = [], [], [], []
     for x, y, sx, sy in zip(av, bv, sav, sbv):
         jw.append(
             max(
@@ -110,7 +184,11 @@ def pair_features_udf(
             )
         )
         cov.append(_cover_py(x, y))
-    return pd.DataFrame({"jw": jw, "cov": cov})
+        contra.append(_contra_py(x, y))
+        expand.append(_expand_py(x, y))
+    return pd.DataFrame(
+        {"jw": jw, "cov": cov, "contra": contra, "expand": expand}
+    )
 
 
 def score_expr(a: Column, b: Column, cfg: ScoringConfig = ScoringConfig()) -> Column:
@@ -126,10 +204,20 @@ def score_expr(a: Column, b: Column, cfg: ScoringConfig = ScoringConfig()) -> Co
         + F.lit(cfg.w_cov) * feat["cov"]
     )
     na, nb = F.size(F.split(a, " ")), F.size(F.split(b, " "))
+    raw = F.when(
+        (na == 1) & (nb == 1),
+        F.lit(cfg.w_jw_single) * feat["jw"] + F.lit(cfg.w_lev_single) * lev,
+    ).otherwise(raw)
     gated = F.when(
         (na != nb) & (F.least(na, nb) == 1) & (ca != cb),
         raw * cfg.single_token_penalty,
     ).otherwise(raw)
+    gated = F.when(
+        feat["contra"] == 1.0, gated * cfg.contradiction_penalty
+    ).otherwise(gated)
+    gated = F.when(
+        feat["expand"] == 1.0, F.greatest(gated, F.lit(cfg.expansion_floor))
+    ).otherwise(gated)
     return F.round(gated, 6)
 
 
@@ -184,6 +272,91 @@ def cover_sql(a: str, b: str) -> str:
     )
 
 
+def _pair_valid_sql(t: str, u: str) -> str:
+    """SQL mirror of _pair_class(t,u) is not None."""
+    return (
+        f"(case when length({t}) = 1 and length({u}) = 1 then {t} = {u} "
+        f"when length({t}) = 1 then substring({u}, 1, 1) = {t} "
+        f"when length({u}) = 1 then substring({t}, 1, 1) = {u} "
+        f"else {_tok_match_sql(t, u)} end)"
+    )
+
+
+def _pair_iw_sql(t: str, u: str) -> str:
+    return (
+        f"(((length({t}) = 1) <> (length({u}) = 1)) and {_pair_valid_sql(t, u)})"
+    )
+
+
+def _pair_ww_sql(t: str, u: str) -> str:
+    return (
+        f"(length({t}) > 1 and length({u}) > 1 and {_tok_match_sql(t, u)})"
+    )
+
+
+def _alignment_sqls(a: str, b: str):
+    """(ta, tb, compat_sql, expand_sql) mirroring _alignments: explicit
+    identity+swap alignments for 2-token names, sorted positional for
+    n≥3 (and n=1)."""
+    ta, tb = f"string_split({a}, ' ')", f"string_split({b}, ' ')"
+    sa_, sb_ = f"list_sort({ta})", f"list_sort({tb})"
+
+    def pair(i, j):
+        return f"{sa_}[{i}]", f"{sb_}[{j}]"
+
+    # n == 2: two alignments
+    aligns = []
+    for (i1, j1), (i2, j2) in [((1, 1), (2, 2)), ((1, 2), (2, 1))]:
+        t1, u1 = pair(i1, j1)
+        t2, u2 = pair(i2, j2)
+        ok = f"({_pair_valid_sql(t1, u1)} and {_pair_valid_sql(t2, u2)})"
+        iw = f"({_pair_iw_sql(t1, u1)} or {_pair_iw_sql(t2, u2)})"
+        ww = f"({_pair_ww_sql(t1, u1)} or {_pair_ww_sql(t2, u2)})"
+        aligns.append((ok, f"({ok} and {iw} and {ww})"))
+    compat2 = f"({aligns[0][0]} or {aligns[1][0]})"
+    expand2 = f"({aligns[0][1]} or {aligns[1][1]})"
+
+    # positional (n >= 3 and n = 1)
+    t, u = f"{sa_}[i]", f"{sb_}[i]"
+    compat_pos = (
+        f"list_bool_and(list_transform(generate_series(1, len({ta})), "
+        f"i -> {_pair_valid_sql(t, u)}))"
+    )
+    any_iw = (
+        f"list_bool_or(list_transform(generate_series(1, len({ta})), "
+        f"i -> {_pair_iw_sql(t, u)}))"
+    )
+    any_ww = (
+        f"list_bool_or(list_transform(generate_series(1, len({ta})), "
+        f"i -> {_pair_ww_sql(t, u)}))"
+    )
+    expand_pos = f"({compat_pos} and {any_iw} and {any_ww})"
+
+    compat = (
+        f"(case when len({ta}) = 2 then {compat2} else {compat_pos} end)"
+    )
+    expand = (
+        f"(case when len({ta}) = 2 then {expand2} "
+        f"when len({ta}) >= 3 then {expand_pos} else false end)"
+    )
+    return ta, tb, compat, expand
+
+
+def expand_sql(a: str, b: str) -> str:
+    ta, tb, _compat, expand = _alignment_sqls(a, b)
+    return (
+        f"(case when len({ta}) = len({tb}) and {expand} then 1.0 else 0.0 end)"
+    )
+
+
+def contra_sql(a: str, b: str) -> str:
+    ta, tb, compat, _expand = _alignment_sqls(a, b)
+    return (
+        f"(case when len({ta}) = len({tb}) and not {compat} "
+        f"then 1.0 else 0.0 end)"
+    )
+
+
 def score_sql(a: str, b: str, cfg: ScoringConfig = ScoringConfig()) -> str:
     """DuckDB mirror of score_expr (value-identical; round 6dp)."""
     sa, sb = sort_tokens_sql(a), sort_tokens_sql(b)
@@ -201,8 +374,22 @@ def score_sql(a: str, b: str, cfg: ScoringConfig = ScoringConfig()) -> str:
         f"+ {cfg.w_jac} * ({jac}) + {cfg.w_cov} * ({cov}))"
     )
     na, nb = f"len(string_split({a}, ' '))", f"len(string_split({b}, ' '))"
+    raw1 = f"({cfg.w_jw_single} * ({jw}) + {cfg.w_lev_single} * ({lev}))"
+    raw = f"(case when {na} = 1 and {nb} = 1 then {raw1} else {raw} end)"
     gate = f"({na} != {nb} and least({na}, {nb}) = 1 and {ca} != {cb})"
+    gated = (
+        f"(case when {gate} then {raw} * {cfg.single_token_penalty} "
+        f"else {raw} end)"
+    )
+    contra = contra_sql(a, b)
+    gated = (
+        f"(case when {contra} = 1.0 "
+        f"then {gated} * {cfg.contradiction_penalty} "
+        f"else {gated} end)"
+    )
+    expand = expand_sql(a, b)
     return (
-        f"round(case when {gate} then {raw} * {cfg.single_token_penalty} "
-        f"else {raw} end, 6)"
+        f"round(case when {expand} = 1.0 "
+        f"then greatest({gated}, {cfg.expansion_floor}) "
+        f"else {gated} end, 6)"
     )

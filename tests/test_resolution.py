@@ -68,8 +68,8 @@ def test_connected_components_chain_and_isolated(spark):
 
 
 def test_end_to_end_f1_meets_north_rule(spark):
-    for seed in (42, 7):
-        c = corpus.generate(n_docs=120, seed=seed)
+    for n_docs, n_fam, seed in ((120, 40, 42), (120, 40, 7), (400, 120, 42)):
+        c = corpus.generate(n_docs=n_docs, seed=seed, n_extra_families=n_fam)
         docs, truth = corpus.to_spark(spark, c)
         _, name_clusters = resolve_documents(docs)
         t = truth.select("mention_id", "entity_label", "normalized")
