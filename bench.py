@@ -213,8 +213,14 @@ def _scaling_trial(cpus: int) -> dict:
         text=True,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        raise RuntimeError(
+            f"scaling worker (cpus={cpus}) failed: rc={out.returncode}\n"
+            f"--- stdout tail ---\n{out.stdout[-2000:]}\n"
+            f"--- stderr tail ---\n{out.stderr[-4000:]}"
+        )
+    return json.loads(json_lines[-1])
 
 
 def run_scaling() -> None:

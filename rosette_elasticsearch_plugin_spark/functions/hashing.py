@@ -141,19 +141,38 @@ def lsh_band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
 # --- SimHash (56-bit, over token sets) -----------------------------------------
 def simhash_from_hashes_col(hashes: Column, bits: int = 56) -> Column:
     """SimHash from a precomputed array<long> of token hashes — hash each
-    token once, not once per bit (56× cheaper than hashing inline)."""
+    token once, not once per bit (56× cheaper than hashing inline).
+
+    Shape: ONE ``aggregate`` fold that zip-adds each hash's 56-bit
+    vector into a running per-bit counter array, then one zip with the
+    power-of-two literals.  The previous form summed 56 independent
+    ``size(filter(...))`` terms in a single expression — the generated
+    processNext() exceeded janino's 64 KB method limit and the stage
+    fell back to interpreted evaluation.  Same per-row op count, small
+    constant-size expression tree.  (``call_function('shiftright', …)``
+    because the pyspark wrapper only accepts a literal shift amount,
+    while the underlying expression takes any column.)"""
     n = F.size(hashes)
-    out = F.lit(0).cast("long")
-
-    def bit_set(j: int):
-        return lambda h: F.shiftright(h, j) % 2 == 1
-
-    for j in range(bits):
-        cnt = F.size(F.filter(hashes, bit_set(j)))
-        out = out + F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda j: (F.call_function("shiftright", h, j) % 2).cast("int"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    majority = F.zip_with(
+        counts,
+        powers,
+        lambda cnt, p: F.when(cnt * 2 > n, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(majority, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_from_hashes_sql(hashes_expr: str, bits: int = 56) -> str:
@@ -170,18 +189,9 @@ def simhash_from_hashes_sql(hashes_expr: str, bits: int = 56) -> str:
 def simhash_col(tokens: Column, bits: int = 56) -> Column:
     """Sum of 2^j over bits j where the majority of token hashes set bit j.
     Strict majority (2*cnt > n) keeps parity with the SQL mirror."""
-    n = F.size(tokens)
-    out = F.lit(0).cast("long")
-
-    def bit_set(j: int):
-        return lambda t: F.shiftright(h56_col(t), j) % 2 == 1
-
-    for j in range(bits):
-        cnt = F.size(F.filter(tokens, bit_set(j)))
-        out = out + F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    return simhash_from_hashes_col(
+        F.transform(tokens, lambda t: h56_col(t)), bits
+    )
 
 
 def simhash_sql(tokens_expr: str, bits: int = 56) -> str:

@@ -28,8 +28,11 @@ LANG_MARKERS: list[tuple[str, str]] = [
     ("jpn", r"[ぁ-んァ-ヺ一-龯]"),
 ]
 
-SENT_POS = r"\b(love|great|good|excellent|happy|win|best|amazing|fast)\b"
-SENT_NEG = r"\b(hate|bad|terrible|awful|lose|worst|sad|slow)\b"
+SENT_POS = (
+    r"\b(love|great|good|excellent|happy|win|best|amazing|fast"
+    r"|praised|pleased|delighted|magnificent)\b"
+)
+SENT_NEG = r"\b(hate|hated|bad|terrible|awful|lose|worst|sad|slow)\b"
 
 CATEGORY_KEYWORDS: list[tuple[str, str]] = [
     ("SPORTS", r"\b(game|team|match|score|league|champion|tournament|sports?)\b"),
@@ -57,23 +60,24 @@ def _count_sql(expr: str, pattern: str) -> str:
 def argmax_label_col(c: Column, table: list[tuple[str, str]]) -> Column:
     """Label with the max marker count; ties → earlier entry; all-zero → null.
 
-    Built as a >=-chain so the DuckDB mirror is trivially identical."""
-    counts = [(label, _count(c, pat)) for label, pat in table]
-    total = counts[0][1]
-    for _, cnt in counts[1:]:
-        total = total + cnt
-    expr = F.lit(None).cast("string")
-    # build from last to first so earlier labels take precedence on ties
-    for i in range(len(counts) - 1, -1, -1):
-        label, cnt = counts[i]
-        cond = None
-        for j, (_, other) in enumerate(counts):
-            if j == i:
-                continue
-            c2 = (cnt >= other) if j > i else (cnt > other)
-            cond = c2 if cond is None else (cond & c2)
-        expr = F.when(cond, F.lit(label)).otherwise(expr)
-    return F.when(total > 0, expr)
+    Shape matters: each marker count appears exactly ONCE, inside an
+    array of (count, -position, label) structs whose lexicographic
+    array_max IS the argmax (ties → larger -position → earlier label).
+    The previous >=-chain inlined every count into every other label's
+    condition — O(labels²) regex sub-expressions blew the generated
+    processNext() past janino's 64 KB method limit and dropped the
+    whole stage to interpreted evaluation.  The DuckDB mirror keeps the
+    chain form (DuckDB has no codegen limit); values are identical."""
+    structs = [
+        F.struct(
+            _count(c, pat).alias("c"),
+            F.lit(-i).alias("o"),
+            F.lit(label).alias("l"),
+        )
+        for i, (label, pat) in enumerate(table)
+    ]
+    best = F.array_max(F.array(*structs))
+    return F.when(best["c"] > 0, best["l"])
 
 
 def argmax_label_sql(expr: str, table: list[tuple[str, str]]) -> str:

@@ -7,10 +7,19 @@ Two paths (SURVEY-mandated training-data ops):
   JVM-side ``zip_with``/``aggregate`` fold — deterministic left-to-right
   summation so the DuckDB oracle (same fold via list_reduce) matches
   bit-for-bit.
-* random-hyperplane LSH — the scale path: K deterministic hyperplanes →
-  sign-bit bucket key → candidates only within a bucket.  At 10^12 rows
-  the bucket join is the only thing that shuffles, and bucket keys are
-  computed scan-side (no UDF).
+* multi-table banded random-hyperplane LSH — the scale path: L
+  independent tables of b sign bits each; a pair is a candidate if it
+  collides in ANY table, and buckets above a size cap are dropped
+  (salted grid join below the cap — the same hot-block machinery as
+  resolution/pairs.py).  Two scale properties a single fixed-width
+  bucket key lacks:
+
+  - recall is tunable via L without widening any one bucket key
+    (P[candidate] = 1-(1-p^b)^L, p = 1-θ/π per plane);
+  - the in-bucket self-join is bounded: 2^b buckets per table sized to
+    the corpus (2^b ≳ n/1k) PLUS an explicit per-bucket cap, so no
+    bucket ever goes quadratic at 10^12 rows — the fixed 8-plane key
+    this replaces held 256 buckets total and each bucket grew O(n).
 
 Planes are generated from a seeded RNG and inlined as literals on both
 engines, so signatures agree exactly.
@@ -28,6 +37,24 @@ def hyperplanes(dim: int = 64, k: int = 8, seed: int = 42) -> list[list[float]]:
     return [
         [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)] for _ in range(k)
     ]
+
+
+# defaults for the driver-scale corpora: 6 tables × 8 bits = 256 buckets
+# per table; bits are the knob to keep 2^bits ≳ n/1k as n grows
+ANN_TABLES, ANN_BITS = 6, 8
+ANN_MAX_BUCKET, ANN_N_SALT, ANN_SALT_THRESHOLD = 500, 8, 64
+
+
+def banded_hyperplanes(
+    dim: int = 64,
+    tables: int = ANN_TABLES,
+    bits: int = ANN_BITS,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """L independent tables of b hyperplanes each (one seeded stream,
+    chunked, so table t is stable as L grows)."""
+    planes = hyperplanes(dim, tables * bits, seed)
+    return [planes[t * bits:(t + 1) * bits] for t in range(tables)]
 
 
 def dot_col(vec: Column, weights: list[float]) -> Column:
@@ -86,6 +113,46 @@ def lsh_bucket_sql(expr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def band_keys_col(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Array of per-table band keys 't<i>:<bucket>' — scan-side, no UDF."""
+    keys = [
+        F.concat(F.lit(f"t{i}:"), lsh_bucket_col(vec, tp).cast("string"))
+        for i, tp in enumerate(tables)
+    ]
+    return F.array(*keys)
+
+
+def band_keys_sql(expr: str, tables: list[list[list[float]]]) -> str:
+    keys = [
+        f"'t{i}:' || cast({lsh_bucket_sql(expr, tp)} as varchar)"
+        for i, tp in enumerate(tables)
+    ]
+    return "[" + ", ".join(keys) + "]"
+
+
+def banded_candidates(
+    embeddings: DataFrame,
+    tables: list[list[list[float]]] | None = None,
+    max_bucket: int = ANN_MAX_BUCKET,
+    n_salt: int = ANN_N_SALT,
+    salt_threshold: int = ANN_SALT_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(node_a, node_b) distinct candidate pairs colliding in ≥1 LSH
+    table, via the capped+salted grid join (resolution/pairs.py) — the
+    cap/salt only bound the physical join; the logical pair set is
+    'same band key, bucket ≤ cap', which the DuckDB oracle mirrors."""
+    from ..resolution.pairs import candidate_pairs
+
+    tables = tables if tables is not None else banded_hyperplanes()
+    keyed = embeddings.select(
+        F.col(id_col).alias("node"),
+        F.explode(band_keys_col(F.col(vec_col), tables)).alias("block_key"),
+    )
+    return candidate_pairs(keyed, max_bucket, n_salt, salt_threshold)
+
+
 def brute_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -123,23 +190,34 @@ def brute_topk(
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 3,
-    planes: list[list[float]] | None = None,
+    tables: list[list[list[float]]] | None = None,
+    max_bucket: int = ANN_MAX_BUCKET,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact cosine only within hyperplane buckets."""
-    planes = planes or hyperplanes()
-    keyed = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    """Banded-LSH ANN: exact cosine only for pairs colliding in ≥1 of
+    the L hyperplane tables (bounded buckets; see module docstring)."""
+    tables = tables if tables is not None else banded_hyperplanes()
+    cands = banded_candidates(
+        embeddings, tables, max_bucket, id_col=id_col, vec_col=vec_col
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = a.join(b, "bucket").where(F.col("a.vid") != F.col("b.vid"))
-    scored = pairs.select(
-        F.col("a.vid").alias("query_id"),
-        F.col("b.vid").alias("neighbor_id"),
-        cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    # candidates are a<b once; rank needs both directions
+    sym = cands.unionByName(
+        cands.select(
+            F.col("node_b").alias("node_a"), F.col("node_a").alias("node_b")
+        )
+    )
+    v = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    scored = (
+        sym.join(v.withColumnRenamed("vid", "node_a").withColumnRenamed("v", "va"),
+                 "node_a")
+        .join(v.withColumnRenamed("vid", "node_b").withColumnRenamed("v", "vb"),
+              "node_b")
+        .select(
+            F.col("node_a").alias("query_id"),
+            F.col("node_b").alias("neighbor_id"),
+            cosine_col(F.col("va"), F.col("vb")).alias("cosine"),
+        )
     )
     from pyspark.sql import Window
 

@@ -36,10 +36,12 @@ def error_col_name(target: str) -> str:
 @dataclass(frozen=True)
 class StageConfig:
     """Mirrors the (field, target_field) pair every reference processor
-    takes (e.g. ``LanguageProcessor.java:82-84``)."""
+    takes (e.g. ``LanguageProcessor.java:82-84``) plus ES's generic
+    per-processor ``ignore_failure`` flag (continue-and-drop-error)."""
 
     field: str = "text"
     target_field: str = ""
+    ignore_failure: bool = False
 
 
 def apply_guarded(
@@ -48,6 +50,7 @@ def apply_guarded(
     target: str,
     value: Column,
     fail_on_empty_result: bool = True,
+    ignore_failure: bool = False,
 ) -> DataFrame:
     """Apply one guarded enrichment stage.
 
@@ -55,7 +58,12 @@ def apply_guarded(
     null/empty input keep target null with no error (guard 2); rows
     where the compute yields null despite non-empty input get an error
     (guard 4) when ``fail_on_empty_result``.
-    """
+
+    ``ignore_failure`` mirrors ES's per-processor flag (documented for
+    the reference in docs/...Doc-Enrichment.md:259-304): failures are
+    swallowed — the row continues through the pipeline with a null
+    target and NO error recorded, as distinct from ``on_failure``
+    quarantine routing (split_quarantine)."""
     if target in df.columns:
         raise TargetOccupiedError(
             f"target field [{target}] already exists in schema"
@@ -63,7 +71,7 @@ def apply_guarded(
     src_col = F.col(src)
     empty = src_col.isNull() | (F.length(src_col) == 0)
     out = df.withColumn(target, F.when(~empty, value))
-    if fail_on_empty_result:
+    if fail_on_empty_result and not ignore_failure:
         err = F.when(
             ~empty & F.col(target).isNull(),
             F.lit(f"no result for [{target}]"),

@@ -20,7 +20,8 @@ def categories_stage(cfg: StageConfig | None = None):
 
     def stage(df: DataFrame) -> DataFrame:
         return apply_guarded(
-            df, cfg.field, target, categorize_col(F.col(cfg.field))
+            df, cfg.field, target, categorize_col(F.col(cfg.field)),
+            ignore_failure=cfg.ignore_failure,
         )
 
     return stage

@@ -243,19 +243,27 @@ def extract_mentions(
 
 @dataclass(frozen=True)
 class EntitiesConfig:
-    """Mirrors EntitiesProcessor.Parameters (EntitiesProcessor.java:186-191)."""
+    """Mirrors EntitiesProcessor.Parameters (EntitiesProcessor.java:186-191).
+
+    ``sentiment_window``: chars of context on each side of a mention
+    used for per-entity sentiment (the ADM sentiment variant returns a
+    per-entity label computed from the entity's local context —
+    ``sentiment_adm_response.json`` entities[].sentiment — not the
+    document label; a window around the mention offsets is our
+    deterministic equivalent of that entity-local evidence)."""
 
     include_offsets: bool = False
     include_translation: bool = False
     translation_language: str = "eng"
     include_sentiment: bool = False
+    sentiment_window: int = 40
 
 
 def project_entities(
     mentions: DataFrame,
     entity_ids: DataFrame | None = None,
     cfg: EntitiesConfig = EntitiesConfig(),
-    doc_texts: DataFrame | None = None,
+    span_texts: DataFrame | None = None,
     translation_col: Column | None = None,
 ) -> DataFrame:
     """P6c-P6g: group mentions per (doc, cluster) → one entity row each.
@@ -265,9 +273,29 @@ def project_entities(
     to ``T:<normalized>`` (the reference uses the same convention of a
     type-prefixed temporary id when the linker has no QID).
 
+    span_texts: (doc_id, span_offset, text) — required when
+    ``cfg.include_sentiment``; each mention's ±sentiment_window chars
+    are cut from its own span, and the entity's label is the lexicon
+    sentiment of its concatenated mention windows (document order).
+
     Returns (doc_id, ros_entities: array<struct<...>>).
     """
     m = mentions
+    if cfg.include_sentiment:
+        if span_texts is None:
+            raise ValueError(
+                "include_sentiment requires span_texts (doc_id, span_offset, text)"
+            )
+        w = int(cfg.sentiment_window)
+        st = span_texts.select(
+            "doc_id", "span_offset", F.col("text").alias("__span_text")
+        )
+        m = m.join(st, ["doc_id", "span_offset"], "left")
+        wstart = F.greatest(F.col("start") + 1 - w, F.lit(1))
+        wlen = F.col("end") + w - wstart + 1
+        m = m.withColumn(
+            "__wtext", F.substring(F.col("__span_text"), wstart, wlen)
+        ).drop("__span_text")
     if entity_ids is not None:
         eid = entity_ids.select(
             F.col(entity_ids.columns[0]).alias("normalized"),
@@ -282,17 +310,30 @@ def project_entities(
         m = m.withColumn("entityId", F.concat(F.lit("T:"), F.col("normalized")))
 
     # absolute document order of a mention = (span_offset, start)
-    grouped = (
-        m.groupBy("doc_id", "entityId")
-        .agg(
-            F.min(F.struct("span_offset", "start", "end", "surface", "normalized",
-                           "type")).alias("head"),
-            F.count("*").cast("int").alias("count"),
-            F.sort_array(
-                F.collect_list(F.struct("span_offset", "start", "end"))
-            ).alias("ordered_mentions"),
+    aggs = [
+        F.min(F.struct("span_offset", "start", "end", "surface", "normalized",
+                       "type")).alias("head"),
+        F.count("*").cast("int").alias("count"),
+        F.sort_array(
+            F.collect_list(F.struct("span_offset", "start", "end"))
+        ).alias("ordered_mentions"),
+    ]
+    if cfg.include_sentiment:
+        # entity context = mention windows concatenated in document order
+        aggs.append(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("span_offset", "start", "__wtext")
+                        )
+                    ),
+                    lambda s: s["__wtext"],
+                ),
+            ).alias("__ctx")
         )
-    )
+    grouped = m.groupBy("doc_id", "entityId").agg(*aggs)
     # P6c: head mention's *normalized* string is the canonical mention
     # (EntitiesProcessor.java:133-134 mentions.get(headMentionIndex).getNormalized())
     ent = grouped.select(
@@ -304,6 +345,7 @@ def project_entities(
         "ordered_mentions",
         F.col("head.span_offset").alias("head_span_offset"),
         F.col("head.start").alias("head_start"),
+        *([F.col("__ctx")] if cfg.include_sentiment else []),
     )
 
     struct_fields = [
@@ -322,27 +364,64 @@ def project_entities(
         )
         struct_fields.append(F.col("offsets"))
     if cfg.include_translation:
-        # P6f: RNT only for PERSON/LOCATION/ORGANIZATION (:156-159)
-        from .name_translation import has_cyrillic_col, transliterate_cyr_col
-
-        xlat = translation_col if translation_col is not None else (
-            F.when(has_cyrillic_col(F.col("mention")),
-                   transliterate_cyr_col(F.col("mention")))
+        # P6f: RNT only for PERSON/LOCATION/ORGANIZATION, asked with
+        # targetLanguage = cfg.translation_language and entityType =
+        # the entity's type (EntitiesProcessor.java:156-176).  Stand-in:
+        # the sliced translation dictionary (broadcast, matched on the
+        # normalized mention + row entity_type), with the deterministic
+        # Cyrillic→Latin transliterator as fallback ONLY when the
+        # requested language is English.
+        from .name_translation import (
+            has_cyrillic_col,
+            translation_dim,
+            transliterate_cyr_col,
         )
+
+        if translation_col is not None:
+            xlat = translation_col
+        else:
+            dim = (
+                translation_dim(mentions.sparkSession)
+                .where(F.col("target_language") == cfg.translation_language)
+                .select(
+                    F.lower("name").alias("__xlat_name"),
+                    F.col("entity_type").alias("__xlat_etype"),
+                    F.col("translation").alias("__dict_xlat"),
+                )
+                .groupBy("__xlat_name", "__xlat_etype")
+                .agg(F.min("__dict_xlat").alias("__dict_xlat"))
+            )
+            ent = ent.join(
+                F.broadcast(dim),
+                (F.col("mention") == F.col("__xlat_name"))
+                & (
+                    F.col("__xlat_etype").isNull()
+                    | (F.col("__xlat_etype") == F.upper("type"))
+                ),
+                "left",
+            ).drop("__xlat_name", "__xlat_etype")
+            fallback = (
+                F.when(has_cyrillic_col(F.col("mention")),
+                       transliterate_cyr_col(F.col("mention")))
+                if cfg.translation_language == "eng"
+                else F.lit(None).cast("string")
+            )
+            xlat = F.coalesce(F.col("__dict_xlat"), fallback)
         ent = ent.withColumn(
             "translation",
             F.when(
                 F.upper("type").isin("PERSON", "LOCATION", "ORGANIZATION"), xlat
             ),
         )
+        if translation_col is None:
+            ent = ent.drop("__dict_xlat")
         struct_fields.append(F.col("translation"))
-    if cfg.include_sentiment and doc_texts is not None:
-        # P6g: entity sentiment from the doc text around the entity —
-        # deterministic stand-in: doc-level sentiment (fixture grants one
-        # label per entity, sentiment_adm_response.json)
-        ent = ent.join(doc_texts, "doc_id", "left").withColumn(
-            "sentiment", sentiment_col(F.col(doc_texts.columns[1]))
-        )
+    if cfg.include_sentiment:
+        # P6g: per-entity sentiment over the entity's OWN mention
+        # windows (__ctx) — two entities in one document can disagree,
+        # matching the ADM per-entity sentiment lists
+        # (sentiment_adm_response.json entities[].sentiment[0].label)
+        ent = ent.withColumn("sentiment", sentiment_col(F.col("__ctx")))
         struct_fields.append(F.col("sentiment"))
 
     per_entity = ent.withColumn("e", F.struct(*struct_fields)).withColumn(
@@ -360,21 +439,85 @@ def project_entities(
     )
 
 
+def entities_flat_stage(spark, sc, cfg_dict: dict):
+    """Registry factory for ``ros_entities`` over a FLAT text field —
+    the shape every other pipeline processor uses (``build_pipeline``'s
+    Stage contract: df → df + target column).  Mirrors the reference
+    factory's config surface (``EntitiesProcessor.java:109-127``):
+    ``include_offsets / include_translation / translation_language /
+    include_sentiment``; ``pattern`` and ``gazetteer`` are the
+    deterministic stand-ins for the remote NER model (config data).
+
+    Guard semantics match ``apply_guarded``: occupied target raises at
+    build/apply time; null/empty input passes through with a null
+    target; a ``<target>__error`` column is added (always null — the
+    deterministic extractor cannot fail per-row)."""
+    from .base import StageConfig, TargetOccupiedError, error_col_name
+
+    sc = sc or StageConfig(target_field="ros_entities")
+    target = sc.target_field or "ros_entities"
+    ecfg = EntitiesConfig(
+        include_offsets=bool(cfg_dict.get("include_offsets", False)),
+        include_translation=bool(cfg_dict.get("include_translation", False)),
+        translation_language=cfg_dict.get("translation_language", "eng"),
+        include_sentiment=bool(cfg_dict.get("include_sentiment", False)),
+    )
+    pattern = cfg_dict.get("pattern", MENTION_PATTERN)
+    gaz_rows = cfg_dict.get("gazetteer")
+
+    def stage(df: DataFrame) -> DataFrame:
+        if target in df.columns:
+            raise TargetOccupiedError(
+                f"target field [{target}] already exists in schema"
+            )
+        if "doc_id" not in df.columns:
+            raise ValueError(
+                "ros_entities needs a doc_id column to group mentions per document"
+            )
+        text_span = F.struct(
+            F.lit("text").alias("kind"),
+            F.col(sc.field).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+        docs = df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(text_span).alias("spans"),
+        )
+        gaz = (
+            spark.createDataFrame(gaz_rows, "normalized string, type string")
+            if gaz_rows
+            else None
+        )
+        ents = entities_stage(docs, gaz, None, ecfg, pattern).select(
+            "doc_id", "ros_entities"
+        )
+        joined = df.withColumn("__did", F.col("doc_id").cast("string")).join(
+            ents.withColumnRenamed("doc_id", "__did"), "__did", "left"
+        ).drop("__did")
+        empty = F.col(sc.field).isNull() | (F.length(sc.field) == 0)
+        out = joined.withColumn(
+            target, F.when(~empty, F.col("ros_entities"))
+        )
+        if target != "ros_entities":
+            out = out.drop("ros_entities")
+        return out.withColumn(
+            error_col_name(target), F.lit(None).cast("string")
+        )
+
+    return stage
+
+
 def entities_stage(
     docs: DataFrame,
     gazetteer: DataFrame | None = None,
     entity_ids: DataFrame | None = None,
     cfg: EntitiesConfig = EntitiesConfig(),
+    pattern: str = MENTION_PATTERN,
 ) -> DataFrame:
     """Full P6: docs (doc_id, spans, ...) → docs + ros_entities column.
     The spans column passes through untouched (R1 invariant)."""
-    mentions = extract_mentions(docs, gazetteer)
-    doc_texts = None
-    if cfg.include_sentiment:
-        doc_texts = (
-            text_spans(docs)
-            .groupBy("doc_id")
-            .agg(F.concat_ws(" ", F.collect_list("text")).alias("__fulltext"))
-        )
-    ents = project_entities(mentions, entity_ids, cfg, doc_texts)
+    mentions = extract_mentions(docs, gazetteer, pattern)
+    span_texts = text_spans(docs) if cfg.include_sentiment else None
+    ents = project_entities(mentions, entity_ids, cfg, span_texts)
     return docs.join(ents, "doc_id", "left")

@@ -22,7 +22,8 @@ def language_stage(cfg: StageConfig | None = None):
 
     def stage(df: DataFrame) -> DataFrame:
         return apply_guarded(
-            df, cfg.field, target, detect_language_col(F.col(cfg.field))
+            df, cfg.field, target, detect_language_col(F.col(cfg.field)),
+            ignore_failure=cfg.ignore_failure,
         )
 
     return stage

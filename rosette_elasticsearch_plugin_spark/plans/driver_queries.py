@@ -391,9 +391,9 @@ def q_ros_translation(spark, sf_dir):
 def _sql_ros_translation() -> str:
     vals = ", ".join(f"('{n}')" for n in _XLAT_FIXTURE_NAMES)
     dict_whens = " ".join(
-        f"when '{src}' then '{dst}'"
-        for src, lang, dst in DEFAULT_DICTIONARY
-        if lang == "eng"
+        f"when '{e.name}' then '{e.translation}'"
+        for e in DEFAULT_DICTIONARY
+        if e.target_language == "eng"
     )
     fallback = (
         f"case when {has_cyrillic_sql('name')} then {transliterate_cyr_sql('name')} end"
@@ -645,40 +645,60 @@ where bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_RADIUS}
 SQL_DEDUP_SIMHASH_PAIRS = _sql_dedup_simhash_pairs()
 
 
-# embedding-cosine near-dup: vector pairs in the same hyperplane bucket
-# with cosine >= threshold (the embedding member of the dedup family)
-# synthetic embeddings are near-orthogonal random vectors; in-bucket max
-# cosine at sf0.01 is ~0.46, so the demo threshold sits at the p99 tail
+# embedding-cosine near-dup: vector pairs colliding in ≥1 banded-LSH
+# table with cosine >= threshold (the embedding member of the dedup
+# family).  Synthetic embeddings are near-orthogonal random vectors;
+# candidate max cosine at sf0.01 is ~0.46, so the demo threshold sits
+# at the p99 tail.
 EMB_DUP_TAU = 0.34
 
 
+def _banded_cand_sql() -> str:
+    """Oracle mirror of ann.banded_candidates: same band keys, bucket
+    size cap applied logically (the salt is physical-only)."""
+    tables = ann.banded_hyperplanes()
+    keys = ann.band_keys_sql("embedding", tables)
+    return f"""
+keyed as (select vec_id as node, unnest({keys}) as block_key from embeddings),
+sizes as (select block_key, count(*) as n from keyed group by block_key),
+cand as (select distinct a.node as node_a, b.node as node_b
+         from keyed a join keyed b using (block_key)
+                      join sizes s using (block_key)
+         where s.n <= {ann.ANN_MAX_BUCKET} and a.node < b.node),
+vecs as (select vec_id as vid, embedding as v from embeddings)
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
-    planes = ann.hyperplanes()
-    e = _emb(spark, sf_dir).select(
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("v"),
-        ann.lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, "bucket").where(F.col("a.vid") < F.col("b.vid"))
-    out = pairs.select(
-        F.col("a.vid").alias("vec_id_a"),
-        F.col("b.vid").alias("vec_id_b"),
-        ann.cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    e = _emb(spark, sf_dir)
+    cands = ann.banded_candidates(e)
+    v = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    out = (
+        cands.join(
+            v.withColumnRenamed("vid", "node_a").withColumnRenamed("v", "va"),
+            "node_a",
+        )
+        .join(
+            v.withColumnRenamed("vid", "node_b").withColumnRenamed("v", "vb"),
+            "node_b",
+        )
+        .select(
+            F.col("node_a").alias("vec_id_a"),
+            F.col("node_b").alias("vec_id_b"),
+            ann.cosine_col(F.col("va"), F.col("vb")).alias("cosine"),
+        )
     )
     return out.where(F.col("cosine") >= EMB_DUP_TAU)
 
 
 def _sql_dedup_embedding() -> str:
-    planes = ann.hyperplanes()
-    bucket = ann.lsh_bucket_sql("embedding", planes)
-    cos = ann.cosine_sql("a.v", "b.v")
+    cos = ann.cosine_sql("va.v", "vb.v")
     return f"""
-with keyed as (select vec_id as vid, embedding as v, {bucket} as bucket
-               from embeddings)
-select a.vid as vec_id_a, b.vid as vec_id_b, {cos} as cosine
-from keyed a join keyed b using (bucket)
-where a.vid < b.vid and {cos} >= {EMB_DUP_TAU}
+with {_banded_cand_sql()}
+select node_a as vec_id_a, node_b as vec_id_b, {cos} as cosine
+from cand join vecs va on va.vid = cand.node_a
+          join vecs vb on vb.vid = cand.node_b
+where {cos} >= {EMB_DUP_TAU}
 """
 
 
@@ -710,39 +730,41 @@ SQL_ANN_BRUTE_TOPK = _sql_ann_brute_topk()
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
-    planes = ann.hyperplanes()
+    """(vec_id, band_key) — one row per vector per LSH table."""
+    tables = ann.banded_hyperplanes()
     e = _emb(spark, sf_dir)
     return e.select(
-        "vec_id", ann.lsh_bucket_col(F.col("embedding"), planes).alias("bucket")
+        "vec_id",
+        F.explode(ann.band_keys_col(F.col("embedding"), tables)).alias(
+            "band_key"
+        ),
     )
 
 
 def _sql_ann_lsh_buckets() -> str:
-    planes = ann.hyperplanes()
-    return (
-        f"select vec_id, {ann.lsh_bucket_sql('embedding', planes)} as bucket "
-        f"from embeddings"
-    )
+    tables = ann.banded_hyperplanes()
+    keys = ann.band_keys_sql("embedding", tables)
+    return f"select vec_id, unnest({keys}) as band_key from embeddings"
 
 
 SQL_ANN_LSH_BUCKETS = _sql_ann_lsh_buckets()
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (the 100 TB scale path: cosine only within
-    hyperplane buckets)."""
+    """Banded-LSH ANN (the 100 TB scale path: cosine only for pairs
+    colliding in ≥1 of the L capped hyperplane tables)."""
     return ann.lsh_topk(_emb(spark, sf_dir), k=ANN_K)
 
 
 def _sql_ann_lsh_topk() -> str:
-    planes = ann.hyperplanes()
-    bucket = ann.lsh_bucket_sql("embedding", planes)
-    cos = ann.cosine_sql("a.v", "b.v")
+    cos = ann.cosine_sql("va.v", "vb.v")
     return f"""
-with keyed as (select vec_id as vid, embedding as v, {bucket} as bucket
-               from embeddings),
-scored as (select a.vid as query_id, b.vid as neighbor_id, {cos} as cosine
-           from keyed a join keyed b using (bucket) where a.vid != b.vid),
+with {_banded_cand_sql()},
+sym as (select node_a, node_b from cand
+        union all select node_b, node_a from cand),
+scored as (select node_a as query_id, node_b as neighbor_id, {cos} as cosine
+           from sym join vecs va on va.vid = sym.node_a
+                    join vecs vb on vb.vid = sym.node_b),
 ranked as (select query_id, neighbor_id, cosine,
            cast(row_number() over (partition by query_id
                 order by cosine desc, neighbor_id asc) as bigint) as rank
@@ -807,6 +829,31 @@ def q_ros_entities_project(spark, sf_dir):
     )
 
 
+def _entity_dict_xlat_sql(language: str) -> str:
+    """SQL mirror of P6f's dictionary slice: the DEFAULT_DICTIONARY
+    rows for ``language``, matched on the lowercased name and gated on
+    the row's entity_type (operators/entities.py project_entities)."""
+    by_type: dict[str | None, list] = {}
+    for e in DEFAULT_DICTIONARY:
+        if e.target_language == language:
+            by_type.setdefault(e.entity_type, []).append(e)
+    cases = []
+    for etype, rows in by_type.items():
+        whens = " ".join(
+            "when '" + e.name.lower().replace("'", "''") + "' then '"
+            + e.translation.replace("'", "''") + "'"
+            for e in rows
+        )
+        inner = f"(case mention {whens} end)"
+        if etype is None:
+            cases.append(inner)
+        else:
+            cases.append(f"(case when upper(type) = '{etype}' then {inner} end)")
+    if not cases:
+        return "cast(null as varchar)"
+    return "coalesce(" + ", ".join(cases) + ")" if len(cases) > 1 else cases[0]
+
+
 def _sql_ros_entities_project() -> str:
     docs_vals = ", ".join(
         "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _ENT_DOCS
@@ -814,8 +861,9 @@ def _sql_ros_entities_project() -> str:
     gaz_vals = ", ".join(f"('{n}', '{t}')" for n, t in _ENT_GAZ)
     norm = N.normalize_sql("surface")
     xlat = (
+        f"coalesce({_entity_dict_xlat_sql('eng')}, "
         f"case when {has_cyrillic_sql('mention')} "
-        f"then {transliterate_cyr_sql('mention')} end"
+        f"then {transliterate_cyr_sql('mention')} end)"
     )
     pat_sql = ENT_PATTERN.replace("'", "''")
     return f"""
@@ -841,6 +889,156 @@ from typed
 
 
 SQL_ROS_ENTITIES_PROJECT = _sql_ros_entities_project()
+
+
+# --- P0 + §2.2: the COMPOSED reference pipeline (it_processors/all.json:1-20,
+# IT RosetteTextAnalysisPluginIT.java:183-204 "all"): categories → language →
+# sentiment → entities, built through the STAGES registry, one flattened row
+# per (doc, entity) carrying the three scalar enrichments. -------------------
+def q_ros_pipeline_all(spark, sf_dir):
+    from .pipeline import build_pipeline
+
+    processors = [
+        {"ros_categories": {"field": "text"}},
+        {"ros_language": {"field": "text"}},
+        {"ros_sentiment": {"field": "text"}},
+        {
+            "ros_entities": {
+                "field": "text",
+                "include_offsets": False,
+                "include_translation": False,
+                "include_sentiment": False,
+                # deterministic stand-ins for the remote NER model
+                "pattern": ENT_PATTERN,
+                "gazetteer": _ENT_GAZ,
+            }
+        },
+    ]
+    flat = spark.createDataFrame(_ENT_DOCS, "doc_id long, text string")
+    out = build_pipeline(spark, processors)(flat)
+    ex = out.select(
+        "doc_id", "ros_category", "ros_language", "ros_sentiment",
+        F.explode("ros_entities").alias("e"),
+    )
+    return ex.select(
+        "doc_id", "ros_category", "ros_language", "ros_sentiment",
+        F.col("e.mention").alias("mention"),
+        F.col("e.type").alias("type"),
+        F.col("e.count").cast("long").alias("n_mentions"),
+    )
+
+
+def _sql_ros_pipeline_all() -> str:
+    docs_vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _ENT_DOCS
+    )
+    gaz_vals = ", ".join(f"('{n}', '{t}')" for n, t in _ENT_GAZ)
+    norm = N.normalize_sql("surface")
+    pat_sql = ENT_PATTERN.replace("'", "''")
+    return f"""
+with docs(doc_id, text) as (values {docs_vals}),
+gaz(normalized, type) as (values {gaz_vals}),
+enr as (select doc_id, text,
+        {TS.categorize_sql('text')} as ros_category,
+        {TS.detect_language_sql('text')} as ros_language,
+        {TS.sentiment_sql('text')} as ros_sentiment
+        from docs),
+m as (select doc_id, unnest(regexp_extract_all(text, '{pat_sql}')) as surface
+      from docs),
+nm as (select doc_id, {norm} as normalized from m
+       where length({norm}) > 0),
+grp as (select doc_id, normalized as mention,
+               cast(count(*) as bigint) as n_mentions
+        from nm group by doc_id, normalized)
+select cast(e.doc_id as bigint) as doc_id, e.ros_category, e.ros_language,
+       e.ros_sentiment, g.mention, coalesce(z.type, 'MISC') as type,
+       g.n_mentions
+from grp g join enr e on e.doc_id = g.doc_id
+           left join gaz z on z.normalized = g.mention
+"""
+
+
+SQL_ROS_PIPELINE_ALL = _sql_ros_pipeline_all()
+
+
+# --- P6b/P6g: per-ENTITY sentiment from ±window chars around each mention
+# (ADM sentiment variant, sentiment_adm_response.json entities[].sentiment —
+# two entities in one document can carry different labels).  Every mention
+# surface appears exactly once per doc so the oracle can recover offsets via
+# strpos (DuckDB regex has no match positions). -------------------------------
+_SENT_DOCS = [
+    (1, "Maria Lindqvist praised the great show downtown and the crowd "
+        "cheered for a long while afterwards. Hours later in the quiet calm "
+        "evening Tomas Berg hated the terrible mess outside."),
+    (2, "Anna Karlsson delivered a good excellent set. People seemed happy "
+        "and the mood was amazing."),
+    (3, "Omar Haddad walked in. Nothing else happened that day."),
+]
+SENT_WINDOW = 40
+
+
+def q_ros_entities_sentiment(spark, sf_dir):
+    from ..operators.entities import (
+        EntitiesConfig,
+        extract_mentions,
+        project_entities,
+        text_spans,
+    )
+    from ..sources.adapter import flat_to_spans
+
+    flat = spark.createDataFrame(_SENT_DOCS, "doc_id long, text string")
+    docs = flat_to_spans(flat, with_media=False)
+    mentions = extract_mentions(docs, None, ENT_PATTERN)
+    ents = project_entities(
+        mentions,
+        cfg=EntitiesConfig(
+            include_sentiment=True, sentiment_window=SENT_WINDOW
+        ),
+        span_texts=text_spans(docs),
+    )
+    ex = ents.select("doc_id", F.explode("ros_entities").alias("e"))
+    return ex.select(
+        "doc_id",
+        F.col("e.mention").alias("mention"),
+        F.col("e.count").cast("long").alias("n_mentions"),
+        F.col("e.sentiment").alias("sentiment"),
+    )
+
+
+def _sql_ros_entities_sentiment() -> str:
+    docs_vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _SENT_DOCS
+    )
+    norm = N.normalize_sql("surface")
+    pat_sql = ENT_PATTERN.replace("'", "''")
+    w = SENT_WINDOW
+    # 1-based window start / length, mirroring project_entities exactly:
+    # wstart = greatest(start+1-w, 1) with start = strpos-1;
+    # wlen = end + w - wstart + 1 with end = start + len(surface)
+    wstart = f"greatest(pos1 - {w}, 1)"
+    wlen = f"pos1 + length(surface) + {w} - {wstart}"
+    return f"""
+with docs(doc_id, text) as (values {docs_vals}),
+m as (select doc_id, text,
+             unnest(regexp_extract_all(text, '{pat_sql}')) as surface
+      from docs),
+o as (select doc_id, surface, {norm} as normalized,
+             strpos(text, surface) as pos1, text
+      from m where length({norm}) > 0),
+wtx as (select doc_id, normalized,
+               substring(text, {wstart}, {wlen}) as wtext, pos1
+        from o),
+grp as (select doc_id, normalized as mention,
+               cast(count(*) as bigint) as n_mentions,
+               string_agg(wtext, ' ' order by pos1) as ctx
+        from wtx group by doc_id, normalized)
+select cast(doc_id as varchar) as doc_id, mention, n_mentions,
+       {TS.sentiment_sql('ctx')} as sentiment
+from grp
+"""
+
+
+SQL_ROS_ENTITIES_SENTIMENT = _sql_ros_entities_sentiment()
 
 
 # --- text analysis -------------------------------------------------------------
@@ -883,6 +1081,7 @@ def q_er_resume_pipeline(spark, sf_dir):
     """Runs the staged snapshot-committed pipeline, then re-runs it from
     a fresh driver object — the returned rows come from the RESUMED run
     (all stages read back from committed snapshots)."""
+    import shutil
     import tempfile
 
     from ..plans.state import ResumableERPipeline
@@ -890,11 +1089,23 @@ def q_er_resume_pipeline(spark, sf_dir):
 
     docs = load_documents(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="er_state_")
-    ResumableERPipeline(root).run(spark, docs, pattern=r"[a-z]{2,}")
-    resumed = ResumableERPipeline(root)
-    out = resumed.run(spark, docs, pattern=r"[a-z]{2,}")
-    assert all(m["resumed"] for m in resumed.metrics()[:2])
-    return out.select("doc_id", "mention_id", "normalized", "cluster")
+    try:
+        ResumableERPipeline(root).run(spark, docs, pattern=r"[a-z]{2,}")
+        resumed = ResumableERPipeline(root)
+        out = resumed.run(spark, docs, pattern=r"[a-z]{2,}")
+        if not all(m["resumed"] for m in resumed.metrics()[:2]):
+            raise RuntimeError(
+                "second run did not resume from committed snapshots: "
+                f"{resumed.metrics()}"
+            )
+        # the returned rows come from parquet under ``root`` — pin them
+        # into block storage so the state dir can be removed eagerly
+        out = out.select(
+            "doc_id", "mention_id", "normalized", "cluster"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # --- P6 + R10 linked: entity projection whose entityId IS the resolution
@@ -1122,6 +1333,8 @@ QUERIES: dict[str, Callable] = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ros_entities_project": q_ros_entities_project,
+    "ros_pipeline_all": q_ros_pipeline_all,
+    "ros_entities_sentiment": q_ros_entities_sentiment,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1164,6 +1377,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
+    "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
+    "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

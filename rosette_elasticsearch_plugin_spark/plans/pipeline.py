@@ -17,22 +17,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.base import StageConfig, split_quarantine
 from ..operators.categories import categories_stage
+from ..operators.entities import entities_flat_stage
 from ..operators.language import language_stage
-from ..operators.name_translation import name_translation_stage
+from ..operators.name_translation import (
+    ANY_LANGUAGE,
+    ANY_SCRIPT,
+    name_translation_stage,
+)
 from ..operators.sentiment import sentiment_stage
 
 Stage = Callable[[DataFrame], DataFrame]
 
 # P0 — processor registry (RosetteTextAnalysisPlugin.java:42-55): name →
 # factory(spark, StageConfig, raw_cfg) -> Stage.  One shared dict per
-# module, like the reference's one registry per node.
+# module, like the reference's one registry per node.  The full set
+# matches the reference's five processors, so the composed
+# ``it_processors/all.json`` pipeline (categories → language →
+# sentiment → entities) builds as-is.
 STAGES: dict[str, Callable] = {
     "ros_language": lambda spark, sc, cfg: language_stage(sc),
     "ros_categories": lambda spark, sc, cfg: categories_stage(sc),
     "ros_sentiment": lambda spark, sc, cfg: sentiment_stage(sc),
+    # all six factory parameters (NameTranslationProcessor.java:96-134)
     "ros_name_translation": lambda spark, sc, cfg: name_translation_stage(
-        spark, sc, target_language=cfg.get("target_language", "eng")
+        spark, sc,
+        target_language=cfg.get("target_language", "eng"),
+        target_script=cfg.get("target_script", ANY_SCRIPT),
+        entity_type=cfg.get("entity_type", "PERSON"),
+        source_language=cfg.get("source_language", ANY_LANGUAGE),
+        source_script=cfg.get("source_script", ANY_SCRIPT),
+        source_language_of_origin=cfg.get(
+            "source_language_of_origin", ANY_LANGUAGE
+        ),
     ),
+    # EntitiesProcessor.java:109-127 config surface; pattern/gazetteer
+    # are the deterministic stand-ins for the remote NER model
+    "ros_entities": lambda spark, sc, cfg: entities_flat_stage(spark, sc, cfg),
 }
 
 
@@ -55,7 +75,11 @@ def build_pipeline(
         (name, cfg), = p.items()
         field = cfg.get("field", "text")
         target = cfg.get("target_field", "")
-        sc = StageConfig(field=field, target_field=target)
+        sc = StageConfig(
+            field=field,
+            target_field=target,
+            ignore_failure=bool(cfg.get("ignore_failure", False)),
+        )
         factory = STAGES.get(name)
         if factory is None:
             raise ValueError(f"unknown processor [{name}]")

@@ -60,6 +60,38 @@ class ResumableERPipeline:
         }
         self.results: list[StageResult] = []
 
+    def _run_fingerprint(
+        self,
+        docs: DataFrame,
+        gazetteer: DataFrame | None,
+        pattern: str,
+    ) -> str:
+        """Identity of this run's inputs + config.  A snapshot committed
+        under a different fingerprint is NOT a valid resume point —
+        rerunning against the same state_root with different docs,
+        pattern, gazetteer, or ERConfig must recompute, not silently
+        read back the previous run's results.  The docs identity is the
+        analyzed logical plan string (captures source paths/schema
+        without scanning data — free at 10^12 rows).  Expression ids
+        (``#123``) are session-local noise and are stripped, so a fresh
+        driver re-reading the same source fingerprints identically."""
+        import hashlib
+        import re
+
+        def plan(df: DataFrame) -> str:
+            s = df._jdf.queryExecution().analyzed().toString()
+            return re.sub(r"#\d+", "#", s)
+
+        parts = [
+            pattern,
+            repr(self.cfg),
+            docs.schema.json(),
+            plan(docs),
+            gazetteer.schema.json() if gazetteer is not None else "",
+            plan(gazetteer) if gazetteer is not None else "",
+        ]
+        return hashlib.md5("\x00".join(parts).encode()).hexdigest()
+
     def _run_stage(
         self,
         spark: SparkSession,
@@ -70,14 +102,17 @@ class ResumableERPipeline:
         table = self.tables[stage]
         snap = table.last_snapshot_for(stage)
         t0 = time.time()
-        if snap is not None:  # committed → this is the resume point
+        if snap is not None and snap.metrics.get("fingerprint") == self._fingerprint:
+            # committed under the SAME inputs/config → valid resume point
             df = table.read(spark, snap.snapshot_id)
             self.results.append(
                 StageResult(stage, True, snap.snapshot_id, snap.row_count, 0.0)
             )
             return df
         df = build()
-        snap = table.commit(df, stage, metrics)
+        snap = table.commit(
+            df, stage, {**(metrics or {}), "fingerprint": self._fingerprint}
+        )
         self.results.append(
             StageResult(
                 stage, False, snap.snapshot_id, snap.row_count, time.time() - t0
@@ -100,6 +135,7 @@ class ResumableERPipeline:
         """
         pat = pattern or MENTION_PATTERN
         self.results = []
+        self._fingerprint = self._run_fingerprint(docs, gazetteer, pat)
 
         mentions = self._run_stage(
             spark,

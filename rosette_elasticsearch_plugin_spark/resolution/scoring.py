@@ -95,26 +95,25 @@ def _pair_class(t: str, u: str) -> str | None:
     return "ww" if _tok_match(t, u) else None
 
 
-def _alignments(x: str, y: str):
-    """Candidate token alignments for equal-count names: for 2-token
-    names BOTH pairings of the sorted lists (sorting alone can cross-
-    pair an initial with the other name's surname — "b petrov" vs
-    "p berg" must not align b↔berg / petrov↔p); for n≥3 the sorted
-    positional alignment only (the SQL mirror does the same)."""
-    tx, ty = sorted(x.split(" ")), sorted(y.split(" "))
+def _perms_for(tx: list[str], ty: list[str]):
+    """Candidate token alignments for equal-count SORTED token lists:
+    for 2-token names BOTH pairings (sorting alone can cross-pair an
+    initial with the other name's surname — "b petrov" vs "p berg" must
+    not align b↔berg / petrov↔p); for n≥3 the sorted positional
+    alignment only (the SQL mirror does the same)."""
     if len(tx) != len(ty):
-        return tx, ty, []
+        return []
     if len(tx) == 2:
-        return tx, ty, [(0, 1), (1, 0)]
-    return tx, ty, [tuple(range(len(tx)))]
+        return [(0, 1), (1, 0)]
+    return [tuple(range(len(tx)))]
 
 
-def _expand_py(x: str, y: str) -> float:
-    """Initial-expansion detector: some valid alignment pairs every
-    token, with at least one initial↔word pair AND at least one
-    word↔word anchor — "d novak" ~ "dmitri novak" yes; "b petrov" ~
-    "p berg" no (no shared word anchors the match)."""
-    tx, ty, perms = _alignments(x, y)
+def _expand_tok(tx: list[str], ty: list[str]) -> float:
+    """Initial-expansion detector over sorted token lists: some valid
+    alignment pairs every token, with at least one initial↔word pair
+    AND at least one word↔word anchor — "d novak" ~ "dmitri novak" yes;
+    "b petrov" ~ "p berg" no (no shared word anchors the match)."""
+    perms = _perms_for(tx, ty)
     if not perms or len(tx) < 2:
         return 0.0
     for pm in perms:
@@ -125,13 +124,14 @@ def _expand_py(x: str, y: str) -> float:
     return 0.0
 
 
-def _contra_py(x: str, y: str) -> float:
-    """Contradiction gate: equal-count names with NO valid alignment at
-    all (no pairing of tokens where words token-match and initials
-    agree by letter) denote different entities no matter how similar a
-    shared surname makes them look — this stops surname-hub chains
-    ("d lindqvist"–"t lindqvist") from transitively merging families."""
-    tx, ty, perms = _alignments(x, y)
+def _contra_tok(tx: list[str], ty: list[str]) -> float:
+    """Contradiction gate over sorted token lists: equal-count names
+    with NO valid alignment at all (no pairing of tokens where words
+    token-match and initials agree by letter) denote different entities
+    no matter how similar a shared surname makes them look — this stops
+    surname-hub chains ("d lindqvist"–"t lindqvist") from transitively
+    merging families."""
+    perms = _perms_for(tx, ty)
     if not perms:
         return 0.0
     for pm in perms:
@@ -141,20 +141,33 @@ def _contra_py(x: str, y: str) -> float:
     return 1.0
 
 
-def _cover_py(x: str, y: str) -> float:
-    tx, ty = x.split(" "), y.split(" ")
+def _cover_tok(tx: list[str], ty: list[str]) -> float:
+    """Token coverage over SORTED token lists (cover is order-free:
+    equal counts use the sorted positional alignment — stops a bare
+    initial from matching the shared surname ("n nakamura" vs
+    "t nakamura" must not cover via n→nakamura) — and the
+    unequal-count any-match is insensitive to order)."""
     if len(tx) < 2 or len(ty) < 2:
         return 0.0
     if len(tx) == len(ty):
-        # positional alignment of the *sorted* token lists: stops a bare
-        # initial from matching the shared surname ("n nakamura" vs
-        # "t nakamura" must not cover via n→nakamura)
-        return 1.0 if all(_tok_match(t, u) for t, u in zip(sorted(tx), sorted(ty))) else 0.0
+        return 1.0 if all(_tok_match(t, u) for t, u in zip(tx, ty)) else 0.0
     short, long_ = (tx, ty) if len(tx) <= len(ty) else (ty, tx)
     for t in short:
         if not any(_tok_match(t, u) for u in long_):
             return 0.0
     return 1.0
+
+
+def _expand_py(x: str, y: str) -> float:
+    return _expand_tok(sorted(x.split(" ")), sorted(y.split(" ")))
+
+
+def _contra_py(x: str, y: str) -> float:
+    return _contra_tok(sorted(x.split(" ")), sorted(y.split(" ")))
+
+
+def _cover_py(x: str, y: str) -> float:
+    return _cover_tok(sorted(x.split(" ")), sorted(y.split(" ")))
 
 
 _FEATURES_TYPE = T.StructType(
@@ -183,9 +196,11 @@ def pair_features_udf(
                 jaro_winkler_py(x.replace(" ", ""), y.replace(" ", "")),
             )
         )
-        cov.append(_cover_py(x, y))
-        contra.append(_contra_py(x, y))
-        expand.append(_expand_py(x, y))
+        # tokenize+sort ONCE per pair; cover/contra/expand share it
+        tx, ty = sorted(x.split(" ")), sorted(y.split(" "))
+        cov.append(_cover_tok(tx, ty))
+        contra.append(_contra_tok(tx, ty))
+        expand.append(_expand_tok(tx, ty))
     return pd.DataFrame(
         {"jw": jw, "cov": cov, "contra": contra, "expand": expand}
     )

@@ -63,15 +63,29 @@ def enrich_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between table.commit()
+        # and the streaming checkpoint commit replays this batch_id on
+        # restart.  The stage label keys idempotence — if a snapshot for
+        # this batch already landed, the replay is a no-op, which is
+        # what makes the exactly-once-visibility claim actually hold.
+        stage_label = f"stream-batch-{batch_id}"
+        main_done = table.last_snapshot_for(stage_label) is not None
+        quar_done = (
+            quarantine is None
+            or quarantine.last_snapshot_for(stage_label) is not None
+        )
+        if main_done and quar_done:
+            return
         out = stage(batch_df)
         ok, bad = split_quarantine(out)
-        table.commit(ok, stage=f"stream-batch-{batch_id}", mode="append")
-        if quarantine is not None:
+        if not main_done:
+            table.commit(ok, stage=stage_label, mode="append")
+        if not quar_done:
             n_bad = bad.count()
             if n_bad:
                 quarantine.commit(
                     bad,
-                    stage=f"stream-batch-{batch_id}",
+                    stage=stage_label,
                     metrics={"rows": n_bad},
                     mode="append",
                 )

@@ -1,0 +1,186 @@
+"""P0 registry completeness + composed-pipeline parity.
+
+Mirrors the reference IT ``RosetteTextAnalysisPluginIT.java:183-204``
+(testAll): the ``it_processors/all.json`` pipeline — categories →
+language → sentiment → entities — built through the STAGES registry and
+run over the IT's exact input text.  Plus the round-2 fidelity items:
+per-entity sentiment (P6b), the full name-translation parameter matrix
+(``NameTranslationProcessorTest.java:33-49``), translation_language
+wiring in P6f, and the ``ignore_failure`` flag.
+"""
+
+from pyspark.sql import functions as F
+
+from rosette_elasticsearch_plugin_spark.operators.base import error_col_name
+from rosette_elasticsearch_plugin_spark.operators.entities import (
+    EntitiesConfig,
+    entities_stage,
+)
+from rosette_elasticsearch_plugin_spark.operators.language import language_stage
+from rosette_elasticsearch_plugin_spark.operators.name_translation import (
+    name_translation_stage,
+)
+from rosette_elasticsearch_plugin_spark.operators.base import StageConfig
+from rosette_elasticsearch_plugin_spark.plans.pipeline import (
+    STAGES,
+    build_pipeline,
+)
+from rosette_elasticsearch_plugin_spark.schema import DOCUMENTS
+
+# the IT's exact input document (RosetteTextAnalysisPluginIT.java:185-188)
+IT_TEXT = (
+    "Original Ghostbuster Dan Aykroyd, who also co-wrote the 1984 "
+    "Ghostbusters film, couldn’t be more pleased with the new all-female "
+    "Ghostbusters cast, telling The Hollywood Reporter, “The Aykroyd "
+    "family is delighted by this inheritance of the Ghostbusters torch by "
+    "these most magnificent women in comedy.”"
+)
+
+ALL_JSON = [  # it_processors/all.json:1-20
+    {"ros_categories": {"field": "text"}},
+    {"ros_language": {"field": "text"}},
+    {"ros_sentiment": {"field": "text"}},
+    {
+        "ros_entities": {
+            "field": "text",
+            "include_offsets": False,
+            "include_translation": False,
+            "include_sentiment": False,
+        }
+    },
+]
+
+
+def test_registry_has_all_reference_processors():
+    assert set(STAGES) == {
+        "ros_language", "ros_categories", "ros_sentiment",
+        "ros_name_translation", "ros_entities",
+    }
+
+
+def test_pipeline_all_mirrors_reference_it(spark):
+    df = spark.createDataFrame([(1, IT_TEXT)], "doc_id long, text string")
+    out = build_pipeline(spark, ALL_JSON)(df).collect()[0]
+    # reference asserts eng / ARTS_AND_ENTERTAINMENT / pos / entity[0]
+    # mention "Original Ghostbuster Dan Aykroyd" (:193-203); our
+    # deterministic label space maps the category to ENTERTAINMENT and
+    # the mention to its normalized form
+    assert out["ros_language"] == "eng"
+    assert out["ros_category"] == "ENTERTAINMENT"
+    assert out["ros_sentiment"] == "pos"
+    ents = out["ros_entities"]
+    assert ents, "composed pipeline must produce entities"
+    assert ents[0]["mention"] == "original ghostbuster dan aykroyd"
+
+
+def test_pipeline_all_empty_input_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, IT_TEXT), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in build_pipeline(spark, ALL_JSON)(df).collect()}
+    for d in (2, 3):
+        assert rows[d]["ros_entities"] is None
+        assert rows[d]["ros_language"] is None
+        assert rows[d][error_col_name("ros_language")] is None
+
+
+def test_entity_sentiment_divergence(spark):
+    """P6b: two entities in ONE document get different labels (ADM
+    per-entity sentiment, sentiment_adm_response.json)."""
+    text = (
+        "Maria Lindqvist praised the great show downtown and the crowd "
+        "cheered for a long while afterwards. Hours later in the quiet "
+        "calm evening Tomas Berg hated the terrible mess outside."
+    )
+    docs = spark.createDataFrame([("d1", [("text", text, None, 0)])], DOCUMENTS)
+    out = entities_stage(docs, cfg=EntitiesConfig(include_sentiment=True))
+    ents = {e["mention"]: e["sentiment"] for e in out.collect()[0]["ros_entities"]}
+    assert ents["maria lindqvist"] == "pos"
+    assert ents["tomas berg"] == "neg"
+
+
+def test_entities_translation_language_wiring(spark):
+    """P6f: cfg.translation_language selects the dictionary slice
+    (EntitiesProcessor.java:112-114, 156-176)."""
+    text = "Vladimir Putin met Dan Aykroyd."
+    docs = spark.createDataFrame([("d1", [("text", text, None, 0)])], DOCUMENTS)
+    gaz = spark.createDataFrame(
+        [("vladimir putin", "PERSON"), ("dan aykroyd", "PERSON")],
+        "normalized string, type string",
+    )
+    # → rus: dictionary row (Vladimir Putin → Владимир Путин); no
+    # transliteration fallback for non-English targets
+    out = entities_stage(
+        docs, gaz,
+        cfg=EntitiesConfig(include_translation=True, translation_language="rus"),
+    )
+    ents = {e["mention"]: e["translation"] for e in out.collect()[0]["ros_entities"]}
+    assert ents["vladimir putin"] == "Владимир Путин"
+    assert ents["dan aykroyd"] is None  # no rus dictionary entry
+
+
+def _xlat(spark, name, **kw):
+    df = spark.createDataFrame([("d1", name)], "doc_id string, text string")
+    stage = name_translation_stage(spark, **kw)
+    return stage(df).collect()[0]["ros_translation"]
+
+
+def test_translation_param_matrix(spark):
+    """NameTranslationProcessorTest.java:33-49 full-parameter call plus
+    the wildcard/filter semantics of each of the six parameters."""
+    # the unit test's exact parameter set: eng/Latn/PERSON/rus/Cyrl/unknown
+    assert _xlat(
+        spark, "Владимир Путин",
+        target_language="eng", target_script="Latn", entity_type="PERSON",
+        source_language="rus", source_script="Cyrl",
+        source_language_of_origin="xxx",
+    ) == "Vladimir Putin"
+    # both directions (IT :120-142): eng → rus via dictionary
+    assert _xlat(
+        spark, "Vladimir Putin", target_language="rus"
+    ) == "Владимир Путин"
+    # target_script filter: eng dictionary rows are Latn; requesting
+    # Cyrillic English excludes them AND the Latin transliterator
+    assert _xlat(
+        spark, "Владимир Путин", target_language="eng", target_script="Cyrl"
+    ) is None
+    # entity_type filter: dictionary rows are PERSON
+    assert _xlat(
+        spark, "Vladimir Putin", target_language="rus", entity_type="LOCATION"
+    ) is None
+    # source_language filter: a Japanese-source request must not use the
+    # Russian dictionary row or the Cyrillic transliterator
+    assert _xlat(
+        spark, "Владимир Путин", target_language="eng", source_language="jpn"
+    ) is None
+    # source hints satisfied → dictionary row still found
+    assert _xlat(
+        spark, "マット・デイモン", target_language="eng",
+        source_language="jpn", source_script="Jpan",
+        source_language_of_origin="eng",
+    ) == "Matt Damon"
+    # transliteration fallback still works under default wildcards
+    assert _xlat(spark, "Дмитрий Петров") == "Dmitriy Petrov"
+
+
+def test_ignore_failure_flag(spark):
+    """ES's per-processor ignore_failure: failures swallowed, row
+    continues with null target and NO error (distinct from on_failure
+    quarantine routing)."""
+    df = spark.createDataFrame([("d1", "zzz qqq xyzzy")], "doc_id string, text string")
+    strict = language_stage(StageConfig())(df).collect()[0]
+    assert strict["ros_language"] is None
+    assert strict[error_col_name("ros_language")] is not None
+    lax = language_stage(StageConfig(ignore_failure=True))(df).collect()[0]
+    assert lax["ros_language"] is None
+    assert lax[error_col_name("ros_language")] is None
+
+
+def test_ignore_failure_via_config(spark):
+    df = spark.createDataFrame([("d1", "zzz qqq xyzzy")], "doc_id string, text string")
+    stage = build_pipeline(
+        spark, [{"ros_language": {"field": "text", "ignore_failure": True}}]
+    )
+    out = stage(df).collect()[0]
+    assert out["ros_language"] is None
+    assert out[error_col_name("ros_language")] is None
