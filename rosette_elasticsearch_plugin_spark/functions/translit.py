@@ -40,6 +40,22 @@ def translit_lower_sql(expr: str) -> str:
     return f"translate({out}, '{CYR_ONE_FROM}', '{CYR_ONE_TO__}')"
 
 
+_PY_TABLE = {
+    ord(ch): (CYR_ONE_TO__[i] if i < len(CYR_ONE_TO__) else None)
+    for i, ch in enumerate(CYR_ONE_FROM)
+}
+
+
+def translit_lower_py(s: str) -> str:
+    """Pure-python mirror of translit_lower_col/_sql (same constants;
+    used to PREcompute oracle-side values like Double Metaphone codes
+    over transliterated tokens at SQL-build time)."""
+    out = s.lower()
+    for src, dst in CYR_MULTI:
+        out = out.replace(src, dst)
+    return out.translate(_PY_TABLE)
+
+
 def has_cyrillic_col(c: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit("[а-яё]"), F.lit(0))) > 0
 

@@ -283,9 +283,20 @@ SQL_ER_CLUSTER_SIZES = (
 )
 
 
-# R11 — pairwise F1 (truth: lang equality; predicted: detected-language equality)
+# R11 — pairwise F1 (truth: lang equality; predicted: detected-language
+# equality).  The all-pairs evaluation is quadratic, so it runs on a
+# SEEDED HASH SAMPLE of documents (h56(doc_id) % 5 < 2 ≈ 40%) — unlike
+# a doc_id-prefix cap, the sample stays representative of the whole
+# corpus at any scale, and the same expression runs on both engines.
+F1_SAMPLE_MOD, F1_SAMPLE_KEEP = 5, 2
+
+
 def q_er_pairwise_f1(spark, sf_dir):
-    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select(
+    sample = (
+        H.h56_col(F.col("doc_id").cast("string")) % F1_SAMPLE_MOD
+        < F1_SAMPLE_KEEP
+    )
+    d = _docs(spark, sf_dir).where(sample).select(
         "doc_id", "lang", TS.detect_language_col(F.col("text")).alias("dl")
     )
     a, b = d.alias("a"), d.alias("b")
@@ -317,7 +328,9 @@ def q_er_pairwise_f1(spark, sf_dir):
 
 SQL_ER_PAIRWISE_F1 = f"""
 with d as (select doc_id, lang, {TS.detect_language_sql('text')} as dl
-           from documents where doc_id < 200),
+           from documents
+           where {H.h56_sql("cast(doc_id as varchar)")} % {F1_SAMPLE_MOD}
+                 < {F1_SAMPLE_KEEP}),
 p as (select (a.lang = b.lang) as is_match,
              (coalesce(a.dl, '') = coalesce(b.dl, '')) as pred
       from d a join d b on a.doc_id < b.doc_id),
@@ -1110,8 +1123,11 @@ def q_er_resume_pipeline(spark, sf_dir):
 
 # --- P6 + R10 linked: entity projection whose entityId IS the resolution
 # layer's cluster id (the reference's kb-linker role,
-# EntitiesProcessor.java:140 / entities_response.json entityId).  Rows-only:
-# resolution includes the Double Metaphone pandas UDF. --------------------------
+# EntitiesProcessor.java:140 / entities_response.json entityId).  Full
+# oracle since round 2: the Double Metaphone codes over the fixture's
+# deterministic name universe are precomputed by the same Python
+# function the pandas UDF wraps and embedded as a VALUES table; the
+# rest of the resolution stack is mirrored live in SQL (er_oracle.py).
 def q_ros_entities_linked(spark, sf_dir):
     from ..operators.entities import (
         EntitiesConfig,
@@ -1142,9 +1158,127 @@ def q_ros_entities_linked(spark, sf_dir):
     ).orderBy("doc_id", "entity_id", "mention")
 
 
-# --- end-to-end name-ER F1 on the planted-truth corpus (rows-only: the
-# blocking stack includes the Double Metaphone pandas UDF, which has no
-# SQL mirror; the ≥0.99 bar itself is asserted in tests/test_resolution) ------
+def _linked_names() -> list[str]:
+    """The deterministic name universe of the _ENT_DOCS fixture — the
+    same extraction loop the mapInPandas kernel runs (same regex
+    engine, same normalizer), evaluated at SQL-build time."""
+    import re
+
+    pat = re.compile(ENT_PATTERN)
+    names = set()
+    for _i, t in _ENT_DOCS:
+        for m in pat.finditer(t):
+            n = N.normalize_py(m.group(0))
+            if n:
+                names.add(n)
+    return sorted(names)
+
+
+def _sql_ros_entities_linked() -> str:
+    from .er_oracle import cluster_ctes
+
+    docs_vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _ENT_DOCS
+    )
+    gaz_vals = ", ".join(f"('{n}', '{t}')" for n, t in _ENT_GAZ)
+    norm = N.normalize_sql("surface")
+    pat_sql = ENT_PATTERN.replace("'", "''")
+    # head mention = occurrence with the smallest start offset; every
+    # surface's FIRST occurrence offset is strpos, which is exact for
+    # the min_by pick even when a surface repeats
+    return f"""
+with recursive {cluster_ctes(_linked_names())},
+docs(doc_id, text) as (values {docs_vals}),
+gaz(normalized, type) as (values {gaz_vals}),
+m as (select doc_id, text,
+             unnest(regexp_extract_all(text, '{pat_sql}')) as surface
+      from docs),
+occ as (select doc_id, surface, {norm} as normalized,
+               cast(count(*) as bigint) as cnt,
+               min(strpos(text, surface)) as first_pos
+        from m where length({norm}) > 0
+        group by doc_id, surface),
+byname as (select doc_id, normalized,
+                  cast(sum(cnt) as bigint) as cnt,
+                  min(first_pos) as first_pos
+           from occ group by doc_id, normalized),
+linked as (select b.doc_id, 'C:' || c.cluster as entity_id,
+                  b.normalized, b.cnt, b.first_pos
+           from byname b join clusters c on c.node = b.normalized),
+agg as (select doc_id, entity_id,
+               min_by(normalized, first_pos) as mention,
+               cast(sum(cnt) as bigint) as n_mentions
+        from linked group by doc_id, entity_id)
+select cast(doc_id as varchar) as doc_id, entity_id, mention,
+       coalesce(z.type, 'MISC') as type, n_mentions
+from agg left join gaz z on z.normalized = agg.mention
+"""
+
+
+SQL_ROS_ENTITIES_LINKED = _sql_ros_entities_linked()
+
+
+# --- end-to-end name-ER F1 on the planted-truth corpus.  Full oracle
+# since round 2: the corpus is deterministic (seed 42), so the oracle
+# embeds the planted truth + the extracted name universe as VALUES and
+# mirrors the whole resolution stack in SQL (er_oracle.py); the ≥0.99
+# bar itself is asserted in tests/test_resolution. ---------------------------
+def _name_f1_fixture() -> tuple[list[str], list[tuple]]:
+    import re
+
+    from .. import corpus as corpus_mod
+    from ..operators.entities import MENTION_PATTERN
+
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    pat = re.compile(MENTION_PATTERN)
+    names = set()
+    for _doc_id, spans in c.docs:
+        for kind, text, _mr, _off in spans:
+            if kind == "text" and text:
+                for m in pat.finditer(text):
+                    n = N.normalize_py(m.group(0))
+                    if n:
+                        names.add(n)
+    truth = [(r[1], r[8], r[5]) for r in c.mentions]
+    return sorted(names), truth
+
+
+def _sql_er_name_f1() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, truth = _name_f1_fixture()
+    truth_vals = ", ".join(
+        "('" + m.replace("'", "''") + "', '" + e.replace("'", "''")
+        + "', '" + n.replace("'", "''") + "')"
+        for m, e, n in truth
+    )
+    return f"""
+with recursive {cluster_ctes(names)},
+truth(mention_id, entity_label, normalized) as (values {truth_vals}),
+tc as (select t.mention_id, t.entity_label,
+              coalesce(c.cluster, t.normalized) as cluster
+       from truth t left join clusters c on c.node = t.normalized),
+p as (select (a.entity_label = b.entity_label) as m,
+             (a.cluster = b.cluster) as pr
+      from tc a join tc b on a.mention_id < b.mention_id),
+agg as (select
+  cast(sum(case when m and pr then 1 else 0 end) as bigint) as tp,
+  cast(sum(case when not m and pr then 1 else 0 end) as bigint) as fp,
+  cast(sum(case when m and not pr then 1 else 0 end) as bigint) as fn
+  from p)
+select tp, fp, fn,
+  round(tp / greatest(tp + fp, 1), 6) as precision,
+  round(tp / greatest(tp + fn, 1), 6) as recall,
+  round(case when (tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)) = 0
+        then 0.0 else 2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+        / ((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1))) end, 6) as f1
+from agg
+"""
+
+
+SQL_ER_NAME_F1 = _sql_er_name_f1()
+
+
 def q_er_name_f1(spark, sf_dir):
     from .. import corpus
     from .er_pipeline import resolve_documents
@@ -1382,6 +1516,8 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "er_name_f1": SQL_ER_NAME_F1,
+    "ros_entities_linked": SQL_ROS_ENTITIES_LINKED,
     "media_metadata": SQL_MEDIA_METADATA,
     "media_resize": SQL_MEDIA_RESIZE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,

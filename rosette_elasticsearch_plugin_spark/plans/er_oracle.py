@@ -1,0 +1,106 @@
+"""DuckDB mirror of the FULL name-resolution stack (R2-R10), making
+the previously rows-only queries hash-checkable.
+
+The only stage with no SQL equivalent is Double Metaphone (a ~400-line
+pandas-UDF state machine, ``functions/phonetics.py``).  Its input
+universe — the tokens of the ER canonical keys — is known at SQL-build
+time for a deterministic fixture corpus, so the codes are PREcomputed
+in Python by the very function the UDF wraps and embedded as a VALUES
+table ("emit the UDF output once, mirror the rest in SQL").  Everything
+downstream — exact/metaphone/MinHash blocking, the block-size cap, pair
+generation, the scoring expression, threshold, connected components —
+is mirrored live in SQL, reusing the same mirror builders
+(``score_sql``, ``minhash_sig_sql``) the other oracles use.
+
+The salt in ``resolution/pairs.py`` is physical-only (it never changes
+the logical pair set), so the oracle mirrors cap + a<b join directly.
+"""
+
+from __future__ import annotations
+
+from ..functions.hashing import (
+    lsh_band_keys_sql,
+    minhash_sig_sql,
+    shingles_sql,
+)
+from ..functions.phonetics import double_metaphone
+from ..functions.translit import translit_lower_py
+from ..resolution.scoring import score_sql
+from .er_pipeline import ERConfig
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def er_key_py(node: str) -> str:
+    """Python mirror of plans/er_pipeline.er_key_col (transliterated
+    normalized name)."""
+    return translit_lower_py(node)
+
+
+def cluster_ctes(names: list[str], cfg: ERConfig = ERConfig()) -> str:
+    """CTE chain ``names → blocks → cpairs → scored → clusters`` over a
+    fixed name universe, mirroring ``resolve_names`` value-for-value.
+    ``clusters`` yields (node, cluster = min node of the connected
+    component; singletons map to themselves)."""
+    uniq = sorted(set(names))
+    keys = {n: er_key_py(n) for n in uniq}
+    bcfg = cfg.blocking
+    toks = sorted(
+        {
+            t
+            for k in keys.values()
+            for t in k.split(" ")[: bcfg.metaphone_max_tokens]
+            if t
+        }
+    )
+    mrows: list[tuple[str, str]] = []
+    for t in toks:
+        primary, secondary = double_metaphone(t)
+        for code in dict.fromkeys((primary, secondary)):
+            if code:
+                mrows.append((t, code))
+    names_vals = ", ".join(f"('{_q(n)}', '{_q(keys[n])}')" for n in uniq)
+    m_vals = ", ".join(f"('{_q(t)}', '{_q(c)}')" for t, c in mrows)
+    if not m_vals:  # degenerate all-empty-code universe
+        m_vals = "('\x01none', '\x01none')"
+    sig = minhash_sig_sql(shingles_sql("key", bcfg.shingle_n), bcfg.params())
+    band = lsh_band_keys_sql("sig", bcfg.minhash_bands, bcfg.minhash_rows)
+    return f"""
+names(node, key) as (values {names_vals}),
+mcodes(tok, code) as (values {m_vals}),
+mtoks as (select node, unnest(string_split(key, ' ')[1:{bcfg.metaphone_max_tokens}]) as tok
+          from names),
+blocks as (
+  select distinct node, block_key from (
+    select node, 'x:' || key as block_key from names
+    union all
+    select t.node, 'm:' || c.code as block_key
+    from mtoks t join mcodes c using (tok) where length(t.tok) > 0
+    union all
+    select node, 'h:' || unnest({band}) as block_key
+    from (select node, {sig} as sig from names)
+  )
+),
+bsizes as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsizes s using (block_key)
+           where s.n <= {cfg.max_block_size} and a.node < b.node),
+scored as (select node_a, node_b,
+                  {score_sql('ka.key', 'kb.key', cfg.scoring)} as score
+           from cpairs join names ka on ka.node = cpairs.node_a
+                       join names kb on kb.node = cpairs.node_b),
+medges as (select node_a, node_b from scored
+           where score >= {cfg.scoring.threshold}),
+eedges as (select node_a as u, node_b as v from medges
+           union all select node_b as u, node_a as v from medges),
+reach(u, v) as (select u, v from eedges
+                union
+                select r.u, e.v from reach r join eedges e on r.v = e.u),
+clusters as (select n.node,
+                    least(n.node, coalesce(min(r.v), n.node)) as cluster
+             from names n left join reach r on r.u = n.node
+             group by n.node)
+"""

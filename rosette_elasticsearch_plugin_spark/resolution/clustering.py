@@ -37,8 +37,19 @@ def connected_components(
     nodes: optional node universe (isolated nodes become singletons);
            defaults to nodes appearing in edges.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the edge list BEFORE symmetrizing: the union below
+    # references ``edges`` twice, and an unmaterialized edges plan (the
+    # full blocking+scoring pipeline) would (a) execute twice and
+    # (b) inline its whole expression tree into both union branches of
+    # ONE generated stage — measured to blow janino's 64 KB method
+    # limit and drop the stage to interpreted evaluation.  The edge
+    # list is tiny (matched name pairs), so an eager checkpoint is
+    # cheap at any corpus scale.
+    edges = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     if nodes is None:
         node_df = sym.select(F.col("u").alias("node")).distinct()

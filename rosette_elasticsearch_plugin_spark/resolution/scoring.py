@@ -206,6 +206,17 @@ def pair_features_udf(
     )
 
 
+# Plan barrier, NOT actual nondeterminism (the features are pure
+# functions of their inputs): marking the UDF nondeterministic stops
+# Catalyst from pushing a ``score >= τ`` filter down through the
+# pair-dedup aggregate into BOTH union branches of candidate_pairs —
+# which (a) ran the Arrow-batched scoring twice, on pre-dedup rows, and
+# (b) inlined the full score expression into each branch's generated
+# stage, blowing janino's 64 KB method limit (interpreted fallback).
+# With the barrier the score is computed exactly once, above the dedup.
+pair_features_udf = pair_features_udf.asNondeterministic()
+
+
 def score_expr(a: Column, b: Column, cfg: ScoringConfig = ScoringConfig()) -> Column:
     sa, sb = sort_tokens_col(a), sort_tokens_col(b)
     feat = pair_features_udf(a, b, sa, sb)
