@@ -75,17 +75,28 @@ def minhash_signatures(
     )
 
 
+# Hot-bucket cap for text LSH: a band bucket larger than this is a
+# degenerate key (empty/boilerplate texts sharing a signature) whose
+# pairs are overwhelmingly useless — without the cap ONE such bucket
+# goes quadratic at 10^12 docs.  Real near-dup groups are far smaller;
+# groups split by the cap still meet under their other bands.
+DEDUP_MAX_BUCKET = 1000
+DEDUP_N_SALT, DEDUP_SALT_THRESHOLD = 8, 64
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
     bands: int = 4,
     rows: int = 3,
     seed: int = 42,
+    max_bucket: int = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded MinHash buckets.
 
-    Scale shape: explode to (doc_id, band_key), self-join on band_key —
-    the shuffle key is the bucket, so work is proportional to bucket
+    Scale shape: explode to (doc_id, band_key), self-join on band_key
+    through the capped+salted grid join (resolution/pairs.py) — the
+    shuffle key is the bucket, work is proportional to capped bucket
     sizes, never |docs|²."""
     params = minhash_params(bands * rows, seed)
     hashed = docs.select(
@@ -104,20 +115,20 @@ def lsh_candidate_pairs(
         "doc_id",
         F.explode(lsh_band_keys_col(F.col("sig"), bands, rows)).alias("band_key"),
     )
-    # materialize the banded keys once: the self-join otherwise evaluates
-    # the whole shingle→md5→MinHash chain on BOTH sides (2× the dominant
-    # cost).  At warehouse scale this is "write the signature table,
-    # self-join the table" — the standard LSH shape.
+    # materialize the banded keys once: the sizes aggregate and the two
+    # join sides otherwise each re-evaluate the whole shingle→md5→
+    # MinHash chain.  At warehouse scale this is "write the signature
+    # table, self-join the table" — the standard LSH shape.
     keys = keys.localCheckpoint(eager=False)
-    a, b = keys.alias("a"), keys.alias("b")
-    return (
-        a.join(b, "band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .distinct()
+    from ..resolution.pairs import candidate_pairs
+
+    return candidate_pairs(
+        keys.select(F.col("doc_id").alias("node"), F.col("band_key").alias("block_key")),
+        max_block_size=max_bucket,
+        n_salt=DEDUP_N_SALT,
+        salt_threshold=DEDUP_SALT_THRESHOLD,
+    ).select(
+        F.col("node_a").alias("doc_id_a"), F.col("node_b").alias("doc_id_b")
     )
 
 

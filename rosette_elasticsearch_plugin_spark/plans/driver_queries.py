@@ -524,9 +524,11 @@ def _sql_dedup_near_minhash() -> str:
 with d as ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
 keys as (select doc_id, unnest({band}) as band_key from sigs),
+ksizes as (select band_key, count(*) as n from keys group by band_key),
 cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from keys a join keys b using (band_key)
-         where a.doc_id < b.doc_id),
+                     join ksizes s using (band_key)
+         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id),
 scored as (select doc_id_a, doc_id_b, {jac} as jaccard
            from cand join d ta on ta.doc_id = cand.doc_id_a
                      join d tb on tb.doc_id = cand.doc_id_b)
@@ -588,9 +590,11 @@ def _sql_dedup_ngram_jaccard() -> str:
 with d as ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
 keys as (select doc_id, unnest({band}) as band_key from sigs),
+ksizes as (select band_key, count(*) as n from keys group by band_key),
 cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from keys a join keys b using (band_key)
-         where a.doc_id < b.doc_id)
+                     join ksizes s using (band_key)
+         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id)
 select doc_id_a, doc_id_b, {jac} as jaccard
 from cand join d ta on ta.doc_id = cand.doc_id_a
           join d tb on tb.doc_id = cand.doc_id_b
@@ -644,9 +648,11 @@ sigs as (select doc_id, {sim} as simhash from
          (select doc_id, {hashes} as h from d)),
 mkeys as (select doc_id, unnest({band}) as band_key from
           (select doc_id, {sig} as sig from d)),
+msizes as (select band_key, count(*) as n from mkeys group by band_key),
 cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from mkeys a join mkeys b using (band_key)
-         where a.doc_id < b.doc_id)
+                      join msizes s using (band_key)
+         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id)
 select doc_id_a, doc_id_b,
        cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint) as hamming
 from cand join sigs sa on sa.doc_id = cand.doc_id_a
