@@ -1094,6 +1094,48 @@ SQL_DOC_FINGERPRINT = (
 )
 
 
+# --- PII/contact-info redaction (training-data scrub) over planted
+# fixtures + the real corpus (corpus texts are clean word soup, so the
+# planted rows carry the positive cases; both run through the same
+# chained-replace spec on both engines). ---------------------------------------
+_PII_DOCS = [
+    (9000001, "contact Jane.Doe+spam@example.co.uk or visit "
+              "https://example.com/a?b=1 for details"),
+    (9000002, "call +1 (415) 555-0199 or 020 7946 0958 now, id 1234567890"),
+    (9000003, "nothing sensitive here at all"),
+]
+
+
+def q_text_redact(spark, sf_dir):
+    from ..functions.redact import pii_count_col, redact_col
+
+    planted = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    d = _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    return d.select(
+        "doc_id",
+        redact_col(F.col("text")).alias("redacted"),
+        pii_count_col(F.col("text")).alias("n_pii"),
+    )
+
+
+def _sql_text_redact() -> str:
+    from ..functions.redact import pii_count_sql, redact_sql
+
+    vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _PII_DOCS
+    )
+    return f"""
+with d as (select doc_id, text from documents
+           union all select * from (values {vals}) v(doc_id, text))
+select doc_id, {redact_sql('text')} as redacted,
+       {pii_count_sql('text')} as n_pii
+from d
+"""
+
+
+SQL_TEXT_REDACT = _sql_text_redact()
+
+
 # --- R12: resumable staged pipeline (no SQL oracle: snapshot/resume
 # semantics are not SQL-expressible; driver records a rows-only check) ---------
 def q_er_resume_pipeline(spark, sf_dir):
@@ -1423,6 +1465,58 @@ from f cross join generate_series(1, 8) g(i)
 SQL_MEDIA_FEATURES = _sql_media_features()
 
 
+# --- §2.5 streaming ingest: the SAME batch stages run per micro-batch
+# (readStream → foreachBatch → snapshot commits), so the stream's final
+# table must hash-match the batch oracle — streaming/batch parity is a
+# checked invariant, not a claim. -----------------------------------------------
+def q_stream_enrich(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.table_io import SnapshotTable
+    from ..streaming.ingest import enrich_stream
+    from .pipeline import build_pipeline
+
+    stage = build_pipeline(
+        spark,
+        [
+            {"ros_language": {"field": "text"}},
+            {"ros_sentiment": {"field": "text"}},
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        shutil.copy(
+            f"{sf_dir}/documents.parquet", os.path.join(in_dir, "part-0.parquet")
+        )
+        q = enrich_stream(
+            spark,
+            in_dir,
+            stage,
+            table_root=os.path.join(root, "table"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            quarantine_root=os.path.join(root, "quarantine"),
+        )
+        q.awaitTermination()
+        out = SnapshotTable(os.path.join(root, "table")).read(spark)
+        return out.select(
+            "doc_id", "ros_language", "ros_sentiment"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_ENRICH = f"""
+select doc_id, {TS.detect_language_sql('text')} as ros_language,
+       {TS.sentiment_sql('text')} as ros_sentiment
+from documents
+where {TS.detect_language_sql('text')} is not null
+"""
+
+
 # --- P4-pattern broadcast dim join over the star schema -------------------------
 def q_region_customer_counts(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1478,6 +1572,8 @@ QUERIES: dict[str, Callable] = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_redact": q_text_redact,
+    "stream_enrich": q_stream_enrich,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_name_f1": q_er_name_f1,
     "ros_entities_linked": q_ros_entities_linked,
@@ -1522,6 +1618,8 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "text_redact": SQL_TEXT_REDACT,
+    "stream_enrich": SQL_STREAM_ENRICH,
     "er_name_f1": SQL_ER_NAME_F1,
     "ros_entities_linked": SQL_ROS_ENTITIES_LINKED,
     "media_metadata": SQL_MEDIA_METADATA,
