@@ -283,6 +283,30 @@ SQL_ER_CLUSTER_SIZES = (
 )
 
 
+# R10 observability — the counter metrics a resolution run reports
+# (cluster count, singleton fraction, size skew) for monitoring drift
+# between runs at scale.
+def q_er_cluster_stats(spark, sf_dir):
+    sizes = q_er_cluster_sizes(spark, sf_dir)
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n_members") == 1, 1).otherwise(0))
+        .cast("long").alias("n_singletons"),
+        F.max("n_members").cast("long").alias("max_size"),
+        F.round(F.avg("n_members"), 6).alias("avg_size"),
+    )
+
+
+SQL_ER_CLUSTER_STATS = f"""
+select cast(count(*) as bigint) as n_clusters,
+       cast(sum(case when n_members = 1 then 1 else 0 end) as bigint)
+         as n_singletons,
+       cast(max(n_members) as bigint) as max_size,
+       round(avg(n_members), 6) as avg_size
+from ({SQL_ER_CLUSTER_SIZES})
+"""
+
+
 # R11 — pairwise F1 (truth: lang equality; predicted: detected-language
 # equality).  The all-pairs evaluation is quadratic, so it runs on a
 # SEEDED HASH SAMPLE of documents (h56(doc_id) % 5 < 2 ≈ 40%) — unlike
@@ -1549,6 +1573,7 @@ QUERIES: dict[str, Callable] = {
     "er_match_edges": q_er_match_edges,
     "er_clusters": q_er_clusters,
     "er_cluster_sizes": q_er_cluster_sizes,
+    "er_cluster_stats": q_er_cluster_stats,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
     "ros_categories": q_ros_categories,
@@ -1595,6 +1620,7 @@ ORACLES: dict[str, str] = {
     "er_match_edges": SQL_ER_MATCH_EDGES,
     "er_clusters": SQL_ER_CLUSTERS,
     "er_cluster_sizes": SQL_ER_CLUSTER_SIZES,
+    "er_cluster_stats": SQL_ER_CLUSTER_STATS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
     "ros_categories": SQL_ROS_CATEGORIES,
