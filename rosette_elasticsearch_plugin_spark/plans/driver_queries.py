@@ -1351,6 +1351,39 @@ from agg
 SQL_ER_NAME_F1 = _sql_er_name_f1()
 
 
+# --- incremental resolution: resolve the corpus in two batches — full
+# pipeline on batch 1, then incremental_resolve folds batch 2's names
+# in WITHOUT re-scoring old×old pairs.  The oracle is the FULL-corpus
+# recompute (er_oracle.cluster_ctes over the complete name universe):
+# hash-equality here PROVES incremental ≡ batch on this corpus. -------------
+def q_er_incremental(spark, sf_dir):
+    from .. import corpus as corpus_mod
+    from ..operators.entities import distinct_mention_names
+    from .er_pipeline import resolve_names
+    from .incremental import incremental_resolve
+
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    docs_df, _ = corpus_mod.to_spark(spark, c)
+    batch1 = docs_df.where(F.col("doc_id") < "doc00060")
+    batch2 = docs_df.where(F.col("doc_id") >= "doc00060")
+    prior = resolve_names(distinct_mention_names(batch1))
+    out = incremental_resolve(prior, distinct_mention_names(batch2))
+    return out.select("node", "cluster")
+
+
+def _sql_er_incremental() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    return (
+        f"with recursive {cluster_ctes(names)} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_INCREMENTAL = _sql_er_incremental()
+
+
 def q_er_name_f1(spark, sf_dir):
     from .. import corpus
     from .er_pipeline import resolve_documents
@@ -1600,6 +1633,7 @@ QUERIES: dict[str, Callable] = {
     "text_redact": q_text_redact,
     "stream_enrich": q_stream_enrich,
     "er_resume_pipeline": q_er_resume_pipeline,
+    "er_incremental": q_er_incremental,
     "er_name_f1": q_er_name_f1,
     "ros_entities_linked": q_ros_entities_linked,
     "media_metadata": q_media_metadata,
@@ -1646,6 +1680,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_redact": SQL_TEXT_REDACT,
     "stream_enrich": SQL_STREAM_ENRICH,
+    "er_incremental": SQL_ER_INCREMENTAL,
     "er_name_f1": SQL_ER_NAME_F1,
     "ros_entities_linked": SQL_ROS_ENTITIES_LINKED,
     "media_metadata": SQL_MEDIA_METADATA,
