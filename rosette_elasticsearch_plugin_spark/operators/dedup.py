@@ -158,19 +158,33 @@ def ngram_jaccard_sql(a: str, b: str, n: int = 3) -> str:
     )
 
 
-def near_dup_pairs(
+def candidate_jaccard_scores(
     docs: DataFrame,
     text_col: str = "text",
     bands: int = 4,
     rows: int = 3,
-    threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
-    cands = lsh_candidate_pairs(docs, text_col, bands, rows, seed)
-    # shingle once per document and join the arrays — never per pair
-    sh = docs.select(
-        "doc_id", token_shingles_col(F.col(text_col)).alias("__sh")
+    """(doc_id_a, doc_id_b, jaccard) for every LSH candidate pair —
+    the unthresholded verification scores."""
+    # candidates are consumed twice (id universe + final join) — pin them
+    cands = lsh_candidate_pairs(docs, text_col, bands, rows, seed).localCheckpoint(
+        eager=False
+    )
+    # verification shingles are computed ONLY for documents that appear
+    # in some candidate pair (semi-join first): candidates are a tiny
+    # fraction of a 100 TB corpus, and without the restriction the
+    # shingle pass would re-run over the FULL corpus once per join side
+    cand_ids = (
+        cands.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    # shingle once per candidate document and join the arrays — never per pair
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", token_shingles_col(F.col(text_col)).alias("__sh"))
+        .localCheckpoint(eager=False)
     )
     j = (
         cands.join(
@@ -181,12 +195,26 @@ def near_dup_pairs(
             "doc_id_b",
         )
     )
-    out = j.withColumn(
-        "jaccard", ngram_jaccard_from_arrays_col(F.col("sh_a"), F.col("sh_b"))
+    return j.select(
+        "doc_id_a",
+        "doc_id_b",
+        ngram_jaccard_from_arrays_col(F.col("sh_a"), F.col("sh_b")).alias(
+            "jaccard"
+        ),
     )
-    return out.where(F.col("jaccard") >= threshold).select(
-        "doc_id_a", "doc_id_b", "jaccard"
-    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
+    scored = candidate_jaccard_scores(docs, text_col, bands, rows, seed)
+    return scored.where(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:

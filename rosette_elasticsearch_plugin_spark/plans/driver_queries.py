@@ -582,26 +582,8 @@ SQL_DEDUP_SIMHASH = _sql_dedup_simhash()
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard over LSH candidates (unthresholded scores)."""
-    cands = dedup.lsh_candidate_pairs(
+    return dedup.candidate_jaccard_scores(
         _docs_with_dups(spark, sf_dir), bands=DEDUP_BANDS, rows=DEDUP_ROWS
-    )
-    sh = _docs_with_dups(spark, sf_dir).select(
-        "doc_id", dedup.token_shingles_col(F.col("text")).alias("sh")
-    )
-    j = (
-        cands.join(
-            sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("sh", "sa"),
-            "doc_id_a",
-        ).join(
-            sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("sh", "sb"),
-            "doc_id_b",
-        )
-    )
-    return j.select(
-        "doc_id_a", "doc_id_b",
-        dedup.ngram_jaccard_from_arrays_col(F.col("sa"), F.col("sb")).alias(
-            "jaccard"
-        ),
     )
 
 
