@@ -69,6 +69,70 @@ def test_h56_and_minhash_two_way(spark, s):
 
 
 @SET
+@given(s=names)
+def test_translit_three_way(spark, s):
+    from rosette_elasticsearch_plugin_spark.functions.translit import (
+        translit_lower_col,
+        translit_lower_py,
+        translit_lower_sql,
+    )
+
+    got_py = translit_lower_py(s)
+    got_spark = spark.createDataFrame([(s,)], "v string").select(
+        translit_lower_col(F.col("v")).alias("o")
+    ).collect()[0]["o"]
+    got_duck = _duck_one(f"select {translit_lower_sql('v')} from t", t=s)[0]
+    assert got_spark == got_duck == got_py
+
+
+@SET
+@given(s=st.text(
+    alphabet="abcDEF@.:/+()- 0123456789\nhttps", min_size=0, max_size=40
+))
+def test_redact_two_way(spark, s):
+    from rosette_elasticsearch_plugin_spark.functions.redact import (
+        pii_count_col,
+        pii_count_sql,
+        redact_col,
+        redact_sql,
+    )
+
+    row = spark.createDataFrame([(s,)], "v string").select(
+        redact_col(F.col("v")).alias("r"),
+        pii_count_col(F.col("v")).alias("n"),
+    ).collect()[0]
+    want = _duck_one(
+        f"select {redact_sql('v')}, {pii_count_sql('v')} from t", t=s
+    )
+    assert (row["r"], row["n"]) == (want[0], want[1])
+
+
+@SET
+@given(vec=st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+    min_size=6, max_size=6,
+))
+def test_banded_lsh_keys_two_way(spark, vec):
+    from rosette_elasticsearch_plugin_spark.operators.ann import (
+        band_keys_col,
+        band_keys_sql,
+        banded_hyperplanes,
+    )
+
+    tables = banded_hyperplanes(dim=6, tables=3, bits=4)
+    got = spark.createDataFrame([(vec,)], "v array<float>").select(
+        band_keys_col(F.col("v"), tables).alias("k")
+    ).collect()[0]["k"]
+    con = duckdb.connect()
+    con.execute("create temp table t(v float[])")
+    con.execute("insert into t values (?)", [vec])
+    want = con.execute(
+        f"select {band_keys_sql('v', tables)} from t"
+    ).fetchone()[0]
+    assert list(got) == list(want)
+
+
+@SET
 @given(a=st.text(alphabet="abcdefgh ", min_size=1, max_size=14),
        b=st.text(alphabet="abcdefgh ", min_size=1, max_size=14))
 def test_pair_score_two_way(spark, a, b):
