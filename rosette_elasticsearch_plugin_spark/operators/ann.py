@@ -138,11 +138,16 @@ def banded_candidates(
     salt_threshold: int = ANN_SALT_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_block_mode: str = "drop",
 ) -> DataFrame:
     """(node_a, node_b) distinct candidate pairs colliding in ≥1 LSH
-    table, via the capped+salted grid join (resolution/pairs.py) — the
-    cap/salt only bound the physical join; the logical pair set is
-    'same band key, bucket ≤ cap', which the DuckDB oracle mirrors."""
+    table, via the capped+salted grid join (resolution/pairs.py).
+    ``hot_block_mode``: "drop" for ANN search (an over-cap bucket is an
+    uninformative region of the space), "star" for embedding DEDUP
+    (an over-cap bucket of near-identical vectors is exactly the
+    mega-duplicate group — every member pairs with the bucket's min-id
+    representative, linear in bucket size).  The salt only bounds the
+    physical join; the logical pair set is mirrored by the oracle."""
     from ..resolution.pairs import candidate_pairs
 
     tables = tables if tables is not None else banded_hyperplanes()
@@ -150,7 +155,14 @@ def banded_candidates(
         F.col(id_col).alias("node"),
         F.explode(band_keys_col(F.col(vec_col), tables)).alias("block_key"),
     )
-    return candidate_pairs(keyed, max_bucket, n_salt, salt_threshold)
+    # materialize the band keys once: candidate_pairs consumes them from
+    # the sizes aggregate, the sizes join, and both self-join sides, and
+    # the L×b hyperplane dot folds are the dominant scan-side cost —
+    # same reasoning as dedup.lsh_candidate_pairs' signature checkpoint
+    keyed = keyed.localCheckpoint(eager=False)
+    return candidate_pairs(
+        keyed, max_bucket, n_salt, salt_threshold, hot_block_mode
+    )
 
 
 def brute_topk(

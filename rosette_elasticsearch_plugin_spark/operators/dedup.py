@@ -75,11 +75,13 @@ def minhash_signatures(
     )
 
 
-# Hot-bucket cap for text LSH: a band bucket larger than this is a
-# degenerate key (empty/boilerplate texts sharing a signature) whose
-# pairs are overwhelmingly useless — without the cap ONE such bucket
-# goes quadratic at 10^12 docs.  Real near-dup groups are far smaller;
-# groups split by the cap still meet under their other bands.
+# Hot-bucket cap for text LSH: above this size a band bucket must not
+# self-join all-vs-all — ONE boilerplate bucket would go quadratic at
+# 10^12 docs.  Over-cap buckets switch to STAR pairing (every member vs
+# the bucket's min-id representative, linear): mega-duplicate groups
+# share ALL their band keys across copies, so dropping them (as the ER
+# name path does for low-information name blocks) would exempt exactly
+# the most-duplicated content from dedup.
 DEDUP_MAX_BUCKET = 1000
 DEDUP_N_SALT, DEDUP_SALT_THRESHOLD = 8, 64
 
@@ -127,6 +129,9 @@ def lsh_candidate_pairs(
         max_block_size=max_bucket,
         n_salt=DEDUP_N_SALT,
         salt_threshold=DEDUP_SALT_THRESHOLD,
+        # star, not drop: over-cap buckets ARE the mega-duplicate
+        # groups dedup exists to catch (all copies share all bands)
+        hot_block_mode="star",
     ).select(
         F.col("node_a").alias("doc_id_a"), F.col("node_b").alias("doc_id_b")
     )
@@ -164,13 +169,14 @@ def candidate_jaccard_scores(
     bands: int = 4,
     rows: int = 3,
     seed: int = 42,
+    max_bucket: int = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard) for every LSH candidate pair —
     the unthresholded verification scores."""
     # candidates are consumed twice (id universe + final join) — pin them
-    cands = lsh_candidate_pairs(docs, text_col, bands, rows, seed).localCheckpoint(
-        eager=False
-    )
+    cands = lsh_candidate_pairs(
+        docs, text_col, bands, rows, seed, max_bucket
+    ).localCheckpoint(eager=False)
     # verification shingles are computed ONLY for documents that appear
     # in some candidate pair (semi-join first): candidates are a tiny
     # fraction of a 100 TB corpus, and without the restriction the
@@ -211,9 +217,10 @@ def near_dup_pairs(
     rows: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
-    scored = candidate_jaccard_scores(docs, text_col, bands, rows, seed)
+    scored = candidate_jaccard_scores(docs, text_col, bands, rows, seed, max_bucket)
     return scored.where(F.col("jaccard") >= threshold)
 
 

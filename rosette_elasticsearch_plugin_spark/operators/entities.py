@@ -380,11 +380,17 @@ def project_entities(
         if translation_col is not None:
             xlat = translation_col
         else:
+            from ..functions.normalize import normalize_col
+
+            # join key is the NORMALIZED dictionary name — the entity's
+            # mention is already normalized (punctuation stripped,
+            # diacritics folded), so lower() alone would never match
+            # names like "マット・デイモン" (→ "マット デイモン")
             dim = (
                 translation_dim(mentions.sparkSession)
                 .where(F.col("target_language") == cfg.translation_language)
                 .select(
-                    F.lower("name").alias("__xlat_name"),
+                    normalize_col(F.col("name")).alias("__xlat_name"),
                     F.col("entity_type").alias("__xlat_etype"),
                     F.col("translation").alias("__dict_xlat"),
                 )
@@ -461,6 +467,7 @@ def entities_flat_stage(spark, sc, cfg_dict: dict):
         include_translation=bool(cfg_dict.get("include_translation", False)),
         translation_language=cfg_dict.get("translation_language", "eng"),
         include_sentiment=bool(cfg_dict.get("include_sentiment", False)),
+        sentiment_window=int(cfg_dict.get("sentiment_window", 40)),
     )
     pattern = cfg_dict.get("pattern", MENTION_PATTERN)
     gaz_rows = cfg_dict.get("gazetteer")

@@ -308,20 +308,25 @@ from ({SQL_ER_CLUSTER_SIZES})
 
 
 # R11 — pairwise F1 (truth: lang equality; predicted: detected-language
-# equality).  The all-pairs evaluation is quadratic, so it runs on a
-# SEEDED HASH SAMPLE of documents (h56(doc_id) % 5 < 2 ≈ 40%) — unlike
-# a doc_id-prefix cap, the sample stays representative of the whole
-# corpus at any scale, and the same expression runs on both engines.
-F1_SAMPLE_MOD, F1_SAMPLE_KEEP = 5, 2
+# equality).  The all-pairs evaluation is quadratic, so it runs on the
+# FIXED-SIZE hash sample: the K docs with the smallest h56(doc_id) —
+# uniform over the corpus (unlike a doc_id prefix) AND bounded work at
+# any scale (unlike a constant fraction); Spark plans orderBy+limit as
+# distributed TakeOrdered, and the same expression runs on both engines.
+F1_SAMPLE_K = 200
 
 
 def q_er_pairwise_f1(spark, sf_dir):
-    sample = (
-        H.h56_col(F.col("doc_id").cast("string")) % F1_SAMPLE_MOD
-        < F1_SAMPLE_KEEP
-    )
-    d = _docs(spark, sf_dir).where(sample).select(
-        "doc_id", "lang", TS.detect_language_col(F.col("text")).alias("dl")
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "lang",
+            TS.detect_language_col(F.col("text")).alias("dl"),
+            H.h56_col(F.col("doc_id").cast("string")).alias("__hk"),
+        )
+        .orderBy("__hk", "doc_id")
+        .limit(F1_SAMPLE_K)
+        .drop("__hk")
     )
     a, b = d.alias("a"), d.alias("b")
     p = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
@@ -353,8 +358,8 @@ def q_er_pairwise_f1(spark, sf_dir):
 SQL_ER_PAIRWISE_F1 = f"""
 with d as (select doc_id, lang, {TS.detect_language_sql('text')} as dl
            from documents
-           where {H.h56_sql("cast(doc_id as varchar)")} % {F1_SAMPLE_MOD}
-                 < {F1_SAMPLE_KEEP}),
+           order by {H.h56_sql("cast(doc_id as varchar)")}, doc_id
+           limit {F1_SAMPLE_K}),
 p as (select (a.lang = b.lang) as is_match,
              (coalesce(a.dl, '') = coalesce(b.dl, '')) as pred
       from d a join d b on a.doc_id < b.doc_id),
@@ -549,10 +554,17 @@ with d as ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
 keys as (select doc_id, unnest({band}) as band_key from sigs),
 ksizes as (select band_key, count(*) as n from keys group by band_key),
-cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+kreps as (select band_key, min(doc_id) as rep from keys group by band_key),
+cand as (select distinct doc_id_a, doc_id_b from (
+         select a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from keys a join keys b using (band_key)
                      join ksizes s using (band_key)
-         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id),
+         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
+         union all
+         select r.rep as doc_id_a, k.doc_id as doc_id_b
+         from keys k join kreps r using (band_key)
+                     join ksizes s using (band_key)
+         where s.n > {dedup.DEDUP_MAX_BUCKET} and k.doc_id <> r.rep)),
 scored as (select doc_id_a, doc_id_b, {jac} as jaccard
            from cand join d ta on ta.doc_id = cand.doc_id_a
                      join d tb on tb.doc_id = cand.doc_id_b)
@@ -597,10 +609,17 @@ with d as ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
 keys as (select doc_id, unnest({band}) as band_key from sigs),
 ksizes as (select band_key, count(*) as n from keys group by band_key),
-cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+kreps as (select band_key, min(doc_id) as rep from keys group by band_key),
+cand as (select distinct doc_id_a, doc_id_b from (
+         select a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from keys a join keys b using (band_key)
                      join ksizes s using (band_key)
-         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id)
+         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
+         union all
+         select r.rep as doc_id_a, k.doc_id as doc_id_b
+         from keys k join kreps r using (band_key)
+                     join ksizes s using (band_key)
+         where s.n > {dedup.DEDUP_MAX_BUCKET} and k.doc_id <> r.rep))
 select doc_id_a, doc_id_b, {jac} as jaccard
 from cand join d ta on ta.doc_id = cand.doc_id_a
           join d tb on tb.doc_id = cand.doc_id_b
@@ -655,10 +674,17 @@ sigs as (select doc_id, {sim} as simhash from
 mkeys as (select doc_id, unnest({band}) as band_key from
           (select doc_id, {sig} as sig from d)),
 msizes as (select band_key, count(*) as n from mkeys group by band_key),
-cand as (select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+mreps as (select band_key, min(doc_id) as rep from mkeys group by band_key),
+cand as (select distinct doc_id_a, doc_id_b from (
+         select a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from mkeys a join mkeys b using (band_key)
                       join msizes s using (band_key)
-         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id)
+         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
+         union all
+         select r.rep as doc_id_a, k.doc_id as doc_id_b
+         from mkeys k join mreps r using (band_key)
+                      join msizes s using (band_key)
+         where s.n > {dedup.DEDUP_MAX_BUCKET} and k.doc_id <> r.rep))
 select doc_id_a, doc_id_b,
        cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint) as hamming
 from cand join sigs sa on sa.doc_id = cand.doc_id_a
@@ -678,25 +704,36 @@ SQL_DEDUP_SIMHASH_PAIRS = _sql_dedup_simhash_pairs()
 EMB_DUP_TAU = 0.34
 
 
-def _banded_cand_sql() -> str:
+def _banded_cand_sql(hot_block_mode: str = "drop") -> str:
     """Oracle mirror of ann.banded_candidates: same band keys, bucket
-    size cap applied logically (the salt is physical-only)."""
+    size cap applied logically (the salt is physical-only); "star" adds
+    representative pairs for over-cap buckets."""
     tables = ann.banded_hyperplanes()
     keys = ann.band_keys_sql("embedding", tables)
+    star = ""
+    if hot_block_mode == "star":
+        star = f"""
+         union all
+         select r.rep as node_a, k.node as node_b
+         from keyed k join (select block_key, min(node) as rep
+                            from keyed group by block_key) r using (block_key)
+                      join sizes s using (block_key)
+         where s.n > {ann.ANN_MAX_BUCKET} and k.node <> r.rep"""
     return f"""
 keyed as (select vec_id as node, unnest({keys}) as block_key from embeddings),
 sizes as (select block_key, count(*) as n from keyed group by block_key),
-cand as (select distinct a.node as node_a, b.node as node_b
+cand as (select distinct node_a, node_b from (
+         select a.node as node_a, b.node as node_b
          from keyed a join keyed b using (block_key)
                       join sizes s using (block_key)
-         where s.n <= {ann.ANN_MAX_BUCKET} and a.node < b.node),
+         where s.n <= {ann.ANN_MAX_BUCKET} and a.node < b.node{star})),
 vecs as (select vec_id as vid, embedding as v from embeddings)
 """
 
 
 def q_dedup_embedding(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    cands = ann.banded_candidates(e)
+    cands = ann.banded_candidates(e, hot_block_mode="star")
     v = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
     out = (
         cands.join(
@@ -719,7 +756,7 @@ def q_dedup_embedding(spark, sf_dir):
 def _sql_dedup_embedding() -> str:
     cos = ann.cosine_sql("va.v", "vb.v")
     return f"""
-with {_banded_cand_sql()}
+with {_banded_cand_sql("star")}
 select node_a as vec_id_a, node_b as vec_id_b, {cos} as cosine
 from cand join vecs va on va.vid = cand.node_a
           join vecs vb on vb.vid = cand.node_b
@@ -856,8 +893,10 @@ def q_ros_entities_project(spark, sf_dir):
 
 def _entity_dict_xlat_sql(language: str) -> str:
     """SQL mirror of P6f's dictionary slice: the DEFAULT_DICTIONARY
-    rows for ``language``, matched on the lowercased name and gated on
-    the row's entity_type (operators/entities.py project_entities)."""
+    rows for ``language``, matched on the NORMALIZED name (same fold
+    the mention side got — normalize_py is the Python mirror of the
+    Spark/SQL normalizer) and gated on the row's entity_type
+    (operators/entities.py project_entities)."""
     by_type: dict[str | None, list] = {}
     for e in DEFAULT_DICTIONARY:
         if e.target_language == language:
@@ -865,7 +904,7 @@ def _entity_dict_xlat_sql(language: str) -> str:
     cases = []
     for etype, rows in by_type.items():
         whens = " ".join(
-            "when '" + e.name.lower().replace("'", "''") + "' then '"
+            "when '" + N.normalize_py(e.name).replace("'", "''") + "' then '"
             + e.translation.replace("'", "''") + "'"
             for e in rows
         )
@@ -1548,11 +1587,19 @@ def q_stream_enrich(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# exact guard mirror: empty/null input passes through with null targets
+# and NO error (guard 2), so it stays in the main table; only rows whose
+# non-empty text yields no language (guard 4) are quarantined away.
+# Sentiment cannot error (neu default), so language is the only router.
+_STREAM_EMPTY = "(text is null or length(text) = 0)"
 SQL_STREAM_ENRICH = f"""
-select doc_id, {TS.detect_language_sql('text')} as ros_language,
-       {TS.sentiment_sql('text')} as ros_sentiment
+select doc_id,
+       case when {_STREAM_EMPTY} then null
+            else {TS.detect_language_sql('text')} end as ros_language,
+       case when {_STREAM_EMPTY} then null
+            else {TS.sentiment_sql('text')} end as ros_sentiment
 from documents
-where {TS.detect_language_sql('text')} is not null
+where {_STREAM_EMPTY} or {TS.detect_language_sql('text')} is not null
 """
 
 

@@ -74,21 +74,52 @@ class ResumableERPipeline:
         analyzed logical plan string (captures source paths/schema
         without scanning data — free at 10^12 rows).  Expression ids
         (``#123``) are session-local noise and are stripped, so a fresh
-        driver re-reading the same source fingerprints identically."""
+        driver re-reading the same source fingerprints identically.
+
+        The plan string alone cannot see an IN-PLACE rewrite of the
+        same file path, so for file-backed inputs the listing of
+        (path, size, mtime) is folded in too (driver-side metadata
+        listing, no data scan; capped at 10k entries + total count).
+        Limits: in-memory DataFrames fingerprint by schema+plan only,
+        and remote filesystems without stat fall back to the path list
+        — on a real deployment the Iceberg snapshot id plays this role
+        (see README "Iceberg seam")."""
         import hashlib
+        import os
         import re
+        from urllib.parse import urlparse
 
         def plan(df: DataFrame) -> str:
             s = df._jdf.queryExecution().analyzed().toString()
             return re.sub(r"#\d+", "#", s)
+
+        def files_sig(df: DataFrame) -> str:
+            try:
+                files = sorted(df.inputFiles())
+            except Exception:
+                return ""
+            parts = [f"n={len(files)}"]
+            for f in files[:10_000]:
+                u = urlparse(f)
+                p = u.path if u.scheme in ("file", "") else None
+                try:
+                    st = os.stat(p) if p else None
+                except OSError:
+                    st = None
+                parts.append(
+                    f"{f}:{st.st_size}:{int(st.st_mtime)}" if st else f
+                )
+            return "\n".join(parts)
 
         parts = [
             pattern,
             repr(self.cfg),
             docs.schema.json(),
             plan(docs),
+            files_sig(docs),
             gazetteer.schema.json() if gazetteer is not None else "",
             plan(gazetteer) if gazetteer is not None else "",
+            files_sig(gazetteer) if gazetteer is not None else "",
         ]
         return hashlib.md5("\x00".join(parts).encode()).hexdigest()
 

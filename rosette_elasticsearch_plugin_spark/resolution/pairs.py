@@ -33,13 +33,31 @@ def candidate_pairs(
     max_block_size: int = 50,
     n_salt: int = 8,
     salt_threshold: int = 16,
+    hot_block_mode: str = "drop",
 ) -> DataFrame:
     """(node_a, node_b) distinct candidate pairs, node_a < node_b.
 
     blocks: (node, block_key) long table.
-    Blocks with n > max_block_size are dropped (capped); blocks with
-    n > salt_threshold use the salted grid join.
+    Blocks with n > max_block_size never pair all-vs-all; what happens
+    instead depends on ``hot_block_mode``:
+
+    * ``"drop"`` (ER default) — the block is discarded entirely: an
+      over-cap NAME block is a low-information key ("john") whose pairs
+      are overwhelmingly non-matches, and its names still meet under
+      their other key families.
+    * ``"star"`` (dedup) — every member pairs with the block's min-node
+      REPRESENTATIVE only (linear in block size).  For deduplication
+      the over-cap blocks are the point: a boilerplate page duplicated
+      beyond the cap shares ALL its band keys across copies, so
+      dropping would silently exempt exactly the most-duplicated
+      content; star pairs keep every copy one verified edge away from
+      the representative (transitive closure then clusters the group).
+
+    Blocks under the cap with n > salt_threshold use the salted grid
+    join.
     """
+    if hot_block_mode not in ("drop", "star"):
+        raise ValueError(f"hot_block_mode must be drop|star: {hot_block_mode!r}")
     # Size table is one row per surviving block key; not force-broadcast
     # because at 10^12-doc scale it can exceed broadcast limits — AQE
     # converts it to a broadcast join at runtime when it is small.
@@ -62,8 +80,15 @@ def candidate_pairs(
     ).where(F.col("a.node") < F.col("b.node"))
 
     cols = [F.col("a.node").alias("node_a"), F.col("b.node").alias("node_b")]
-    return (
-        pairs_small.select(*cols)
-        .unionByName(pairs_big.select(*cols))
-        .distinct()
-    )
+    out = pairs_small.select(*cols).unionByName(pairs_big.select(*cols))
+    if hot_block_mode == "star":
+        hot = blocks.join(sizes.where(F.col("n") > max_block_size), "block_key")
+        reps = hot.groupBy("block_key").agg(F.min("node").alias("rep"))
+        # rep = min node → (rep, node) already satisfies node_a < node_b
+        star = (
+            hot.join(reps, "block_key")
+            .where(F.col("node") != F.col("rep"))
+            .select(F.col("rep").alias("node_a"), F.col("node").alias("node_b"))
+        )
+        out = out.unionByName(star)
+    return out.distinct()

@@ -62,13 +62,35 @@ def enrich_stream(
         .parquet(input_dir)
     )
 
+    run_id_cache: list[str] = []
+
+    def _run_id() -> str:
+        """The stream's query id, read from the checkpoint metadata
+        Spark writes at start.  Stable across restarts of the SAME
+        checkpoint (so a replayed batch_id is recognized), fresh when
+        the checkpoint is wiped or relocated (so a new run whose batch
+        ids restart at 0 is NOT mistaken for an already-committed batch
+        — without this, recovery-by-deleting-the-checkpoint silently
+        skipped every new batch as a 'replay')."""
+        if not run_id_cache:
+            import json
+            import os
+
+            try:
+                with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                    run_id_cache.append(json.load(fh)["id"])
+            except (OSError, KeyError, ValueError):
+                run_id_cache.append("noid")
+        return run_id_cache[0]
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a crash between table.commit()
         # and the streaming checkpoint commit replays this batch_id on
-        # restart.  The stage label keys idempotence — if a snapshot for
-        # this batch already landed, the replay is a no-op, which is
-        # what makes the exactly-once-visibility claim actually hold.
-        stage_label = f"stream-batch-{batch_id}"
+        # restart.  The (query id, batch id) stage label keys
+        # idempotence — if a snapshot for this batch already landed, the
+        # replay is a no-op, which is what makes the
+        # exactly-once-visibility claim actually hold.
+        stage_label = f"stream-{_run_id()}-batch-{batch_id}"
         main_done = table.last_snapshot_for(stage_label) is not None
         quar_done = (
             quarantine is None

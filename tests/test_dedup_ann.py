@@ -42,6 +42,23 @@ def test_simhash_near_for_near_texts(spark):
     assert ham_near < ham_far
 
 
+def test_near_dup_mega_group_survives_bucket_cap(spark):
+    """A duplicate group LARGER than the bucket cap must still be fully
+    deduplicated: every copy pairs (at least) with the group's min-id
+    representative via star pairing — dropping over-cap buckets would
+    exempt exactly the most-duplicated boilerplate."""
+    boiler = "identical boilerplate page content repeated across the web"
+    rows = [(i, boiler) for i in range(12)] + [
+        (100, "a genuinely unique document about spark plans")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.near_dup_pairs(df, bands=4, rows=1, threshold=0.9, max_bucket=5)
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in out.collect()}
+    # all 11 non-representative copies reach doc 0
+    assert {(0, i) for i in range(1, 12)} <= got
+    assert not any(100 in p for p in got)
+
+
 def test_brute_topk_exact_neighbors(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),

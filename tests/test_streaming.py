@@ -55,7 +55,8 @@ def test_stream_enriches_and_commits(spark, dirs):
     assert out.count() == 10
     assert {"ros_language", "ros_sentiment"} <= set(out.columns)
     assert out.where(F.col("ros_language").isNull()).count() == 0
-    assert table.current_snapshot().stage.startswith("stream-batch-")
+    assert table.current_snapshot().stage.startswith("stream-")
+    assert "-batch-" in table.current_snapshot().stage
 
 
 def test_stream_resumes_from_checkpoint(spark, dirs):
