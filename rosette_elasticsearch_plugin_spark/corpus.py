@@ -82,6 +82,14 @@ def make_families(n_extra: int = 40, seed: int = 42):
     # initials variant ("K. Svensson") is genuinely ambiguous and no
     # resolver can hit F1≥0.99 on planted truth
     used = {("d", "aykroyd"), ("v", "putin"), ("v", "nabokov"), ("m", "damon")}
+    # the signature pool is finite (~|_FIRST initials| × |_LAST|); fail
+    # fast instead of spinning forever when n_extra exceeds it
+    pool = len({f[0].lower() for f in _FIRST}) * len(_LAST)
+    if n_extra > pool - len(used):
+        raise ValueError(
+            f"n_extra={n_extra} exceeds the {pool - len(used)} unique "
+            f"(first-initial, last-name) signatures available"
+        )
     k = 0
     while k < n_extra:
         first, last = rng.choice(_FIRST), rng.choice(_LAST)

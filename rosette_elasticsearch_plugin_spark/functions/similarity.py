@@ -16,11 +16,8 @@ Execution strategy:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 
 def jaro_py(s1: str, s2: str) -> float:
@@ -73,12 +70,10 @@ def jaro_winkler_py(
     return jaro + prefix * p * (1.0 - jaro)
 
 
-@pandas_udf(T.DoubleType())
-def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched; loop is per batch in Python, never per Spark row."""
-    av = a.fillna("").to_numpy()
-    bv = b.fillna("").to_numpy()
-    return pd.Series([jaro_winkler_py(x, y) for x, y in zip(av, bv)])
+# NOTE: Jaro-Winkler's Spark execution path is resolution/scoring.py's
+# pair_features_udf (one Arrow hop computes jw + alignment features
+# together); there is deliberately no standalone jw UDF here — an
+# uncalled wrapper would carry unverified null semantics.
 
 
 # --- JVM-side expressions ------------------------------------------------------

@@ -144,9 +144,14 @@ def sample_frames(meta: DataFrame, stride: int = 30) -> DataFrame:
     """Frame-sampling plan: one row per sampled frame index (0, stride,
     2*stride, … < n_frames).  The decode of each sampled frame is the
     stubbed kernel; the explode IS the real distribution shape (frame
-    rows stay partition-local, no shuffle)."""
+    rows stay partition-local, no shuffle).
+
+    Rows with n_frames ≤ 0 (a real decoder's corrupt/empty video) are
+    dropped BEFORE the sequence: Spark's ``sequence(0, -1, 30)`` throws
+    where DuckDB's generate_series returns empty — filtering keeps the
+    engines value-identical and the stage alive."""
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
-    return meta.select(
+    return meta.where(F.col("n_frames") > 0).select(
         "doc_id",
         "media_ref",
         "n_frames",
@@ -156,7 +161,13 @@ def sample_frames(meta: DataFrame, stride: int = 30) -> DataFrame:
 
 def media_feature_col(sha_col: Column, dim: int = 8) -> Column:
     """Deterministic fake feature vector from the decode sha — stands in
-    for an image-embedding Pandas UDF; array<double> in [-1, 1)."""
+    for an image-embedding Pandas UDF; array<double> in [-1, 1).
+
+    dim is bounded by the 16 stored hex chars (8 byte pairs): beyond it
+    Spark would silently emit nulls while DuckDB errors on the empty
+    hex cast — fail fast instead."""
+    if dim > 8:
+        raise ValueError(f"dim must be <= 8 (16 stored sha hex chars): {dim}")
     comps = [
         F.round(
             F.conv(F.substring(sha_col, 2 * i + 1, 2), 16, 10).cast("double")
@@ -171,6 +182,8 @@ def media_feature_col(sha_col: Column, dim: int = 8) -> Column:
 
 
 def media_feature_sql(sha_expr: str, dim: int = 8) -> str:
+    if dim > 8:
+        raise ValueError(f"dim must be <= 8 (16 stored sha hex chars): {dim}")
     comps = [
         f"round(cast(concat('0x', substring({sha_expr}, {2 * i + 1}, 2)) as bigint)"
         f" / 255.0 * 2.0 - 1.0, 6)"

@@ -62,6 +62,7 @@ def connected_components(
     if sym.limit(1).count() == 0:  # no edges → all singletons, skip loop
         return labels
 
+    n_changed = 1
     for _ in range(max_iter):
         # min label among neighbors
         nbr = (
@@ -84,6 +85,14 @@ def connected_components(
         labels = new.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # silent non-convergence would split one true component into
+        # several clusters with no signal that the cause is the
+        # iteration budget rather than scoring — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds the budget); raise max_iter"
+        )
     return labels
 
 

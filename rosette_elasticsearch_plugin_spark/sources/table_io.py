@@ -42,10 +42,16 @@ class Snapshot:
     stage: str
     files: list[dict]  # [{path, rows, bytes}] — per-partition lineage
     metrics: dict[str, float] = field(default_factory=dict)
+    schema_json: str | None = None  # lets a zero-file snapshot read back
 
     @property
     def row_count(self) -> int:
         return sum(f["rows"] for f in self.files)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot id first (the CAS at
+    the manifest link failed) — re-read history and retry."""
 
 
 class SnapshotTable:
@@ -57,29 +63,46 @@ class SnapshotTable:
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # committed manifests are immutable once linked, so parsed
+        # snapshots are cached — without this, every last_snapshot_for/
+        # current_snapshot re-parses ALL manifests and an append-per-
+        # micro-batch stream degrades O(n²) over its lifetime
+        self._cache: dict[str, Snapshot] = {}
 
     # -- manifest plumbing ---------------------------------------------------
     def _manifest_paths(self) -> list[str]:
+        # numeric sort on the parsed id: lexicographic filename order
+        # breaks at the padding rollover (snap-100000 < snap-99999)
+        def sid(p: str) -> int:
+            base = os.path.basename(p)
+            return int(base[len("snap-"):-len(".json")])
+
         return sorted(
-            os.path.join(self.snap_dir, f)
-            for f in os.listdir(self.snap_dir)
-            if f.startswith("snap-") and f.endswith(".json")
+            (
+                os.path.join(self.snap_dir, f)
+                for f in os.listdir(self.snap_dir)
+                if f.startswith("snap-") and f.endswith(".json")
+            ),
+            key=sid,
         )
 
     def history(self) -> list[Snapshot]:
         out = []
         for p in self._manifest_paths():
-            with open(p) as fh:
-                d = json.load(fh)
-            out.append(
-                Snapshot(
+            snap = self._cache.get(p)
+            if snap is None:
+                with open(p) as fh:
+                    d = json.load(fh)
+                snap = Snapshot(
                     snapshot_id=d["snapshot_id"],
                     parent_id=d.get("parent_id"),
                     stage=d["stage"],
                     files=d["files"],
                     metrics=d.get("metrics", {}),
+                    schema_json=d.get("schema"),
                 )
-            )
+                self._cache[p] = snap
+            out.append(snap)
         return out
 
     def current_snapshot(self) -> Snapshot | None:
@@ -122,7 +145,10 @@ class SnapshotTable:
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.current_snapshot()
         sid = (parent.snapshot_id + 1) if parent else 1
-        out_dir = os.path.join(self.data_dir, f"snap-{sid:05d}")
+        # data dir is writer-unique: two racing writers computing the
+        # same sid must not clobber each other's parquet mid-write; the
+        # loser's orphan dir is never referenced by any manifest
+        out_dir = tempfile.mkdtemp(prefix=f"snap-{sid:05d}-", dir=self.data_dir)
         parts = list(partition_by or [])
         if buckets is not None:
             col, n = buckets
@@ -154,13 +180,37 @@ class SnapshotTable:
             "stage": stage,
             "files": files,
             "metrics": dict(metrics or {}),
+            "schema": df.schema.json(),
         }
         final = os.path.join(self.snap_dir, f"snap-{sid:05d}.json")
         fd, tmp = tempfile.mkstemp(dir=self.snap_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh, indent=1)
-        os.rename(tmp, final)  # the commit point
-        return Snapshot(sid, manifest["parent_id"], stage, files, manifest["metrics"])
+            fh.flush()
+            os.fsync(fh.fileno())  # durable before visible (no torn manifest)
+        try:
+            # the commit point is a compare-and-swap: link fails if a
+            # concurrent writer already committed this snapshot id,
+            # instead of rename silently overwriting their manifest
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"snapshot {sid} already committed in {self.root}; "
+                f"re-read history and retry"
+            ) from None
+        os.unlink(tmp)
+        dfd = os.open(self.snap_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the directory entry itself
+        finally:
+            os.close(dfd)
+        snap = Snapshot(
+            sid, manifest["parent_id"], stage, files, manifest["metrics"],
+            manifest["schema"],
+        )
+        self._cache[final] = snap
+        return snap
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """Read a snapshot (default: current). Reads only files listed in
@@ -175,6 +225,20 @@ class SnapshotTable:
             )
             if snap is None:
                 raise FileNotFoundError(f"snapshot {snapshot_id} not in {self.root}")
+        if not snap.files:
+            # a committed-but-empty snapshot (e.g. a filter removed all
+            # rows of a partitioned write) still reads as an empty
+            # DataFrame with the committed schema
+            from pyspark.sql import types as T
+
+            if snap.schema_json is None:
+                raise ValueError(
+                    f"snapshot {snap.snapshot_id} in {self.root} has no "
+                    f"data files and no recorded schema"
+                )
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(snap.schema_json))
+            )
         # group files by their owning snap-dir so hive partition columns
         # (partition_by / bucket layout) are recovered via basePath
         groups: dict[str, list[str]] = {}

@@ -101,6 +101,62 @@ def test_failed_commit_is_invisible(spark, table):
     assert [r["k"] for r in table.read(spark).collect()] == [1]
 
 
+def test_empty_snapshot_reads_back_with_schema(spark, table):
+    """A committed snapshot whose write produced zero data files (all
+    rows filtered) must read back as an empty DataFrame with the
+    committed schema, not crash."""
+    df = _df(spark, [(1, "a")]).where("k > 99")
+    table.commit(df, "s", partition_by=["v"])
+    out = table.read(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_concurrent_commit_raises_instead_of_overwriting(spark, table):
+    """The commit point is a CAS: if another writer already committed
+    this snapshot id, the commit fails loudly rather than silently
+    replacing their manifest."""
+    import os
+
+    import pytest as _pytest
+
+    from rosette_elasticsearch_plugin_spark.sources.table_io import (
+        ConcurrentCommitError,
+    )
+
+    from unittest import mock
+
+    s1 = table.commit(_df(spark, [(1, "a")]), "s1")
+    # a rival writer lands snapshot 2 in the window between OUR parent
+    # read and our manifest link: pin our view of the parent at s1,
+    # then let the rival commit for real
+    rival = os.path.join(table.snap_dir, "snap-00002.json")
+    with open(rival, "w") as fh:
+        fh.write('{"snapshot_id": 2, "stage": "rival", "files": []}')
+    with mock.patch.object(type(table), "current_snapshot", return_value=s1):
+        with _pytest.raises(ConcurrentCommitError):
+            table.commit(_df(spark, [(2, "b")]), "s2")
+    # the rival's manifest is intact
+    assert table.last_snapshot_for("rival") is not None
+
+
+def test_cc_nonconvergence_raises(spark):
+    """A component whose diameter exceeds the iteration budget must
+    fail loudly, never return silently split clusters."""
+    import pytest as _pytest
+
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        connected_components,
+    )
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)]
+    edges = spark.createDataFrame(chain, "node_a string, node_b string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    ok = connected_components(edges, max_iter=15)
+    assert {r["cluster"] for r in ok.collect()} == {"n00"}
+
+
 def test_resume_pipeline_reuses_only_matching_fingerprint(spark, tmp_path):
     """The staged ER pipeline resumes from a committed snapshot ONLY
     when the run fingerprint (inputs + config) matches; a changed
