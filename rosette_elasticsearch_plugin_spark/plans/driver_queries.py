@@ -1405,6 +1405,58 @@ def _sql_er_incremental() -> str:
 SQL_ER_INCREMENTAL = _sql_er_incremental()
 
 
+# --- §2.3 search-side: fuzzy name lookup over the blocking index — the
+# batch analogue of querying the enriched/linked fields (same keys, same
+# scorer, same threshold as resolution, reused verbatim). -------------------
+_SEARCH_QUERIES = [
+    "dan akroid",            # typo → the Aykroyd family
+    "ghostbustres",          # typo → the Ghostbusters family
+    "vladimir putin",        # exact
+    "the holywood reporter", # typo → org
+    "zzyzx qqqfle",          # no match
+]
+SEARCH_K = 3
+
+
+def q_er_name_search(spark, sf_dir):
+    from .search import search_names
+
+    corpus_names, _ = _name_f1_fixture()
+    q = spark.createDataFrame([(s,) for s in _SEARCH_QUERIES], "query string")
+    n = spark.createDataFrame([(s,) for s in corpus_names], "name string")
+    return search_names(q, n, k=SEARCH_K)
+
+
+def _sql_er_name_search() -> str:
+    from .er_pipeline import ERConfig
+    from .er_oracle import blocks_ctes
+    from ..resolution.scoring import score_sql
+
+    cfg = ERConfig()
+    corpus_names, _ = _name_f1_fixture()
+    return f"""
+with {blocks_ctes(_SEARCH_QUERIES, cfg, prefix="q")},
+{blocks_ctes(corpus_names, cfg)},
+csizes as (select block_key, count(*) as n from blocks group by block_key),
+cand as (select distinct q.node as query, c.node as name
+         from qblocks q join blocks c using (block_key)
+                        join csizes s using (block_key)
+         where s.n <= {cfg.max_block_size}),
+scored as (select query, name,
+                  {score_sql('qk.key', 'ck.key', cfg.scoring)} as score
+           from cand join qnames qk on qk.node = cand.query
+                     join names ck on ck.node = cand.name),
+ranked as (select query, name, score,
+                  cast(row_number() over (partition by query
+                       order by score desc, name asc) as bigint) as rank
+           from scored where score >= {cfg.scoring.threshold})
+select query, name, score, rank from ranked where rank <= {SEARCH_K}
+"""
+
+
+SQL_ER_NAME_SEARCH = _sql_er_name_search()
+
+
 def q_er_name_f1(spark, sf_dir):
     from .. import corpus
     from .er_pipeline import resolve_documents
@@ -1663,6 +1715,7 @@ QUERIES: dict[str, Callable] = {
     "stream_enrich": q_stream_enrich,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
+    "er_name_search": q_er_name_search,
     "er_name_f1": q_er_name_f1,
     "ros_entities_linked": q_ros_entities_linked,
     "media_metadata": q_media_metadata,
@@ -1710,6 +1763,7 @@ ORACLES: dict[str, str] = {
     "text_redact": SQL_TEXT_REDACT,
     "stream_enrich": SQL_STREAM_ENRICH,
     "er_incremental": SQL_ER_INCREMENTAL,
+    "er_name_search": SQL_ER_NAME_SEARCH,
     "er_name_f1": SQL_ER_NAME_F1,
     "ros_entities_linked": SQL_ROS_ENTITIES_LINKED,
     "media_metadata": SQL_MEDIA_METADATA,

@@ -39,11 +39,15 @@ def er_key_py(node: str) -> str:
     return translit_lower_py(node)
 
 
-def cluster_ctes(names: list[str], cfg: ERConfig = ERConfig()) -> str:
-    """CTE chain ``names → blocks → cpairs → scored → clusters`` over a
-    fixed name universe, mirroring ``resolve_names`` value-for-value.
-    ``clusters`` yields (node, cluster = min node of the connected
-    component; singletons map to themselves)."""
+def blocks_ctes(
+    names: list[str], cfg: ERConfig = ERConfig(), prefix: str = ""
+) -> str:
+    """CTE fragment ``{p}names → {p}blocks`` over a fixed name universe:
+    exact + Double Metaphone (precomputed VALUES) + MinHash band keys,
+    mirroring ``resolution/blocking.all_blocks`` value-for-value.  The
+    ``prefix`` lets two independent name universes (e.g. a query set
+    and a corpus) coexist in one statement."""
+    p = prefix
     uniq = sorted(set(names))
     keys = {n: er_key_py(n) for n in uniq}
     bcfg = cfg.blocking
@@ -68,21 +72,29 @@ def cluster_ctes(names: list[str], cfg: ERConfig = ERConfig()) -> str:
     sig = minhash_sig_sql(shingles_sql("key", bcfg.shingle_n), bcfg.params())
     band = lsh_band_keys_sql("sig", bcfg.minhash_bands, bcfg.minhash_rows)
     return f"""
-names(node, key) as (values {names_vals}),
-mcodes(tok, code) as (values {m_vals}),
-mtoks as (select node, unnest(string_split(key, ' ')[1:{bcfg.metaphone_max_tokens}]) as tok
-          from names),
-blocks as (
+{p}names(node, key) as (values {names_vals}),
+{p}mcodes(tok, code) as (values {m_vals}),
+{p}mtoks as (select node, unnest(string_split(key, ' ')[1:{bcfg.metaphone_max_tokens}]) as tok
+          from {p}names),
+{p}blocks as (
   select distinct node, block_key from (
-    select node, 'x:' || key as block_key from names
+    select node, 'x:' || key as block_key from {p}names
     union all
     select t.node, 'm:' || c.code as block_key
-    from mtoks t join mcodes c using (tok) where length(t.tok) > 0
+    from {p}mtoks t join {p}mcodes c using (tok) where length(t.tok) > 0
     union all
     select node, 'h:' || unnest({band}) as block_key
-    from (select node, {sig} as sig from names)
+    from (select node, {sig} as sig from {p}names)
   )
-),
+)"""
+
+
+def cluster_ctes(names: list[str], cfg: ERConfig = ERConfig()) -> str:
+    """CTE chain ``names → blocks → cpairs → scored → clusters`` over a
+    fixed name universe, mirroring ``resolve_names`` value-for-value.
+    ``clusters`` yields (node, cluster = min node of the connected
+    component; singletons map to themselves)."""
+    return f"""{blocks_ctes(names, cfg)},
 bsizes as (select block_key, count(*) as n from blocks group by block_key),
 cpairs as (select distinct a.node as node_a, b.node as node_b
            from blocks a join blocks b using (block_key)
