@@ -17,9 +17,10 @@ the SAME input, per the driver's instruction):
 runs the flagship ER job (span assembly → mention extraction →
 normalization → blocking → pair scoring → connected components →
 cluster assignment) on a deterministically replicated corpus at
-local[N] and local[4N] (default 4 and 16, CPU-pinned) in fresh
-subprocesses, and reports docs/sec at
-both plus scaling efficiency = (thr_4N / thr_N) / 4.
+local[N] and local[4N] (default N=2, i.e. local[2] vs local[8],
+CPU-pinned — higher pairs on this VM measure the host's own sublinear
+core scaling, see BENCH.md §1) in fresh subprocesses, and reports
+docs/sec at both plus scaling efficiency = (thr_4N / thr_N) / 4.
 """
 
 from __future__ import annotations
@@ -147,8 +148,12 @@ def run_bench() -> None:
     spark = _session(CPUS)
     # untimed warmup: spin up the Python/Arrow worker pool and JIT the
     # hot codegen paths so timings measure steady-state throughput, not
-    # one-time process startup
-    _force(_flagship(spark, "/root/testdata/sf0.001"))
+    # one-time process startup.  Prefer the small sibling tier of the
+    # configured data dir; fall back to SF_DIR itself if absent.
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    _force(_flagship(spark, warm_dir))
     t_all = time.time()
     timings: dict[str, float] = {}
     for name, thunk in _headline_queries(spark, SF_DIR).items():

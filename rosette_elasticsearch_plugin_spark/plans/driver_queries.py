@@ -355,6 +355,17 @@ def q_er_pairwise_f1(spark, sf_dir):
     )
 
 
+# shared F1 tail over an ``agg(tp, fp, fn)`` CTE — one source of truth
+# for the precision/recall/F1 arithmetic in both pairwise-F1 oracles
+_F1_SELECT_SQL = """select tp, fp, fn,
+  round(tp / greatest(tp + fp, 1), 6) as precision,
+  round(tp / greatest(tp + fn, 1), 6) as recall,
+  round(case when (tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)) = 0
+        then 0.0 else 2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+        / ((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1))) end, 6) as f1
+from agg"""
+
+
 SQL_ER_PAIRWISE_F1 = f"""
 with d as (select doc_id, lang, {TS.detect_language_sql('text')} as dl
            from documents
@@ -368,13 +379,7 @@ agg as (select
   cast(sum(case when not is_match and pred then 1 else 0 end) as bigint) as fp,
   cast(sum(case when is_match and not pred then 1 else 0 end) as bigint) as fn
   from p)
-select tp, fp, fn,
-  round(tp / greatest(tp + fp, 1), 6) as precision,
-  round(tp / greatest(tp + fn, 1), 6) as recall,
-  round(case when (tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)) = 0
-        then 0.0 else 2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
-        / ((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1))) end, 6) as f1
-from agg
+{_F1_SELECT_SQL}
 """
 
 
@@ -432,10 +437,14 @@ def q_ros_translation(spark, sf_dir):
 
 def _sql_ros_translation() -> str:
     vals = ", ".join(f"('{n}')" for n in _XLAT_FIXTURE_NAMES)
+    # mirror the stage's default dictionary slice exactly: eng target
+    # AND the entity_type gate (row.entity_type null-or-'PERSON' under
+    # the stage's default entity_type='PERSON') — filtering on language
+    # alone would diverge the moment a non-PERSON eng row is added
     dict_whens = " ".join(
         f"when '{e.name}' then '{e.translation}'"
         for e in DEFAULT_DICTIONARY
-        if e.target_language == "eng"
+        if e.target_language == "eng" and e.entity_type in (None, "PERSON")
     )
     fallback = (
         f"case when {has_cyrillic_sql('name')} then {transliterate_cyr_sql('name')} end"
@@ -544,6 +553,27 @@ def q_dedup_near_minhash(spark, sf_dir):
     )
 
 
+def _lsh_cand_ctes(keys: str = "keys") -> str:
+    """Shared mirror of dedup.lsh_candidate_pairs over an existing
+    ``{keys}`` CTE of (doc_id, band_key): size-capped bucket self-join
+    plus star pairs to the min-id representative for over-cap buckets
+    (ONE source of truth — a change to the Spark candidate semantics is
+    mirrored here once, for all three dedup oracles)."""
+    k = keys
+    return f"""{k}sizes as (select band_key, count(*) as n from {k} group by band_key),
+{k}reps as (select band_key, min(doc_id) as rep from {k} group by band_key),
+cand as (select distinct doc_id_a, doc_id_b from (
+         select a.doc_id as doc_id_a, b.doc_id as doc_id_b
+         from {k} a join {k} b using (band_key)
+                     join {k}sizes s using (band_key)
+         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
+         union all
+         select r.rep as doc_id_a, kk.doc_id as doc_id_b
+         from {k} kk join {k}reps r using (band_key)
+                     join {k}sizes s using (band_key)
+         where s.n > {dedup.DEDUP_MAX_BUCKET} and kk.doc_id <> r.rep))"""
+
+
 def _sql_dedup_near_minhash() -> str:
     params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
     sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
@@ -553,18 +583,7 @@ def _sql_dedup_near_minhash() -> str:
 with d as ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
 keys as (select doc_id, unnest({band}) as band_key from sigs),
-ksizes as (select band_key, count(*) as n from keys group by band_key),
-kreps as (select band_key, min(doc_id) as rep from keys group by band_key),
-cand as (select distinct doc_id_a, doc_id_b from (
-         select a.doc_id as doc_id_a, b.doc_id as doc_id_b
-         from keys a join keys b using (band_key)
-                     join ksizes s using (band_key)
-         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
-         union all
-         select r.rep as doc_id_a, k.doc_id as doc_id_b
-         from keys k join kreps r using (band_key)
-                     join ksizes s using (band_key)
-         where s.n > {dedup.DEDUP_MAX_BUCKET} and k.doc_id <> r.rep)),
+{_lsh_cand_ctes()},
 scored as (select doc_id_a, doc_id_b, {jac} as jaccard
            from cand join d ta on ta.doc_id = cand.doc_id_a
                      join d tb on tb.doc_id = cand.doc_id_b)
@@ -608,18 +627,7 @@ def _sql_dedup_ngram_jaccard() -> str:
 with d as ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
 keys as (select doc_id, unnest({band}) as band_key from sigs),
-ksizes as (select band_key, count(*) as n from keys group by band_key),
-kreps as (select band_key, min(doc_id) as rep from keys group by band_key),
-cand as (select distinct doc_id_a, doc_id_b from (
-         select a.doc_id as doc_id_a, b.doc_id as doc_id_b
-         from keys a join keys b using (band_key)
-                     join ksizes s using (band_key)
-         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
-         union all
-         select r.rep as doc_id_a, k.doc_id as doc_id_b
-         from keys k join kreps r using (band_key)
-                     join ksizes s using (band_key)
-         where s.n > {dedup.DEDUP_MAX_BUCKET} and k.doc_id <> r.rep))
+{_lsh_cand_ctes()}
 select doc_id_a, doc_id_b, {jac} as jaccard
 from cand join d ta on ta.doc_id = cand.doc_id_a
           join d tb on tb.doc_id = cand.doc_id_b
@@ -673,18 +681,7 @@ sigs as (select doc_id, {sim} as simhash from
          (select doc_id, {hashes} as h from d)),
 mkeys as (select doc_id, unnest({band}) as band_key from
           (select doc_id, {sig} as sig from d)),
-msizes as (select band_key, count(*) as n from mkeys group by band_key),
-mreps as (select band_key, min(doc_id) as rep from mkeys group by band_key),
-cand as (select distinct doc_id_a, doc_id_b from (
-         select a.doc_id as doc_id_a, b.doc_id as doc_id_b
-         from mkeys a join mkeys b using (band_key)
-                      join msizes s using (band_key)
-         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
-         union all
-         select r.rep as doc_id_a, k.doc_id as doc_id_b
-         from mkeys k join mreps r using (band_key)
-                      join msizes s using (band_key)
-         where s.n > {dedup.DEDUP_MAX_BUCKET} and k.doc_id <> r.rep))
+{_lsh_cand_ctes("mkeys")}
 select doc_id_a, doc_id_b,
        cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint) as hamming
 from cand join sigs sa on sa.doc_id = cand.doc_id_a
@@ -1199,7 +1196,7 @@ def q_er_resume_pipeline(spark, sf_dir):
         ResumableERPipeline(root).run(spark, docs, pattern=r"[a-z]{2,}")
         resumed = ResumableERPipeline(root)
         out = resumed.run(spark, docs, pattern=r"[a-z]{2,}")
-        if not all(m["resumed"] for m in resumed.metrics()[:2]):
+        if not all(m["resumed"] for m in resumed.metrics()):
             raise RuntimeError(
                 "second run did not resume from committed snapshots: "
                 f"{resumed.metrics()}"
@@ -1359,13 +1356,7 @@ agg as (select
   cast(sum(case when not m and pr then 1 else 0 end) as bigint) as fp,
   cast(sum(case when m and not pr then 1 else 0 end) as bigint) as fn
   from p)
-select tp, fp, fn,
-  round(tp / greatest(tp + fp, 1), 6) as precision,
-  round(tp / greatest(tp + fn, 1), 6) as recall,
-  round(case when (tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1)) = 0
-        then 0.0 else 2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
-        / ((tp / greatest(tp + fp, 1)) + (tp / greatest(tp + fn, 1))) end, 6) as f1
-from agg
+{_F1_SELECT_SQL}
 """
 
 

@@ -80,7 +80,15 @@ def enrich_stream(
                 with open(os.path.join(checkpoint_dir, "metadata")) as fh:
                     run_id_cache.append(json.load(fh)["id"])
             except (OSError, KeyError, ValueError):
-                run_id_cache.append("noid")
+                # unreadable checkpoint metadata (remote fs, transient
+                # error): fall back to a per-stream unique id.  That
+                # degrades replay-idempotence to at-least-once for THIS
+                # stream, but a shared constant here would collide
+                # labels ACROSS runs and silently drop new batches as
+                # "replays" — duplicates beat data loss.
+                import uuid
+
+                run_id_cache.append(f"u{uuid.uuid4().hex[:12]}")
         return run_id_cache[0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -98,19 +106,25 @@ def enrich_stream(
         )
         if main_done and quar_done:
             return
-        out = stage(batch_df)
-        ok, bad = split_quarantine(out)
-        if not main_done:
-            table.commit(ok, stage=stage_label, mode="append")
-        if not quar_done:
-            n_bad = bad.count()
-            if n_bad:
-                quarantine.commit(
-                    bad,
-                    stage=stage_label,
-                    metrics={"rows": n_bad},
-                    mode="append",
-                )
+        # pin the enriched batch: ok-commit, bad.count() and the
+        # quarantine commit otherwise each recompute the whole
+        # enrichment (2-3× the Python/Arrow stage cost per batch)
+        out = stage(batch_df).persist()
+        try:
+            ok, bad = split_quarantine(out)
+            if not main_done:
+                table.commit(ok, stage=stage_label, mode="append")
+            if not quar_done:
+                n_bad = bad.count()
+                if n_bad:
+                    quarantine.commit(
+                        bad,
+                        stage=stage_label,
+                        metrics={"rows": n_bad},
+                        mode="append",
+                    )
+        finally:
+            out.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(sink)

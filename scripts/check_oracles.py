@@ -43,6 +43,12 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(queries())
+    if unknown:
+        # a typo'd/renamed name must not silently verify nothing and
+        # exit green
+        print(f"unknown query names: {sorted(unknown)}")
+        sys.exit(2)
 
     spark = (
         SparkSession.builder.master("local[8]")
