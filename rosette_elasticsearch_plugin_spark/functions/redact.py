@@ -43,13 +43,17 @@ def redact_sql(expr: str) -> str:
 
 def pii_count_col(c: Column) -> Column:
     """Total redactable matches, counted on the progressively redacted
-    text exactly as the replace chain sees it."""
+    text exactly as the replace chain sees it.  NULL text yields NULL
+    (not -4): Spark's legacy ``sizeOfNull`` makes ``size(...)`` return
+    -1 per term on NULL input, while the DuckDB mirror's
+    ``len(regexp_extract_all(NULL))`` sums to NULL — the explicit
+    isNotNull guard keeps both engines identical."""
     out = c
     total = F.lit(0)
     for label, pat in REDACTIONS:
         total = total + F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
         out = F.regexp_replace(out, pat, f"<{label}>")
-    return total.cast("long")
+    return F.when(c.isNotNull(), total).cast("long")
 
 
 def pii_count_sql(expr: str) -> str:

@@ -123,6 +123,19 @@ def sentiment_col(c: Column) -> Column:
     )
 
 
+def sentiment_py(s: str) -> str:
+    """Python mirror of sentiment_col/_sql.  ``re.ASCII`` pins ``\\b``
+    to ASCII word characters, matching Java regex (Spark's default) and
+    RE2 (DuckDB) — Python's default unicode ``\\b`` would treat e.g.
+    'ё' as a word char and miss a boundary the other engines see."""
+    import re
+
+    low = (s or "").lower()
+    p = len(re.findall(SENT_POS, low, re.ASCII))
+    n = len(re.findall(SENT_NEG, low, re.ASCII))
+    return "pos" if p > n else ("neg" if n > p else "neu")
+
+
 def sentiment_sql(expr: str) -> str:
     p, n = _count_sql(expr, SENT_POS), _count_sql(expr, SENT_NEG)
     return (

@@ -56,6 +56,13 @@ def translit_lower_py(s: str) -> str:
     return out.translate(_PY_TABLE)
 
 
+def has_cyrillic_py(s: str) -> bool:
+    """Python mirror of has_cyrillic_col/_sql."""
+    import re
+
+    return re.search(r"[а-яё]", s.lower()) is not None
+
+
 def has_cyrillic_col(c: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit("[а-яё]"), F.lit(0))) > 0
 

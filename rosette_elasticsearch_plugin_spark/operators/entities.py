@@ -42,6 +42,9 @@ MENTION_PATTERN = (
     r"(?:[A-ZÀ-ÖØ-ÞА-ЯЁ][\w'\-]*\.?)(?:[ ](?:[A-ZÀ-ÖØ-ÞА-ЯЁ][\w'\-]*\.?))*"
 )
 
+# RNT is asked only for these types (EntitiesProcessor.java:156-159)
+TRANSLATABLE_TYPES = ("PERSON", "LOCATION", "ORGANIZATION")
+
 _SPAN_MENTIONS_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -257,6 +260,9 @@ class EntitiesConfig:
     translation_language: str = "eng"
     include_sentiment: bool = False
     sentiment_window: int = 40
+    # extra TranslationEntry rows appended to the default dictionary
+    # (tuple: the config must stay hashable/frozen)
+    extra_dictionary: tuple = ()
 
 
 def project_entities(
@@ -301,7 +307,12 @@ def project_entities(
             F.col(entity_ids.columns[0]).alias("normalized"),
             F.col(entity_ids.columns[1]).alias("entityId"),
         )
-        m = m.join(F.broadcast(eid), "normalized", "left")
+        # NO broadcast hint: entity_ids is the resolution layer's
+        # (normalized, entityId) output — a vocabulary-scale dim that
+        # exceeds broadcast limits at the 10^12-doc design point.  AQE
+        # converts the join to broadcast at runtime when the dim is
+        # actually small (same rationale as assign_cluster_ids).
+        m = m.join(eid, "normalized", "left")
         m = m.withColumn(
             "entityId",
             F.coalesce("entityId", F.concat(F.lit("T:"), F.col("normalized"))),
@@ -385,25 +396,50 @@ def project_entities(
             # join key is the NORMALIZED dictionary name — the entity's
             # mention is already normalized (punctuation stripped,
             # diacritics folded), so lower() alone would never match
-            # names like "マット・デイモン" (→ "マット デイモン")
-            dim = (
-                translation_dim(mentions.sparkSession)
+            # names like "マット・デイモン" (→ "マット デイモン").
+            # A dictionary may carry BOTH a typed and a wildcard
+            # (entity_type=None) row for one name; a dual match would
+            # duplicate the entity row after the join, so the dim is
+            # reduced to ONE row per (name, type): wildcard rows are
+            # expanded to the three translatable types with lower
+            # precedence, then min((precedence, translation)) picks
+            # typed-over-wildcard, then lexicographic-min translation.
+            base = (
+                translation_dim(
+                    mentions.sparkSession, list(cfg.extra_dictionary) or None
+                )
                 .where(F.col("target_language") == cfg.translation_language)
                 .select(
                     normalize_col(F.col("name")).alias("__xlat_name"),
                     F.col("entity_type").alias("__xlat_etype"),
                     F.col("translation").alias("__dict_xlat"),
                 )
+            )
+            typed = base.where(F.col("__xlat_etype").isNotNull()).withColumn(
+                "__prec", F.lit(0)
+            )
+            wild = (
+                base.where(F.col("__xlat_etype").isNull())
+                .withColumn(
+                    "__xlat_etype",
+                    F.explode(
+                        F.array(*[F.lit(t) for t in TRANSLATABLE_TYPES])
+                    ),
+                )
+                .withColumn("__prec", F.lit(1))
+            )
+            dim = (
+                typed.unionByName(wild)
                 .groupBy("__xlat_name", "__xlat_etype")
-                .agg(F.min("__dict_xlat").alias("__dict_xlat"))
+                .agg(
+                    F.min(F.struct("__prec", "__dict_xlat"))["__dict_xlat"]
+                    .alias("__dict_xlat")
+                )
             )
             ent = ent.join(
                 F.broadcast(dim),
                 (F.col("mention") == F.col("__xlat_name"))
-                & (
-                    F.col("__xlat_etype").isNull()
-                    | (F.col("__xlat_etype") == F.upper("type"))
-                ),
+                & (F.col("__xlat_etype") == F.upper("type")),
                 "left",
             ).drop("__xlat_name", "__xlat_etype")
             fallback = (
@@ -415,9 +451,7 @@ def project_entities(
             xlat = F.coalesce(F.col("__dict_xlat"), fallback)
         ent = ent.withColumn(
             "translation",
-            F.when(
-                F.upper("type").isin("PERSON", "LOCATION", "ORGANIZATION"), xlat
-            ),
+            F.when(F.upper("type").isin(*TRANSLATABLE_TYPES), xlat),
         )
         if translation_col is None:
             ent = ent.drop("__dict_xlat")

@@ -89,6 +89,18 @@ def transliterate_cyr_col(c: Column) -> Column:
     return F.initcap(F.trim(out))
 
 
+def transliterate_cyr_py(s: str) -> str:
+    """Python mirror of transliterate_cyr_col (used by the flat-field
+    entities kernel, which runs wholly inside one Arrow pass)."""
+    import re
+
+    from ..functions.translit import translit_lower_py
+
+    out = re.sub(r"\s+", " ", translit_lower_py(s)).strip()
+    # initcap on already-lowercase words: first char upper, rest as-is
+    return " ".join(w[:1].upper() + w[1:] for w in out.split(" "))
+
+
 def transliterate_cyr_sql(expr: str) -> str:
     out = f"regexp_replace({translit_lower_sql(expr)}, '\\s+', ' ', 'g')"
     # DuckDB has no initcap; title-case word-by-word

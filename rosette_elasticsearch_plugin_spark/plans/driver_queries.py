@@ -893,23 +893,34 @@ def _entity_dict_xlat_sql(language: str) -> str:
     rows for ``language``, matched on the NORMALIZED name (same fold
     the mention side got — normalize_py is the Python mirror of the
     Spark/SQL normalizer) and gated on the row's entity_type
-    (operators/entities.py project_entities)."""
-    by_type: dict[str | None, list] = {}
+    (operators/entities.py project_entities).  Mirrors the Spark-side
+    reduction exactly: TYPED rows take precedence over wildcard
+    (entity_type=None) rows for the same name (typed cases come first
+    in the coalesce), and duplicate rows within one (name, type) cell
+    collapse to the lexicographic-min translation."""
+    by_type: dict[str | None, dict[str, str]] = {}
     for e in DEFAULT_DICTIONARY:
         if e.target_language == language:
-            by_type.setdefault(e.entity_type, []).append(e)
+            nm = N.normalize_py(e.name)
+            cell = by_type.setdefault(e.entity_type, {})
+            cell[nm] = min(cell.get(nm, e.translation), e.translation)
     cases = []
-    for etype, rows in by_type.items():
+    for etype in sorted(k for k in by_type if k is not None):
         whens = " ".join(
-            "when '" + N.normalize_py(e.name).replace("'", "''") + "' then '"
-            + e.translation.replace("'", "''") + "'"
-            for e in rows
+            "when '" + nm.replace("'", "''") + "' then '"
+            + tr.replace("'", "''") + "'"
+            for nm, tr in sorted(by_type[etype].items())
         )
-        inner = f"(case mention {whens} end)"
-        if etype is None:
-            cases.append(inner)
-        else:
-            cases.append(f"(case when upper(type) = '{etype}' then {inner} end)")
+        cases.append(
+            f"(case when upper(type) = '{etype}' then (case mention {whens} end) end)"
+        )
+    if None in by_type:
+        whens = " ".join(
+            "when '" + nm.replace("'", "''") + "' then '"
+            + tr.replace("'", "''") + "'"
+            for nm, tr in sorted(by_type[None].items())
+        )
+        cases.append(f"(case mention {whens} end)")
     if not cases:
         return "cast(null as varchar)"
     return "coalesce(" + ", ".join(cases) + ")" if len(cases) > 1 else cases[0]
@@ -1145,6 +1156,9 @@ _PII_DOCS = [
               "https://example.com/a?b=1 for details"),
     (9000002, "call +1 (415) 555-0199 or 020 7946 0958 now, id 1234567890"),
     (9000003, "nothing sensitive here at all"),
+    # NULL text: both engines must yield NULL redacted + NULL n_pii
+    # (Spark needs the isNotNull guard in pii_count_col — ADVICE r2)
+    (9000004, None),
 ]
 
 
@@ -1164,7 +1178,10 @@ def _sql_text_redact() -> str:
     from ..functions.redact import pii_count_sql, redact_sql
 
     vals = ", ".join(
-        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _PII_DOCS
+        "(" + str(i) + ", "
+        + ("cast(null as varchar)" if t is None else "'" + t.replace("'", "''") + "'")
+        + ")"
+        for i, t in _PII_DOCS
     )
     return f"""
 with d as (select doc_id, text from documents

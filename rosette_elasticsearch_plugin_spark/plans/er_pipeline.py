@@ -73,11 +73,23 @@ def resolve_names(names: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
     pairs = candidate_pairs(
         blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
     )
+    # hoist the canonical key out of the scorer: join the PREcomputed
+    # key back per pair side so the transliteration replace-chain runs
+    # once per NAME (in `keyed`), not twice per candidate pair.  The
+    # name table is vocabulary-scale, so the two joins are cheap (AQE
+    # broadcasts them when small).
+    pairs = pairs.join(
+        keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a")),
+        "node_a",
+    ).join(
+        keyed.select(F.col("node").alias("node_b"), F.col("key").alias("key_b")),
+        "node_b",
+    )
     scored = score_pairs(
         pairs,
         cfg=cfg.scoring,
-        key_a=er_key_col(F.col("node_a")),
-        key_b=er_key_col(F.col("node_b")),
+        key_a=F.col("key_a"),
+        key_b=F.col("key_b"),
     )
     edges = match_edges(scored, cfg.scoring)
     return connected_components(

@@ -58,12 +58,22 @@ def search_names(
         .select("query", "name")
         .distinct()
     )
-    scored = cand.withColumn(
-        "score",
-        score_expr(
-            er_key_col(F.col("query")), er_key_col(F.col("name")), cfg.scoring
-        ),
-    ).where(F.col("score") >= tau)
+    # precomputed-key join-back, mirroring resolve_names: the translit
+    # chain runs once per name/query, not per candidate pair
+    qk = q.select(
+        F.col("node").alias("query"), er_key_col(F.col("node")).alias("__qkey")
+    )
+    nk = n.select(
+        F.col("node").alias("name"), er_key_col(F.col("node")).alias("__nkey")
+    )
+    scored = (
+        cand.join(qk, "query")
+        .join(nk, "name")
+        .withColumn(
+            "score", score_expr(F.col("__qkey"), F.col("__nkey"), cfg.scoring)
+        )
+        .where(F.col("score") >= tau)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("name"))

@@ -107,7 +107,12 @@ class ResumableERPipeline:
                 except OSError:
                     st = None
                 parts.append(
-                    f"{f}:{st.st_size}:{int(st.st_mtime)}" if st else f
+                    # nanosecond mtime + inode: an in-place same-size
+                    # rewrite within the same wall-clock second must not
+                    # fingerprint identically (ADVICE r2)
+                    f"{f}:{st.st_size}:{st.st_mtime_ns}:{st.st_ino}"
+                    if st
+                    else f
                 )
             return "\n".join(parts)
 

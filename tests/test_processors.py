@@ -125,3 +125,38 @@ def test_entities_translation_flag(spark):
 def test_entities_sentiment_flag(spark):
     by_id = _gb_entities(spark, EntitiesConfig(include_sentiment=True))
     assert by_id["Q105221"]["sentiment"] == "pos"  # "praised ... great"
+
+
+def test_entities_translation_typed_beats_wildcard(spark):
+    """A dictionary carrying BOTH a typed and a wildcard
+    (entity_type=None) row for the same name must yield exactly ONE
+    entity row with the TYPED translation — the dual join match used to
+    duplicate the entity (ADVICE r2)."""
+    from rosette_elasticsearch_plugin_spark.operators.name_translation import (
+        TranslationEntry,
+    )
+
+    extra = (
+        TranslationEntry("Владимир Путин", "Wildcard Putin", "eng", "Latn",
+                         None, "rus", "Cyrl", "rus"),
+        # wildcard-only name: the wildcard row must still apply
+        TranslationEntry("Dan Aykroyd", "Wildcard Aykroyd", "eng", "Latn",
+                         None, "xxx", "Zyyy", "xxx"),
+    )
+    by_id = _gb_entities(
+        spark,
+        EntitiesConfig(include_translation=True, extra_dictionary=extra),
+    )
+    # one row per entity (dict keyed by entityId would hide dups — check counts)
+    gaz = spark.createDataFrame(GAZETTEER, "normalized string, type string")
+    eids = spark.createDataFrame(ENTITY_IDS, "normalized string, entityId string")
+    cfg = EntitiesConfig(include_translation=True, extra_dictionary=extra)
+    ents = entities_stage(_gb_docs(spark), gaz, eids, cfg).collect()[0][
+        "ros_entities"
+    ]
+    ids = [e["entityId"] for e in ents]
+    assert len(ids) == len(set(ids)), f"duplicated entity rows: {ids}"
+    # typed DEFAULT_DICTIONARY row wins over the wildcard extra row
+    assert by_id["Q7747"]["translation"] == "Vladimir Putin"
+    # wildcard-only extra row applies where no typed row exists
+    assert by_id["Q105221"]["translation"] == "Wildcard Aykroyd"
