@@ -163,6 +163,77 @@ def test_translation_param_matrix(spark):
     assert _xlat(spark, "Дмитрий Петров") == "Dmitriy Petrov"
 
 
+def test_flat_entities_stage_shuffle_free_and_path_parity(spark):
+    """The flat-field ros_entities stage computes the per-doc entity
+    array inside ONE Arrow pass: (a) its physical plan contains no
+    Exchange, (b) its output — all option flags on — is value-identical
+    to the interleaved-span path (extract → groupBy → project → join)."""
+    from rosette_elasticsearch_plugin_spark.operators.entities import (
+        entities_flat_stage,
+        entities_stage,
+    )
+
+    texts = [
+        (1, "Dan Aykroyd praised the great Ghostbusters. Dan Aykroyd "
+            "laughed. Владимир Путин hated the terrible weather."),
+        (2, "Дмитрий Петров met J. Svensson."),   # translit fallback
+        (3, "nothing capitalized here"),          # no mentions → NULL
+        (4, ""),                                  # empty → NULL
+        (5, None),                                # null → NULL
+    ]
+    gaz = [
+        ("dan aykroyd", "PERSON"),
+        ("ghostbusters", "PRODUCT"),
+        ("владимир путин", "PERSON"),
+        ("дмитрий петров", "PERSON"),  # no dict row → translit fallback
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    cfg_dict = {
+        "field": "text",
+        "include_offsets": True,
+        "include_translation": True,
+        "include_sentiment": True,
+        "gazetteer": gaz,
+    }
+    flat_out = entities_flat_stage(
+        spark, StageConfig(field="text", target_field="ros_entities"), cfg_dict
+    )(df)
+    plan = flat_out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"flat stage must not shuffle:\n{plan}"
+
+    docs = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    gaz_df = spark.createDataFrame(gaz, "normalized string, type string")
+    cfg = EntitiesConfig(
+        include_offsets=True, include_translation=True, include_sentiment=True
+    )
+    ref = entities_stage(docs, gaz_df, None, cfg).select(
+        "doc_id", "ros_entities"
+    )
+
+    def ents_dict(rows, key_cast=str):
+        return {
+            key_cast(r["doc_id"]): None
+            if r["ros_entities"] is None
+            else [e.asDict(recursive=True) for e in r["ros_entities"]]
+            for r in rows
+        }
+
+    got = ents_dict(flat_out.select("doc_id", "ros_entities").collect())
+    want = ents_dict(ref.collect())
+    for d in map(str, range(1, 6)):
+        assert got[d] == want.get(d), f"doc {d}: {got[d]} != {want.get(d)}"
+
+
 def test_ignore_failure_flag(spark):
     """ES's per-processor ignore_failure: failures swallowed, row
     continues with null target and NO error (distinct from on_failure
