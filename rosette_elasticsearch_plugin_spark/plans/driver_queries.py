@@ -1195,24 +1195,34 @@ from d
 SQL_TEXT_REDACT = _sql_text_redact()
 
 
-# --- R12: resumable staged pipeline (no SQL oracle: snapshot/resume
-# semantics are not SQL-expressible; driver records a rows-only check) ---------
+# --- R12: resumable staged pipeline.  FULL oracle since round 3: the
+# resume MECHANICS (snapshot commit/read-back) are not SQL-expressible
+# — tests/test_state.py covers them (crash-resume, fingerprint,
+# lineage) — but the resumed output's CONTENTS are: over the
+# deterministic seed-42 fixture corpus, the resumed assigned-mentions
+# table must equal the batch recompute, which the er_oracle VALUES
+# mirror expresses (the mention universe is precomputed by the same
+# regex+normalizer loop the mapInPandas kernel runs; clustering is
+# mirrored live in SQL).  Reference behavior mirrored:
+# RosetteTextAnalysisPluginIT.java:214-226 (index → refresh → re-read).
 def q_er_resume_pipeline(spark, sf_dir):
-    """Runs the staged snapshot-committed pipeline, then re-runs it from
-    a fresh driver object — the returned rows come from the RESUMED run
-    (all stages read back from committed snapshots)."""
+    """Runs the staged snapshot-committed pipeline on the fixture
+    corpus, then re-runs it from a fresh driver object — the returned
+    rows come from the RESUMED run (all stages read back from committed
+    snapshots)."""
     import shutil
     import tempfile
 
+    from .. import corpus as corpus_mod
     from ..plans.state import ResumableERPipeline
-    from ..sources.adapter import load_documents
 
-    docs = load_documents(spark, sf_dir)
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    docs, _truth = corpus_mod.to_spark(spark, c)
     root = tempfile.mkdtemp(prefix="er_state_")
     try:
-        ResumableERPipeline(root).run(spark, docs, pattern=r"[a-z]{2,}")
+        ResumableERPipeline(root).run(spark, docs)
         resumed = ResumableERPipeline(root)
-        out = resumed.run(spark, docs, pattern=r"[a-z]{2,}")
+        out = resumed.run(spark, docs)
         if not all(m["resumed"] for m in resumed.metrics()):
             raise RuntimeError(
                 "second run did not resume from committed snapshots: "
@@ -1226,6 +1236,50 @@ def q_er_resume_pipeline(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def _resume_fixture_mentions() -> list[tuple[str, str, str]]:
+    """(doc_id, mention_id, normalized) — the deterministic mention
+    universe of the seed-42 corpus, produced by the same regex engine,
+    normalizer, and mention_id construction (doc:span_offset:start)
+    the extraction kernel uses (operators/entities._mention_rows_gen)."""
+    import re
+
+    from .. import corpus as corpus_mod
+    from ..operators.entities import MENTION_PATTERN
+
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    pat = re.compile(MENTION_PATTERN)
+    rows = []
+    for doc_id, spans in c.docs:
+        for kind, text, _mr, off in spans:
+            if kind != "text" or not text:
+                continue
+            for m in pat.finditer(text):
+                n = N.normalize_py(m.group(0))
+                if n:
+                    rows.append((doc_id, f"{doc_id}:{off}:{m.start()}", n))
+    return rows
+
+
+def _sql_er_resume_pipeline() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    m_vals = ", ".join(
+        "('" + d + "', '" + mid + "', '" + nm.replace("'", "''") + "')"
+        for d, mid, nm in _resume_fixture_mentions()
+    )
+    return f"""
+with recursive {cluster_ctes(names)},
+mentions(doc_id, mention_id, normalized) as (values {m_vals})
+select m.doc_id, m.mention_id, m.normalized,
+       coalesce(c.cluster, m.normalized) as cluster
+from mentions m left join clusters c on c.node = m.normalized
+"""
+
+
+# (constant assigned after _name_f1_fixture's definition below)
 
 
 # --- P6 + R10 linked: entity projection whose entityId IS the resolution
@@ -1378,6 +1432,7 @@ agg as (select
 
 
 SQL_ER_NAME_F1 = _sql_er_name_f1()
+SQL_ER_RESUME_PIPELINE = _sql_er_resume_pipeline()
 
 
 # --- incremental resolution: resolve the corpus in two batches — full
@@ -1770,6 +1825,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_redact": SQL_TEXT_REDACT,
     "stream_enrich": SQL_STREAM_ENRICH,
+    "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
     "er_name_search": SQL_ER_NAME_SEARCH,
     "er_name_f1": SQL_ER_NAME_F1,
