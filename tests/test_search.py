@@ -1,6 +1,9 @@
 """Fuzzy name search over the blocking index (plans/search.py)."""
 
-from rosette_elasticsearch_plugin_spark.plans.search import search_names
+from rosette_elasticsearch_plugin_spark.plans.search import (
+    build_block_index,
+    search_names,
+)
 
 
 def _run(spark, queries, names, **kw):
@@ -35,3 +38,34 @@ def test_search_respects_threshold_and_k(spark):
     assert got["ghost busters"][0][0] in ("ghost busters", "ghostbusters")
     strict = _run(spark, ["dan akroid"], CORPUS, threshold=0.99)
     assert "dan akroid" not in strict  # typo score < 0.99
+
+
+def test_search_from_committed_block_index(spark, tmp_path):
+    """The scale path: build the block index ONCE, commit it to a
+    SnapshotTable bucketed by block_key, then serve queries from the
+    committed snapshot — no corpus names/text touched at query time,
+    and results identical to the recompute path."""
+    from rosette_elasticsearch_plugin_spark.sources.table_io import (
+        SnapshotTable,
+    )
+
+    names = spark.createDataFrame([(s,) for s in CORPUS], "name string")
+    table = SnapshotTable(str(tmp_path / "block_index"))
+    table.commit(
+        build_block_index(names), "block_index", buckets=("block_key", 4)
+    )
+
+    served = table.read(spark).drop("__bucket")
+    q = spark.createDataFrame(
+        [("dan akroid",), ("vladimir putin",)], "query string"
+    )
+    got = {
+        (r["query"], r["rank"]): (r["name"], r["score"])
+        for r in search_names(q, name_index=served).collect()
+    }
+    want = {
+        (r["query"], r["rank"]): (r["name"], r["score"])
+        for r in search_names(q, names).collect()
+    }
+    assert got == want
+    assert got[("dan akroid", 1)][0] == "dan aykroyd"
