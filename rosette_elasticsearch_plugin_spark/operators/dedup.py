@@ -170,26 +170,49 @@ def candidate_jaccard_scores(
     rows: int = 3,
     seed: int = 42,
     max_bucket: int = DEDUP_MAX_BUCKET,
+    restrict_to_candidates: bool | None = None,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard) for every LSH candidate pair —
-    the unthresholded verification scores."""
+    the unthresholded verification scores.
+
+    ``restrict_to_candidates``: shingle only documents that appear in
+    some candidate pair (semi-join first).  Physical-only choice — the
+    output is identical either way.  Default ``None`` = auto by a cheap
+    crossover estimate (see below)."""
     # candidates are consumed twice (id universe + final join) — pin them
     cands = lsh_candidate_pairs(
         docs, text_col, bands, rows, seed, max_bucket
     ).localCheckpoint(eager=False)
-    # verification shingles are computed ONLY for documents that appear
-    # in some candidate pair (semi-join first): candidates are a tiny
-    # fraction of a 100 TB corpus, and without the restriction the
-    # shingle pass would re-run over the FULL corpus once per join side
-    cand_ids = (
-        cands.select(F.col("doc_id_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_id_b").alias("doc_id")))
-        .distinct()
-    )
-    # shingle once per candidate document and join the arrays — never per pair
+    if restrict_to_candidates is None:
+        # Crossover: the candidate-restriction semi-join pays off only
+        # when candidate docs are a SMALL fraction of the corpus (the
+        # 100 TB design point, where near-dups are rare).  Distinct
+        # candidate ids are bounded by 2·n_pairs, so when 2·n_pairs ≥
+        # n_docs/2 the restriction cannot shrink the shingle pass below
+        # ~half the corpus, while its fixed cost (two extra jobs + a
+        # shuffle join) dominates — exactly the measured +32% at sf0.1
+        # in round 2.  Both counts are cheap: n_pairs counts the
+        # already-needed candidate checkpoint, n_docs is a column-
+        # pruned scan of the (tiny relative to shingling) id column.
+        n_pairs = cands.count()
+        n_docs = docs.count()
+        restrict_to_candidates = 2 * n_pairs < n_docs // 2
+    if restrict_to_candidates:
+        # verification shingles computed ONLY for documents appearing
+        # in some candidate pair: candidates are a tiny fraction of a
+        # 100 TB corpus, and without the restriction the shingle pass
+        # would re-run over the FULL corpus once per join side
+        cand_ids = (
+            cands.select(F.col("doc_id_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("doc_id_b").alias("doc_id")))
+            .distinct()
+        )
+        sh_src = docs.join(cand_ids, "doc_id", "left_semi")
+    else:
+        sh_src = docs
+    # shingle once per document and join the arrays — never per pair
     sh = (
-        docs.join(cand_ids, "doc_id", "left_semi")
-        .select("doc_id", token_shingles_col(F.col(text_col)).alias("__sh"))
+        sh_src.select("doc_id", token_shingles_col(F.col(text_col)).alias("__sh"))
         .localCheckpoint(eager=False)
     )
     j = (
@@ -218,9 +241,12 @@ def near_dup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = DEDUP_MAX_BUCKET,
+    restrict_to_candidates: bool | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
-    scored = candidate_jaccard_scores(docs, text_col, bands, rows, seed, max_bucket)
+    scored = candidate_jaccard_scores(
+        docs, text_col, bands, rows, seed, max_bucket, restrict_to_candidates
+    )
     return scored.where(F.col("jaccard") >= threshold)
 
 
