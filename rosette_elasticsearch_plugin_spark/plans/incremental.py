@@ -59,9 +59,19 @@ def incremental_resolve(
     all_names = old_nodes.unionByName(delta).localCheckpoint(eager=True)
 
     keyed = all_names.select("node", er_key_col(F.col("node")).alias("key"))
-    blocks = all_blocks(keyed, cfg.blocking)
+    # materialized once — candidate_pairs references the block table
+    # several times (same rationale as resolve_names)
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
     pairs = candidate_pairs(
         blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    # precomputed-key join-back (translit once per name, not per pair)
+    pairs = pairs.join(
+        keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a")),
+        "node_a",
+    ).join(
+        keyed.select(F.col("node").alias("node_b"), F.col("key").alias("key_b")),
+        "node_b",
     )
     # keep only pairs with at least one new side — BEFORE the scoring
     # hop, so the Python/Arrow cost is delta-proportional
@@ -87,8 +97,8 @@ def incremental_resolve(
     scored = score_pairs(
         p,
         cfg=cfg.scoring,
-        key_a=er_key_col(F.col("node_a")),
-        key_b=er_key_col(F.col("node_b")),
+        key_a=F.col("key_a"),
+        key_b=F.col("key_b"),
     )
     new_edges = match_edges(scored, cfg.scoring).select("node_a", "node_b")
     star = prior_clusters.where(F.col("node") != F.col("cluster")).select(

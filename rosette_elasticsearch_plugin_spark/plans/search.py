@@ -39,7 +39,9 @@ def build_block_index(names: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame
     lookup over index-time enrichment (``docker/test.sh:184-193``)."""
     n = names.select(F.col(names.columns[0]).alias("node")).distinct()
     keyed = n.select("node", er_key_col(F.col("node")).alias("key"))
-    nb = all_blocks(keyed, cfg.blocking)
+    # materialized once: the size aggregate and the size-filter join
+    # both reference nb (same rationale as resolve_names' block table)
+    nb = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
     sizes = nb.groupBy("block_key").agg(F.count("*").alias("__n"))
     nb = nb.join(
         sizes.where(F.col("__n") <= cfg.max_block_size), "block_key"
