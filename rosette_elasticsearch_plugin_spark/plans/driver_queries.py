@@ -105,7 +105,10 @@ def _token_band_keys_sql() -> str:
 
 
 def _token_pairs(tokens: DataFrame) -> DataFrame:
-    keys = _token_band_keys(tokens)
+    # materialized once — the self-join references the banded-key plan
+    # (MinHash over every token) from both sides (physical-only; same
+    # rationale as resolve_names' block-table checkpoint)
+    keys = _token_band_keys(tokens).localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(b, "band_key")
