@@ -213,6 +213,10 @@ def lsh_topk(
     cands = banded_candidates(
         embeddings, tables, max_bucket, id_col=id_col, vec_col=vec_col
     )
+    # materialized before the symmetrizing union: both branches
+    # reference the candidate plan (capped+salted grid join), which
+    # would otherwise be inlined and executed twice
+    cands = cands.localCheckpoint(eager=False)
     # candidates are a<b once; rank needs both directions
     sym = cands.unionByName(
         cands.select(

@@ -1471,6 +1471,71 @@ def _sql_er_incremental() -> str:
 SQL_ER_INCREMENTAL = _sql_er_incremental()
 
 
+# --- incremental + stable relabel: the PRODUCTION id rule.  Min-node
+# labels are batch-equivalent but change when a lexicographically
+# smaller variant joins a cluster; stable_relabel keeps the smallest
+# PRIOR id for components touching prior clusters (merges collapse to
+# the older id) and min-node ids for all-new components.  The oracle
+# resolves batch 1 and the full corpus independently (prefixed
+# cluster_ctes) and applies the same rule in SQL. ---------------------------
+def _fixture_batch_names(lo: int, hi: int) -> list[str]:
+    """Deterministic name universe of corpus docs [lo, hi) — same
+    extraction loop as _name_f1_fixture, restricted by doc index."""
+    import re
+
+    from .. import corpus as corpus_mod
+    from ..operators.entities import MENTION_PATTERN
+
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    pat = re.compile(MENTION_PATTERN)
+    names = set()
+    for doc_id, spans in c.docs:
+        if not (lo <= int(doc_id[3:]) < hi):
+            continue
+        for kind, text, _mr, _off in spans:
+            if kind != "text" or not text:
+                continue
+            for m in pat.finditer(text):
+                n = N.normalize_py(m.group(0))
+                if n:
+                    names.add(n)
+    return sorted(names)
+
+
+def q_er_incremental_stable(spark, sf_dir):
+    from .. import corpus as corpus_mod
+    from ..operators.entities import distinct_mention_names
+    from .er_pipeline import resolve_names
+    from .incremental import incremental_resolve, stable_relabel
+
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    docs_df, _ = corpus_mod.to_spark(spark, c)
+    batch1 = docs_df.where(F.col("doc_id") < "doc00060")
+    batch2 = docs_df.where(F.col("doc_id") >= "doc00060")
+    prior = resolve_names(distinct_mention_names(batch1))
+    newc = incremental_resolve(prior, distinct_mention_names(batch2))
+    return stable_relabel(newc, prior).select("node", "cluster")
+
+
+def _sql_er_incremental_stable() -> str:
+    from .er_oracle import cluster_ctes
+
+    all_names, _truth = _name_f1_fixture()
+    b1 = _fixture_batch_names(0, 60)
+    return f"""
+with recursive {cluster_ctes(b1, prefix="p")},
+{cluster_ctes(all_names)},
+m as (select f.cluster as c, min(p.cluster) as stable_prior
+      from clusters f left join pclusters p on p.node = f.node
+      group by f.cluster)
+select f.node, coalesce(m.stable_prior, f.cluster) as cluster
+from clusters f join m on m.c = f.cluster
+"""
+
+
+SQL_ER_INCREMENTAL_STABLE = _sql_er_incremental_stable()
+
+
 # --- §2.3 search-side: fuzzy name lookup over the blocking index — the
 # batch analogue of querying the enriched/linked fields (same keys, same
 # scorer, same threshold as resolution, reused verbatim). -------------------
@@ -1781,6 +1846,7 @@ QUERIES: dict[str, Callable] = {
     "stream_enrich": q_stream_enrich,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
+    "er_incremental_stable": q_er_incremental_stable,
     "er_name_search": q_er_name_search,
     "er_name_f1": q_er_name_f1,
     "ros_entities_linked": q_ros_entities_linked,
@@ -1830,6 +1896,7 @@ ORACLES: dict[str, str] = {
     "stream_enrich": SQL_STREAM_ENRICH,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
+    "er_incremental_stable": SQL_ER_INCREMENTAL_STABLE,
     "er_name_search": SQL_ER_NAME_SEARCH,
     "er_name_f1": SQL_ER_NAME_F1,
     "ros_entities_linked": SQL_ROS_ENTITIES_LINKED,

@@ -89,30 +89,35 @@ def blocks_ctes(
 )"""
 
 
-def cluster_ctes(names: list[str], cfg: ERConfig = ERConfig()) -> str:
+def cluster_ctes(
+    names: list[str], cfg: ERConfig = ERConfig(), prefix: str = ""
+) -> str:
     """CTE chain ``names → blocks → cpairs → scored → clusters`` over a
     fixed name universe, mirroring ``resolve_names`` value-for-value.
     ``clusters`` yields (node, cluster = min node of the connected
-    component; singletons map to themselves)."""
-    return f"""{blocks_ctes(names, cfg)},
-bsizes as (select block_key, count(*) as n from blocks group by block_key),
-cpairs as (select distinct a.node as node_a, b.node as node_b
-           from blocks a join blocks b using (block_key)
-                         join bsizes s using (block_key)
+    component; singletons map to themselves).  ``prefix`` lets two
+    independent resolutions (e.g. a prior batch and the full corpus)
+    coexist in one statement, like ``blocks_ctes``."""
+    p = prefix
+    return f"""{blocks_ctes(names, cfg, prefix=p)},
+{p}bsizes as (select block_key, count(*) as n from {p}blocks group by block_key),
+{p}cpairs as (select distinct a.node as node_a, b.node as node_b
+           from {p}blocks a join {p}blocks b using (block_key)
+                         join {p}bsizes s using (block_key)
            where s.n <= {cfg.max_block_size} and a.node < b.node),
-scored as (select node_a, node_b,
+{p}scored as (select node_a, node_b,
                   {score_sql('ka.key', 'kb.key', cfg.scoring)} as score
-           from cpairs join names ka on ka.node = cpairs.node_a
-                       join names kb on kb.node = cpairs.node_b),
-medges as (select node_a, node_b from scored
+           from {p}cpairs join {p}names ka on ka.node = {p}cpairs.node_a
+                       join {p}names kb on kb.node = {p}cpairs.node_b),
+{p}medges as (select node_a, node_b from {p}scored
            where score >= {cfg.scoring.threshold}),
-eedges as (select node_a as u, node_b as v from medges
-           union all select node_b as u, node_a as v from medges),
-reach(u, v) as (select u, v from eedges
+{p}eedges as (select node_a as u, node_b as v from {p}medges
+           union all select node_b as u, node_a as v from {p}medges),
+{p}reach(u, v) as (select u, v from {p}eedges
                 union
-                select r.u, e.v from reach r join eedges e on r.v = e.u),
-clusters as (select n.node,
+                select r.u, e.v from {p}reach r join {p}eedges e on r.v = e.u),
+{p}clusters as (select n.node,
                     least(n.node, coalesce(min(r.v), n.node)) as cluster
-             from names n left join reach r on r.u = n.node
+             from {p}names n left join {p}reach r on r.u = n.node
              group by n.node)
 """

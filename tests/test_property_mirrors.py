@@ -86,6 +86,53 @@ def test_translit_three_way(spark, s):
 
 
 @SET
+@given(s=st.text(alphabet=NAME_ALPHABET + "ёшщчж", min_size=0, max_size=40))
+def test_sentiment_three_way(spark, s):
+    """The flat-entities kernel computes per-entity sentiment in Python
+    (sentiment_py, re.ASCII); it must agree with the JVM column
+    expression and the DuckDB mirror on arbitrary text incl. Cyrillic
+    word-boundary edge cases."""
+    from rosette_elasticsearch_plugin_spark.functions.textstats import (
+        sentiment_col,
+        sentiment_py,
+        sentiment_sql,
+    )
+
+    # seed sentiment-bearing words into the soup so all three branches
+    # (pos/neg/neu) are exercised, not just neu
+    for probe in (s, f"love {s}", f"{s} hated", f"love {s} bad"):
+        got_py = sentiment_py(probe)
+        got_spark = spark.createDataFrame([(probe,)], "v string").select(
+            sentiment_col(F.col("v")).alias("o")
+        ).collect()[0]["o"]
+        got_duck = _duck_one(
+            f"select {sentiment_sql('v')} from t", t=probe
+        )[0]
+        assert got_spark == got_duck == got_py, repr(probe)
+
+
+@SET
+@given(s=names)
+def test_transliterate_display_three_way(spark, s):
+    """Display-form transliteration (collapse + initcap): the kernel's
+    Python mirror vs the JVM column vs the DuckDB mirror."""
+    from rosette_elasticsearch_plugin_spark.operators.name_translation import (
+        transliterate_cyr_col,
+        transliterate_cyr_py,
+        transliterate_cyr_sql,
+    )
+
+    got_py = transliterate_cyr_py(s)
+    got_spark = spark.createDataFrame([(s,)], "v string").select(
+        transliterate_cyr_col(F.col("v")).alias("o")
+    ).collect()[0]["o"]
+    got_duck = _duck_one(
+        f"select {transliterate_cyr_sql('v')} from t", t=s
+    )[0]
+    assert got_spark == got_duck == got_py, repr(s)
+
+
+@SET
 @given(s=st.text(
     alphabet="abcDEF@.:/+()- 0123456789\nhttps", min_size=0, max_size=40
 ))
