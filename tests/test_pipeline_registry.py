@@ -234,6 +234,77 @@ def test_flat_entities_stage_shuffle_free_and_path_parity(spark):
         assert got[d] == want.get(d), f"doc {d}: {got[d]} != {want.get(d)}"
 
 
+def test_flat_entities_random_soup_parity(spark):
+    """Seeded random-text parity between the single-pass kernel and the
+    interleaved path: 60 docs of mixed Latin/Cyrillic/punctuation soup
+    with planted dictionary names, all option flags on.  One Spark job
+    per path — broad coverage without per-example job overhead."""
+    import random
+
+    from rosette_elasticsearch_plugin_spark.operators.entities import (
+        entities_flat_stage,
+        entities_stage,
+    )
+
+    rng = random.Random(7)
+    words = (
+        "alpha Bravo charlie Дмитрий Петров delta O'Neil J. K. Rowling "
+        "great terrible the Ghostbusters Владимир Путин love hated x-ray "
+        "écho Ñandú zeta 42 . , ! ?"
+    ).split(" ")
+    texts = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    gaz = [
+        ("дмитрий петров", "PERSON"),
+        ("владимир путин", "PERSON"),
+        ("ghostbusters", "PRODUCT"),
+        ("bravo", "LOCATION"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    cfg_dict = {
+        "field": "text",
+        "include_offsets": True,
+        "include_translation": True,
+        "include_sentiment": True,
+        "gazetteer": gaz,
+    }
+    flat_out = entities_flat_stage(
+        spark, StageConfig(field="text", target_field="ros_entities"), cfg_dict
+    )(df)
+    docs = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    gaz_df = spark.createDataFrame(gaz, "normalized string, type string")
+    cfg = EntitiesConfig(
+        include_offsets=True, include_translation=True, include_sentiment=True
+    )
+    ref = entities_stage(docs, gaz_df, None, cfg).select(
+        "doc_id", "ros_entities"
+    )
+
+    def as_plain(rows):
+        return {
+            str(r["doc_id"]): None
+            if r["ros_entities"] is None
+            else [e.asDict(recursive=True) for e in r["ros_entities"]]
+            for r in rows
+        }
+
+    got = as_plain(flat_out.select("doc_id", "ros_entities").collect())
+    want = as_plain(ref.collect())
+    assert got == want
+
+
 def test_ignore_failure_flag(spark):
     """ES's per-processor ignore_failure: failures swallowed, row
     continues with null target and NO error (distinct from on_failure
