@@ -229,9 +229,16 @@ def extract_mentions(
     )
     m = m.withColumn("source", F.lit("statistical"))
     if gazetteer is not None:
-        gaz = gazetteer.select(
-            F.col(gazetteer.columns[0]).alias("normalized"),
-            F.col(gazetteer.columns[1]).alias("type"),
+        gaz = (
+            gazetteer.select(
+                F.col(gazetteer.columns[0]).alias("normalized"),
+                F.col(gazetteer.columns[1]).alias("type"),
+            )
+            # one row per name: a duplicate-key gazetteer must type the
+            # mention, not multiply it through the join (min(type) is
+            # the deterministic pick, mirrored by the flat kernel)
+            .groupBy("normalized")
+            .agg(F.min("type").alias("type"))
         )
         m = m.join(F.broadcast(gaz), "normalized", "left").withColumn(
             "type", F.coalesce("type", F.lit("MISC"))
@@ -571,7 +578,10 @@ def flat_entities_udf(
 
     Null/empty text and zero-mention text both yield NULL (guard 2
     passthrough semantics, identical to the join-path's left join)."""
-    gaz = dict(gazetteer_rows or [])
+    gaz: dict[str, str] = {}
+    for n_, t_ in gazetteer_rows or []:
+        # min(type) per name — same dedupe rule as extract_mentions
+        gaz[n_] = min(gaz[n_], t_) if n_ in gaz else t_
     xlat = _xlat_lookup(cfg) if cfg.include_translation else None
     w = int(cfg.sentiment_window)
     inc_off, inc_tr, inc_sent = (

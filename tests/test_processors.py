@@ -127,6 +127,24 @@ def test_entities_sentiment_flag(spark):
     assert by_id["Q105221"]["sentiment"] == "pos"  # "praised ... great"
 
 
+def test_entities_duplicate_gazetteer_rows_do_not_multiply(spark):
+    """A gazetteer with two rows for one name must TYPE the mention
+    (deterministic min(type)), never duplicate it through the broadcast
+    join — counts and entity rows stay identical to the unique-key
+    dictionary."""
+    dup_gaz = GAZETTEER + [("dan aykroyd", "ZPERSON")]  # dup key, loses to PERSON
+    gaz = spark.createDataFrame(dup_gaz, "normalized string, type string")
+    eids = spark.createDataFrame(ENTITY_IDS, "normalized string, entityId string")
+    ents = entities_stage(_gb_docs(spark), gaz, eids, EntitiesConfig()).collect()[
+        0
+    ]["ros_entities"]
+    by_id = {e["entityId"]: e for e in ents}
+    ids = [e["entityId"] for e in ents]
+    assert len(ids) == len(set(ids))
+    assert by_id["Q105221"]["count"] == 2       # not inflated by the dup row
+    assert by_id["Q105221"]["type"] == "PERSON"  # min(type) pick
+
+
 def test_entities_translation_typed_beats_wildcard(spark):
     """A dictionary carrying BOTH a typed and a wildcard
     (entity_type=None) row for the same name must yield exactly ONE
