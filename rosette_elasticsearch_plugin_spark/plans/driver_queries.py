@@ -1241,11 +1241,18 @@ def q_er_resume_pipeline(spark, sf_dir):
     return out
 
 
-def _resume_fixture_mentions() -> list[tuple[str, str, str]]:
-    """(doc_id, mention_id, normalized) — the deterministic mention
-    universe of the seed-42 corpus, produced by the same regex engine,
-    normalizer, and mention_id construction (doc:span_offset:start)
-    the extraction kernel uses (operators/entities._mention_rows_gen)."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _corpus_mention_rows(lo: int = 0, hi: int = 120) -> tuple:
+    """(doc_id, mention_id, normalized) for seed-42 corpus docs in
+    [lo, hi) — the ONE implementation of the fixture extraction walk
+    (same regex engine, normalizer, and mention_id construction
+    doc:span_offset:start as the mapInPandas kernel,
+    operators/entities._mention_rows_gen).  Shared by the resume,
+    name-F1, incremental and stable-relabel oracles so a change to
+    extraction semantics is mirrored exactly once."""
     import re
 
     from .. import corpus as corpus_mod
@@ -1255,6 +1262,8 @@ def _resume_fixture_mentions() -> list[tuple[str, str, str]]:
     pat = re.compile(MENTION_PATTERN)
     rows = []
     for doc_id, spans in c.docs:
+        if not (lo <= int(doc_id[3:]) < hi):
+            continue
         for kind, text, _mr, off in spans:
             if kind != "text" or not text:
                 continue
@@ -1262,7 +1271,11 @@ def _resume_fixture_mentions() -> list[tuple[str, str, str]]:
                 n = N.normalize_py(m.group(0))
                 if n:
                     rows.append((doc_id, f"{doc_id}:{off}:{m.start()}", n))
-    return rows
+    return tuple(rows)
+
+
+def _resume_fixture_mentions() -> list[tuple[str, str, str]]:
+    return list(_corpus_mention_rows())
 
 
 def _sql_er_resume_pipeline() -> str:
@@ -1388,23 +1401,12 @@ SQL_ROS_ENTITIES_LINKED = _sql_ros_entities_linked()
 # mirrors the whole resolution stack in SQL (er_oracle.py); the ≥0.99
 # bar itself is asserted in tests/test_resolution. ---------------------------
 def _name_f1_fixture() -> tuple[list[str], list[tuple]]:
-    import re
-
     from .. import corpus as corpus_mod
-    from ..operators.entities import MENTION_PATTERN
 
     c = corpus_mod.generate(n_docs=120, seed=42)
-    pat = re.compile(MENTION_PATTERN)
-    names = set()
-    for _doc_id, spans in c.docs:
-        for kind, text, _mr, _off in spans:
-            if kind == "text" and text:
-                for m in pat.finditer(text):
-                    n = N.normalize_py(m.group(0))
-                    if n:
-                        names.add(n)
+    names = sorted({nm for _d, _m, nm in _corpus_mention_rows()})
     truth = [(r[1], r[8], r[5]) for r in c.mentions]
-    return sorted(names), truth
+    return names, truth
 
 
 def _sql_er_name_f1() -> str:
@@ -1479,27 +1481,8 @@ SQL_ER_INCREMENTAL = _sql_er_incremental()
 # resolves batch 1 and the full corpus independently (prefixed
 # cluster_ctes) and applies the same rule in SQL. ---------------------------
 def _fixture_batch_names(lo: int, hi: int) -> list[str]:
-    """Deterministic name universe of corpus docs [lo, hi) — same
-    extraction loop as _name_f1_fixture, restricted by doc index."""
-    import re
-
-    from .. import corpus as corpus_mod
-    from ..operators.entities import MENTION_PATTERN
-
-    c = corpus_mod.generate(n_docs=120, seed=42)
-    pat = re.compile(MENTION_PATTERN)
-    names = set()
-    for doc_id, spans in c.docs:
-        if not (lo <= int(doc_id[3:]) < hi):
-            continue
-        for kind, text, _mr, _off in spans:
-            if kind != "text" or not text:
-                continue
-            for m in pat.finditer(text):
-                n = N.normalize_py(m.group(0))
-                if n:
-                    names.add(n)
-    return sorted(names)
+    """Deterministic name universe of corpus docs [lo, hi)."""
+    return sorted({nm for _d, _m, nm in _corpus_mention_rows(lo, hi)})
 
 
 def q_er_incremental_stable(spark, sf_dir):

@@ -85,11 +85,14 @@ class IcebergSnapshotTable:
     ) -> Snapshot:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        # caller metrics ride under an "m." prefix so read-back can
+        # separate them from Iceberg/Spark-stamped summary entries
+        # (app-id, engine-name, operation, total-records, ...)
         writer = df.writeTo(self.table).option(
             "snapshot-property.stage", stage
         )
         for k, v in (metrics or {}).items():
-            writer = writer.option(f"snapshot-property.{k}", str(v))
+            writer = writer.option(f"snapshot-property.m.{k}", str(v))
         if buckets is not None or partition_by:
             from pyspark.sql import functions as F
 
@@ -126,24 +129,41 @@ class IcebergSnapshotTable:
             f"select snapshot_id, parent_id, summary from "
             f"{self.table}.snapshots order by committed_at"
         ).collect()
+        # deterministic order: walk the parent chain (committed_at has
+        # millisecond resolution — two tiny commits can tie, and the
+        # SQL order between ties is arbitrary).  Snapshot history is
+        # linear here (single writer per table); fall back to the
+        # committed_at order if the chain is broken (e.g. expired
+        # snapshots).
+        by_parent = {r["parent_id"]: r for r in rows}
+        ordered, seen, cur = [], set(), None
+        while cur in by_parent and by_parent[cur]["snapshot_id"] not in seen:
+            r = by_parent[cur]
+            ordered.append(r)
+            seen.add(r["snapshot_id"])
+            cur = r["snapshot_id"]
+        if len(ordered) != len(rows):
+            ordered = rows
         out = []
-        for r in rows:
+        for r in ordered:
             summary = dict(r["summary"] or {})
             stage = summary.pop("stage", "")
+            # caller metrics are the "m."-prefixed entries we wrote in
+            # commit(); everything else is engine metadata
             metrics = {
-                k: _num(v)
-                for k, v in summary.items()
-                if not k.startswith(("total-", "added-", "removed-", "changed-",
-                                     "deleted-", "spark."))
+                k[2:]: _num(v) for k, v in summary.items() if k.startswith("m.")
             }
             out.append(
                 Snapshot(
                     snapshot_id=r["snapshot_id"],
                     parent_id=r["parent_id"],
                     stage=stage,
+                    # per-COMMIT lineage, matching the emulation's
+                    # per-snapshot semantics (the cumulative table
+                    # totals live in 'total-*')
                     files=[
-                        {"path": "", "rows": int(summary.get("total-records", 0)),
-                         "bytes": int(summary.get("total-files-size", 0))}
+                        {"path": "", "rows": int(summary.get("added-records", 0)),
+                         "bytes": int(summary.get("added-files-size", 0))}
                     ],
                     metrics=metrics,
                     schema_json=json.dumps({}),

@@ -19,11 +19,18 @@ from rosette_elasticsearch_plugin_spark.sources.iceberg_io import (
 
 
 @pytest.fixture()
-def iceberg_table(spark, tmp_path):
+def iceberg_table(spark, tmp_path_factory, request):
     if not iceberg_available(spark):
         pytest.skip("no Iceberg runtime jar on the session classpath")
-    ensure_local_catalog(spark, "local_ice", str(tmp_path / "warehouse"))
-    return IcebergSnapshotTable(spark, "local_ice.db.seam_contract")
+    # ONE warehouse for the whole session: Spark caches catalog plugins
+    # per session, so a per-test warehouse path would silently be
+    # ignored after the first test; isolation comes from a UNIQUE table
+    # name per test instead
+    ensure_local_catalog(
+        spark, "local_ice", str(tmp_path_factory.getbasetemp() / "ice_wh")
+    )
+    tname = "".join(c if c.isalnum() else "_" for c in request.node.name)
+    return IcebergSnapshotTable(spark, f"local_ice.db.{tname}")
 
 
 def _df(spark, rows):
