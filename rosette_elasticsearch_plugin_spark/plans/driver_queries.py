@@ -734,20 +734,37 @@ vecs as (select vec_id as vid, embedding as v from embeddings)
 def q_dedup_embedding(spark, sf_dir):
     e = _emb(spark, sf_dir)
     cands = ann.banded_candidates(e, hot_block_mode="star")
-    v = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    # norm once per vector below the pair joins (ann.norm_col)
+    v = e.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        ann.norm_col(F.col("embedding")).alias("n"),
+    )
     out = (
         cands.join(
-            v.withColumnRenamed("vid", "node_a").withColumnRenamed("v", "va"),
+            v.select(
+                F.col("vid").alias("node_a"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
             "node_a",
         )
         .join(
-            v.withColumnRenamed("vid", "node_b").withColumnRenamed("v", "vb"),
+            v.select(
+                F.col("vid").alias("node_b"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
             "node_b",
         )
         .select(
             F.col("node_a").alias("vec_id_a"),
             F.col("node_b").alias("vec_id_b"),
-            ann.cosine_col(F.col("va"), F.col("vb")).alias("cosine"),
+            ann.cosine_from_norms_col(
+                ann.pair_dot_col(F.col("va"), F.col("vb")),
+                F.col("na"),
+                F.col("nb"),
+            ).alias("cosine"),
         )
     )
     return out.where(F.col("cosine") >= EMB_DUP_TAU)
