@@ -86,20 +86,20 @@ DEDUP_MAX_BUCKET = 1000
 DEDUP_N_SALT, DEDUP_SALT_THRESHOLD = 8, 64
 
 
-def lsh_candidate_pairs(
+def band_key_table(
     docs: DataFrame,
     text_col: str = "text",
     bands: int = 4,
     rows: int = 3,
     seed: int = 42,
-    max_bucket: int = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
-    """Candidate near-dup pairs from banded MinHash buckets.
-
-    Scale shape: explode to (doc_id, band_key), self-join on band_key
-    through the capped+salted grid join (resolution/pairs.py) — the
-    shuffle key is the bucket, work is proportional to capped bucket
-    sizes, never |docs|²."""
+    """(doc_id, band_key) — the exploded LSH band table, materialized
+    once (lazy ``localCheckpoint``).  At warehouse scale this is "write
+    the signature table" — every downstream consumer (sizes aggregate,
+    both self-join sides, the crossover row count) reads the
+    materialized table instead of re-evaluating the shingle→md5→MinHash
+    chain.  Docs whose text yields no shingles (null/empty) produce a
+    null signature and drop out at the explode."""
     params = minhash_params(bands * rows, seed)
     hashed = docs.select(
         "doc_id",
@@ -117,11 +117,27 @@ def lsh_candidate_pairs(
         "doc_id",
         F.explode(lsh_band_keys_col(F.col("sig"), bands, rows)).alias("band_key"),
     )
-    # materialize the banded keys once: the sizes aggregate and the two
-    # join sides otherwise each re-evaluate the whole shingle→md5→
-    # MinHash chain.  At warehouse scale this is "write the signature
-    # table, self-join the table" — the standard LSH shape.
-    keys = keys.localCheckpoint(eager=False)
+    return keys.localCheckpoint(eager=False)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 3,
+    seed: int = 42,
+    max_bucket: int = DEDUP_MAX_BUCKET,
+    keys: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash buckets.
+
+    Scale shape: explode to (doc_id, band_key), self-join on band_key
+    through the capped+salted grid join (resolution/pairs.py) — the
+    shuffle key is the bucket, work is proportional to capped bucket
+    sizes, never |docs|².  ``keys``: a prebuilt :func:`band_key_table`
+    (avoids rebuilding it when the caller also consumes it)."""
+    if keys is None:
+        keys = band_key_table(docs, text_col, bands, rows, seed)
     from ..resolution.pairs import candidate_pairs
 
     return candidate_pairs(
@@ -179,9 +195,12 @@ def candidate_jaccard_scores(
     some candidate pair (semi-join first).  Physical-only choice — the
     output is identical either way.  Default ``None`` = auto by a cheap
     crossover estimate (see below)."""
+    # the band table feeds the pair join AND the crossover count — one
+    # materialization for both
+    keys = band_key_table(docs, text_col, bands, rows, seed)
     # candidates are consumed twice (id universe + final join) — pin them
     cands = lsh_candidate_pairs(
-        docs, text_col, bands, rows, seed, max_bucket
+        docs, text_col, bands, rows, seed, max_bucket, keys=keys
     ).localCheckpoint(eager=False)
     if restrict_to_candidates is None:
         # Crossover: the candidate-restriction semi-join pays off only
@@ -191,11 +210,15 @@ def candidate_jaccard_scores(
         # n_docs/2 the restriction cannot shrink the shingle pass below
         # ~half the corpus, while its fixed cost (two extra jobs + a
         # shuffle join) dominates — exactly the measured +32% at sf0.1
-        # in round 2.  Both counts are cheap: n_pairs counts the
-        # already-needed candidate checkpoint, n_docs is a column-
-        # pruned scan of the (tiny relative to shingling) id column.
+        # in round 2.  Both counts read MATERIALIZED tables: n_pairs
+        # the candidate checkpoint, n_docs the band-table checkpoint
+        # (rows = bands per signed doc) — never a re-execution of
+        # docs' upstream lineage, which may be an arbitrarily expensive
+        # enrichment chain.  Docs with no signature (null/empty text)
+        # are missing from the estimate; the heuristic is physical-only
+        # and such docs can't appear in a candidate pair anyway.
         n_pairs = cands.count()
-        n_docs = docs.count()
+        n_docs = keys.count() // bands
         restrict_to_candidates = 2 * n_pairs < n_docs // 2
     if restrict_to_candidates:
         # verification shingles computed ONLY for documents appearing

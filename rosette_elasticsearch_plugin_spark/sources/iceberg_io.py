@@ -67,10 +67,16 @@ class IcebergSnapshotTable:
         self.table = table
 
     def _exists(self) -> bool:
+        # only a missing-table analysis error means "absent" — a
+        # transient read failure must NOT be swallowed (commit() would
+        # then report a successful write as table-creation, or
+        # history() would silently return [] and mask real snapshots)
+        from pyspark.errors import AnalysisException
+
         try:
             self.spark.read.table(self.table)
             return True
-        except Exception:
+        except AnalysisException:
             return False
 
     # -- commit / read -------------------------------------------------------
@@ -87,12 +93,16 @@ class IcebergSnapshotTable:
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         # caller metrics ride under an "m." prefix so read-back can
         # separate them from Iceberg/Spark-stamped summary entries
-        # (app-id, engine-name, operation, total-records, ...)
+        # (app-id, engine-name, operation, total-records, ...).  Values
+        # are JSON-encoded so the read-back preserves the caller's type
+        # exactly — ResumableERPipeline compares its resume fingerprint
+        # (a hex STRING) by equality, and a float-coercing round-trip
+        # would silently defeat that check for all-digit fingerprints.
         writer = df.writeTo(self.table).option(
             "snapshot-property.stage", stage
         )
         for k, v in (metrics or {}).items():
-            writer = writer.option(f"snapshot-property.m.{k}", str(v))
+            writer = writer.option(f"snapshot-property.m.{k}", json.dumps(v))
         if buckets is not None or partition_by:
             from pyspark.sql import functions as F
 
@@ -111,7 +121,16 @@ class IcebergSnapshotTable:
             # stage tables are whole-table overwrites (each pipeline
             # stage owns its table), so replace content atomically
             writer.createOrReplace()
-        return self.current_snapshot()
+        snap = self.current_snapshot()
+        if snap is None:
+            # the write succeeded but no snapshot is visible — surface
+            # it rather than returning None against the -> Snapshot
+            # contract (state.py dereferences snap.snapshot_id)
+            raise RuntimeError(
+                f"commit to {self.table} succeeded but no snapshot is "
+                f"visible in {self.table}.snapshots"
+            )
+        return snap
 
     def read(
         self, spark: SparkSession, snapshot_id: int | None = None
@@ -151,7 +170,9 @@ class IcebergSnapshotTable:
             # caller metrics are the "m."-prefixed entries we wrote in
             # commit(); everything else is engine metadata
             metrics = {
-                k[2:]: _num(v) for k, v in summary.items() if k.startswith("m.")
+                k[2:]: _metric(v)
+                for k, v in summary.items()
+                if k.startswith("m.")
             }
             out.append(
                 Snapshot(
@@ -182,8 +203,11 @@ class IcebergSnapshotTable:
         return None
 
 
-def _num(v: str):
+def _metric(v: str):
+    """Invert commit()'s json.dumps — type-exact round-trip.  The plain
+    fallback keeps snapshots written by older builds (bare str(v))
+    readable."""
     try:
-        return float(v)
+        return json.loads(v)
     except (TypeError, ValueError):
         return v

@@ -163,105 +163,20 @@ def test_translation_param_matrix(spark):
     assert _xlat(spark, "Дмитрий Петров") == "Dmitriy Petrov"
 
 
-def test_flat_entities_stage_shuffle_free_and_path_parity(spark):
-    """The flat-field ros_entities stage computes the per-doc entity
-    array inside ONE Arrow pass: (a) its physical plan contains no
-    Exchange, (b) its output — all option flags on — is value-identical
-    to the interleaved-span path (extract → groupBy → project → join)."""
+def _flat_vs_interleaved(spark, texts, gaz):
+    """Run BOTH ros_entities paths — the single-pass flat-field kernel
+    and the interleaved-span pipeline (extract → groupBy → project →
+    join) — over the same (doc_id, text) rows with all option flags on.
+    Returns (flat_out_df, got, want): the flat stage's output DataFrame
+    plus both results as {doc_id: [entity dicts] | None}.  The ONE
+    canonical harness for kernel/path parity — any change to the
+    invocation shape (a new EntitiesConfig flag, a spans schema field)
+    lands here once."""
     from rosette_elasticsearch_plugin_spark.operators.entities import (
         entities_flat_stage,
         entities_stage,
     )
 
-    texts = [
-        (1, "Dan Aykroyd praised the great Ghostbusters. Dan Aykroyd "
-            "laughed. Владимир Путин hated the terrible weather."),
-        (2, "Дмитрий Петров met J. Svensson."),   # translit fallback
-        (3, "nothing capitalized here"),          # no mentions → NULL
-        (4, ""),                                  # empty → NULL
-        (5, None),                                # null → NULL
-    ]
-    gaz = [
-        ("dan aykroyd", "PERSON"),
-        ("ghostbusters", "PRODUCT"),
-        ("владимир путин", "PERSON"),
-        ("дмитрий петров", "PERSON"),  # no dict row → translit fallback
-    ]
-    df = spark.createDataFrame(texts, "doc_id long, text string")
-    cfg_dict = {
-        "field": "text",
-        "include_offsets": True,
-        "include_translation": True,
-        "include_sentiment": True,
-        "gazetteer": gaz,
-    }
-    flat_out = entities_flat_stage(
-        spark, StageConfig(field="text", target_field="ros_entities"), cfg_dict
-    )(df)
-    plan = flat_out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, f"flat stage must not shuffle:\n{plan}"
-
-    docs = df.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.col("text").alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-                F.lit(0).alias("offset"),
-            )
-        ).alias("spans"),
-    )
-    gaz_df = spark.createDataFrame(gaz, "normalized string, type string")
-    cfg = EntitiesConfig(
-        include_offsets=True, include_translation=True, include_sentiment=True
-    )
-    ref = entities_stage(docs, gaz_df, None, cfg).select(
-        "doc_id", "ros_entities"
-    )
-
-    def ents_dict(rows, key_cast=str):
-        return {
-            key_cast(r["doc_id"]): None
-            if r["ros_entities"] is None
-            else [e.asDict(recursive=True) for e in r["ros_entities"]]
-            for r in rows
-        }
-
-    got = ents_dict(flat_out.select("doc_id", "ros_entities").collect())
-    want = ents_dict(ref.collect())
-    for d in map(str, range(1, 6)):
-        assert got[d] == want.get(d), f"doc {d}: {got[d]} != {want.get(d)}"
-
-
-def test_flat_entities_random_soup_parity(spark):
-    """Seeded random-text parity between the single-pass kernel and the
-    interleaved path: 60 docs of mixed Latin/Cyrillic/punctuation soup
-    with planted dictionary names, all option flags on.  One Spark job
-    per path — broad coverage without per-example job overhead."""
-    import random
-
-    from rosette_elasticsearch_plugin_spark.operators.entities import (
-        entities_flat_stage,
-        entities_stage,
-    )
-
-    rng = random.Random(7)
-    words = (
-        "alpha Bravo charlie Дмитрий Петров delta O'Neil J. K. Rowling "
-        "great terrible the Ghostbusters Владимир Путин love hated x-ray "
-        "écho Ñandú zeta 42 . , ! ?"
-    ).split(" ")
-    texts = [
-        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 30))))
-        for i in range(60)
-    ]
-    gaz = [
-        ("дмитрий петров", "PERSON"),
-        ("владимир путин", "PERSON"),
-        ("ghostbusters", "PRODUCT"),
-        ("bravo", "LOCATION"),
-    ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     cfg_dict = {
         "field": "text",
@@ -302,6 +217,59 @@ def test_flat_entities_random_soup_parity(spark):
 
     got = as_plain(flat_out.select("doc_id", "ros_entities").collect())
     want = as_plain(ref.collect())
+    return flat_out, got, want
+
+
+def test_flat_entities_stage_shuffle_free_and_path_parity(spark):
+    """The flat-field ros_entities stage computes the per-doc entity
+    array inside ONE Arrow pass: (a) its physical plan contains no
+    Exchange, (b) its output — all option flags on — is value-identical
+    to the interleaved-span path (extract → groupBy → project → join)."""
+    texts = [
+        (1, "Dan Aykroyd praised the great Ghostbusters. Dan Aykroyd "
+            "laughed. Владимир Путин hated the terrible weather."),
+        (2, "Дмитрий Петров met J. Svensson."),   # translit fallback
+        (3, "nothing capitalized here"),          # no mentions → NULL
+        (4, ""),                                  # empty → NULL
+        (5, None),                                # null → NULL
+    ]
+    gaz = [
+        ("dan aykroyd", "PERSON"),
+        ("ghostbusters", "PRODUCT"),
+        ("владимир путин", "PERSON"),
+        ("дмитрий петров", "PERSON"),  # no dict row → translit fallback
+    ]
+    flat_out, got, want = _flat_vs_interleaved(spark, texts, gaz)
+    plan = flat_out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"flat stage must not shuffle:\n{plan}"
+    for d in map(str, range(1, 6)):
+        assert got[d] == want.get(d), f"doc {d}: {got[d]} != {want.get(d)}"
+
+
+def test_flat_entities_random_soup_parity(spark):
+    """Seeded random-text parity between the single-pass kernel and the
+    interleaved path: 60 docs of mixed Latin/Cyrillic/punctuation soup
+    with planted dictionary names, all option flags on.  One Spark job
+    per path — broad coverage without per-example job overhead."""
+    import random
+
+    rng = random.Random(7)
+    words = (
+        "alpha Bravo charlie Дмитрий Петров delta O'Neil J. K. Rowling "
+        "great terrible the Ghostbusters Владимир Путин love hated x-ray "
+        "écho Ñandú zeta 42 . , ! ?"
+    ).split(" ")
+    texts = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    gaz = [
+        ("дмитрий петров", "PERSON"),
+        ("владимир путин", "PERSON"),
+        ("ghostbusters", "PRODUCT"),
+        ("bravo", "LOCATION"),
+    ]
+    _flat_out, got, want = _flat_vs_interleaved(spark, texts, gaz)
     assert got == want
 
 
