@@ -18,6 +18,12 @@ from pyspark.sql import Column, functions as F
 CYR_MULTI: list[tuple[str, str]] = [
     ("ж", "zh"), ("х", "kh"), ("ц", "ts"), ("ч", "ch"),
     ("ш", "sh"), ("щ", "shch"), ("ю", "yu"), ("я", "ya"), ("ё", "yo"),
+    # ß folds to "ss" here (standard German romanization) because its
+    # CASE mapping diverges across engines — Python upper→"SS", Spark
+    # initcap→"Ss", DuckDB/ICU upper→"ẞ" — so it must never survive to
+    # the display-form title-casing step. Runs after lower(), which
+    # also catches capital "ẞ" input in all three engines.
+    ("ß", "ss"),
 ]
 # ь/ъ at the tail with no counterpart → deleted (translate drops chars
 # beyond the to-string's length, identically in Spark and DuckDB)

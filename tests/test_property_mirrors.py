@@ -5,7 +5,7 @@ gate rests on, probed beyond the hand-picked fixtures."""
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -113,6 +113,8 @@ def test_sentiment_three_way(spark, s):
 
 @SET
 @given(s=names)
+@example(s="ß")  # title-case of sharp-s diverges per engine (SS/Ss/ẞ)
+@example(s="ẞ straße")  # ...unless translit folds it to "ss" first
 def test_transliterate_display_three_way(spark, s):
     """Display-form transliteration (collapse + initcap): the kernel's
     Python mirror vs the JVM column vs the DuckDB mirror."""
