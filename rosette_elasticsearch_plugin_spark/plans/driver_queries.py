@@ -1786,6 +1786,58 @@ where {_STREAM_EMPTY} or {TS.detect_language_sql('text')} is not null
 """
 
 
+# --- §2.5 streaming continuous resolution: the fixture corpus streams in
+# as three micro-batches; each folds its new names into the committed
+# cluster state (incremental_resolve — old×old never re-scored) and
+# commits the full state snapshot.  Because incremental ≡ batch for any
+# split, the final streamed state (min-node labels) must hash-match the
+# FULL-corpus recompute — the same oracle as er_incremental, now
+# covering the streaming path end to end. ----------------------------------------
+def q_stream_incremental_resolve(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .. import corpus as corpus_mod
+    from ..sources.table_io import SnapshotTable
+    from ..streaming.resolve import resolve_stream
+
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    docs_df, _ = corpus_mod.to_spark(spark, c)
+    root = tempfile.mkdtemp(prefix="stream_resolve_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        for i, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+            batch = docs_df.where(
+                (F.col("doc_id") >= f"doc{lo:05d}")
+                & (F.col("doc_id") < f"doc{hi:05d}")
+            )
+            part_dir = os.path.join(root, f"part{i}")
+            batch.coalesce(1).write.parquet(part_dir)
+            (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(in_dir, f"batch-{i}.parquet")
+            shutil.move(src, dst)
+            # strictly increasing mtimes → deterministic file→batch order
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        q = resolve_stream(
+            spark,
+            in_dir,
+            clusters_root=os.path.join(root, "clusters"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            stable_ids=False,  # min-node labels = the oracle-checkable form
+        )
+        q.awaitTermination()
+        out = SnapshotTable(os.path.join(root, "clusters")).read(spark)
+        return out.select("node", "cluster").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_INCREMENTAL_RESOLVE = _sql_er_incremental()
+
+
 # --- P4-pattern broadcast dim join over the star schema -------------------------
 def q_region_customer_counts(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1844,6 +1896,7 @@ QUERIES: dict[str, Callable] = {
     "doc_fingerprint": q_doc_fingerprint,
     "text_redact": q_text_redact,
     "stream_enrich": q_stream_enrich,
+    "stream_incremental_resolve": q_stream_incremental_resolve,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
     "er_incremental_stable": q_er_incremental_stable,
@@ -1894,6 +1947,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_redact": SQL_TEXT_REDACT,
     "stream_enrich": SQL_STREAM_ENRICH,
+    "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
     "er_incremental_stable": SQL_ER_INCREMENTAL_STABLE,

@@ -36,6 +36,34 @@ def flat_docs_schema() -> T.StructType:
     )
 
 
+def checkpoint_run_id(checkpoint_dir: str, cache: list[str]) -> str:
+    """The stream's query id, read from the checkpoint metadata Spark
+    writes at start.  Stable across restarts of the SAME checkpoint (so
+    a replayed batch_id is recognized), fresh when the checkpoint is
+    wiped or relocated (so a new run whose batch ids restart at 0 is
+    NOT mistaken for an already-committed batch — without this,
+    recovery-by-deleting-the-checkpoint silently skipped every new
+    batch as a 'replay')."""
+    if not cache:
+        import json
+        import os
+
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                cache.append(json.load(fh)["id"])
+        except (OSError, KeyError, ValueError):
+            # unreadable checkpoint metadata (remote fs, transient
+            # error): fall back to a per-stream unique id.  That
+            # degrades replay-idempotence to at-least-once for THIS
+            # stream, but a shared constant here would collide labels
+            # ACROSS runs and silently drop new batches as "replays" —
+            # duplicates beat data loss.
+            import uuid
+
+            cache.append(f"u{uuid.uuid4().hex[:12]}")
+    return cache[0]
+
+
 def enrich_stream(
     spark: SparkSession,
     input_dir: str,
@@ -65,31 +93,7 @@ def enrich_stream(
     run_id_cache: list[str] = []
 
     def _run_id() -> str:
-        """The stream's query id, read from the checkpoint metadata
-        Spark writes at start.  Stable across restarts of the SAME
-        checkpoint (so a replayed batch_id is recognized), fresh when
-        the checkpoint is wiped or relocated (so a new run whose batch
-        ids restart at 0 is NOT mistaken for an already-committed batch
-        — without this, recovery-by-deleting-the-checkpoint silently
-        skipped every new batch as a 'replay')."""
-        if not run_id_cache:
-            import json
-            import os
-
-            try:
-                with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-                    run_id_cache.append(json.load(fh)["id"])
-            except (OSError, KeyError, ValueError):
-                # unreadable checkpoint metadata (remote fs, transient
-                # error): fall back to a per-stream unique id.  That
-                # degrades replay-idempotence to at-least-once for THIS
-                # stream, but a shared constant here would collide
-                # labels ACROSS runs and silently drop new batches as
-                # "replays" — duplicates beat data loss.
-                import uuid
-
-                run_id_cache.append(f"u{uuid.uuid4().hex[:12]}")
-        return run_id_cache[0]
+        return checkpoint_run_id(checkpoint_dir, run_id_cache)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a crash between table.commit()

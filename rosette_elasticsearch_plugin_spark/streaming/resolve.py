@@ -1,0 +1,120 @@
+"""Structured-Streaming continuous entity resolution — the production
+composition of the two proven pieces:
+
+* ``streaming/ingest.py``'s micro-batch machinery (readStream →
+  ``foreachBatch`` → idempotent snapshot commits keyed by
+  (query id, batch id)), and
+* ``plans/incremental.py``'s delta-proportional resolution
+  (old×old candidate pairs are never re-scored; the prior clustering
+  enters connected components as star edges).
+
+Each micro-batch of documents folds its NEW distinct names into the
+committed cluster state and commits the complete (node, cluster) table
+as the next snapshot, so:
+
+* the clusters table is *state*, not a log — readers always see one
+  atomic, complete resolution (mode="overwrite" per commit, the
+  reference's index-then-refresh visibility:
+  ``RosetteTextAnalysisPluginIT.java:214-219``);
+* a crash between the table commit and the streaming checkpoint
+  replays the batch, and the (run id, batch id) stage label makes the
+  replay a no-op — exactly-once state visibility on at-least-once
+  delivery;
+* because incremental resolution is batch-equivalent for ANY corpus
+  split (``plans/incremental.py`` docstring — proven by the
+  ``er_incremental`` oracle), the final streamed state with min-node
+  labels equals the full-corpus batch recompute REGARDLESS of how the
+  stream chopped the input into micro-batches.  That makes the whole
+  streaming path DuckDB-oracle-checkable (``stream_incremental_resolve``).
+
+At the 10^12-doc design point this is the daily shape: the delta
+streams in, per-batch cost is delta-proportional (blocking re-keys the
+vocabulary — names-scale, not documents-scale — and only pairs with a
+new side reach the Arrow scoring hop), and the committed state is the
+same bucketed snapshot table the search path serves from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..plans.er_pipeline import ERConfig
+from ..plans.incremental import incremental_resolve, stable_relabel
+from ..sources.table_io import SnapshotTable
+from .ingest import checkpoint_run_id
+
+CLUSTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.StringType()),
+        T.StructField("cluster", T.StringType()),
+    ]
+)
+
+
+def resolve_stream(
+    spark: SparkSession,
+    input_dir: str,
+    clusters_root: str,
+    checkpoint_dir: str,
+    cfg: ERConfig = ERConfig(),
+    schema: T.StructType | None = None,
+    stable_ids: bool = True,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Start a continuous-resolution stream; returns the StreamingQuery.
+
+    input_dir: parquet documents in the north-star shape
+        (doc_id, spans:array<struct<kind,text,media_ref,offset>>).
+    clusters_root: SnapshotTable holding the complete (node, cluster)
+        state; each micro-batch commits the next full state snapshot.
+    stable_ids: apply the production id rule (components touching prior
+        clusters keep the smallest PRIOR id) instead of raw min-node
+        labels.  Min-node labels are batch-equivalent and hence
+        oracle-checkable; stable ids are what downstream references
+        need.  Membership (the partition into clusters) is identical
+        either way — only the label choice differs.
+    """
+    from ..operators.entities import distinct_mention_names
+    from ..schema import DOCUMENTS
+
+    table = SnapshotTable(clusters_root)
+    run_id_cache: list[str] = []
+
+    stream = (
+        spark.readStream.schema(schema or DOCUMENTS)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = checkpoint_run_id(checkpoint_dir, run_id_cache)
+        stage_label = f"resolve-{run_id}-batch-{batch_id}"
+        if table.last_snapshot_for(stage_label) is not None:
+            return  # replayed batch — state already committed
+        prior_snap = table.current_snapshot()
+        if prior_snap is not None:
+            prior = table.read(spark, prior_snap.snapshot_id)
+        else:
+            prior = spark.createDataFrame([], CLUSTERS_SCHEMA)
+        # With an empty prior every candidate pair has a new side and
+        # the star edge set is empty, so batch 0 degenerates to the
+        # full resolve — one code path for bootstrap and steady state.
+        new_names = distinct_mention_names(batch_df)
+        clusters = incremental_resolve(prior, new_names, cfg)
+        if stable_ids:
+            clusters = stable_relabel(clusters, prior)
+        table.commit(
+            clusters.select("node", "cluster"),
+            stage=stage_label,
+            metrics={"batch_id": float(batch_id)},
+            mode="overwrite",
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -74,3 +74,112 @@ def test_stream_resumes_from_checkpoint(spark, dirs):
     assert out.count() == 15
     # and the 5 new docs were processed exactly once
     assert out.where(F.col("doc_id") >= 100).count() == 5
+
+
+# --- continuous resolution: incremental_resolve per micro-batch ------------
+
+
+def _write_corpus_batches(spark, in_dir, ranges, n_docs=60, seed=7):
+    import glob
+    import os
+    import shutil
+
+    from rosette_elasticsearch_plugin_spark import corpus as corpus_mod
+
+    c = corpus_mod.generate(n_docs=n_docs, seed=seed)
+    docs_df, _ = corpus_mod.to_spark(spark, c)
+    os.makedirs(in_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate(ranges):
+        batch = docs_df.where(
+            (F.col("doc_id") >= f"doc{lo:05d}") & (F.col("doc_id") < f"doc{hi:05d}")
+        )
+        part_dir = os.path.join(os.path.dirname(in_dir), f"__part{i}")
+        batch.coalesce(1).write.parquet(part_dir)
+        (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"batch-{i}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(part_dir)
+    return docs_df
+
+
+def _run_resolve_stream(spark, dirs, **kw):
+    from rosette_elasticsearch_plugin_spark.streaming.resolve import resolve_stream
+
+    q = resolve_stream(
+        spark, dirs["in"], clusters_root=dirs["table"],
+        checkpoint_dir=dirs["ckpt"], **kw,
+    )
+    q.awaitTermination(300)
+    return SnapshotTable(dirs["table"])
+
+
+def _partition(rows):
+    """cluster label → frozenset of members, label-independent."""
+    by = {}
+    for r in rows:
+        by.setdefault(r["cluster"], set()).add(r["node"])
+    return {frozenset(v) for v in by.values()}
+
+
+def test_resolve_stream_matches_batch(spark, dirs):
+    """Final streamed state (min-node labels) == full-corpus batch
+    resolution, for a 3-way split the batch path never saw."""
+    from rosette_elasticsearch_plugin_spark.operators.entities import (
+        distinct_mention_names,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import resolve_names
+
+    docs_df = _write_corpus_batches(
+        spark, dirs["in"], [(0, 20), (20, 40), (40, 60)]
+    )
+    table = _run_resolve_stream(spark, dirs, stable_ids=False)
+    # one state snapshot per micro-batch, each a complete table
+    assert len(table.history()) == 3
+    got = sorted(
+        (r["node"], r["cluster"]) for r in table.read(spark).collect()
+    )
+    want = sorted(
+        (r["node"], r["cluster"])
+        for r in resolve_names(distinct_mention_names(docs_df)).collect()
+    )
+    assert got == want
+
+
+def test_resolve_stream_stable_ids(spark, dirs):
+    """Production id rule over the stream: membership equals the batch
+    partition, and every final cluster containing a batch-0-era node
+    keeps a batch-0-era id (references never dangle)."""
+    from rosette_elasticsearch_plugin_spark.operators.entities import (
+        distinct_mention_names,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import resolve_names
+
+    docs_df = _write_corpus_batches(spark, dirs["in"], [(0, 30), (30, 60)])
+    table = _run_resolve_stream(spark, dirs, stable_ids=True)
+    hist = table.history()
+    assert len(hist) == 2
+    first = table.read(spark, hist[0].snapshot_id).collect()
+    final = table.read(spark, hist[-1].snapshot_id).collect()
+    # membership is label-independent → must equal the batch partition
+    want = _partition(resolve_names(distinct_mention_names(docs_df)).collect())
+    assert _partition(final) == want
+    # id stability: any final cluster with a batch-0 member is labeled
+    # by a batch-0 cluster id (merges collapse to an older id, never a
+    # fresh one)
+    first_ids = {r["cluster"] for r in first}
+    first_nodes = {r["node"] for r in first}
+    for label, members in (
+        (r["cluster"], None) for r in final if r["node"] in first_nodes
+    ):
+        assert label in first_ids
+
+
+def test_resolve_stream_replay_is_noop(spark, dirs):
+    """Restarting the drained stream on the same checkpoint commits
+    nothing new (idempotent replay → exactly-once state visibility)."""
+    _write_corpus_batches(spark, dirs["in"], [(0, 30), (30, 60)])
+    table = _run_resolve_stream(spark, dirs)
+    n = len(table.history())
+    table2 = _run_resolve_stream(spark, dirs)
+    assert len(table2.history()) == n
