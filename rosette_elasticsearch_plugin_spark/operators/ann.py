@@ -27,6 +27,7 @@ engines, so signatures agree exactly.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -222,6 +223,183 @@ def brute_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------------
+# The second scale path beside banded LSH.  A coarse quantizer of nlist
+# centroids partitions the corpus into cells (each vector belongs to its
+# nearest centroid); a query probes only its nprobe nearest cells, so
+# scored candidates shrink from n to ~n·nprobe/nlist.  Centroids come
+# from a deterministic hash-ranked sample of the corpus itself (the
+# standard sampling bootstrap for an IVF quantizer — k-means would
+# refine them but adds nothing SQL-mirrorable), so the DuckDB oracle can
+# re-derive the identical quantizer from the same table.
+IVF_NLIST, IVF_NPROBE = 16, 4
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    nlist: int = IVF_NLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Fit the coarse quantizer: the nlist corpus vectors ranked first by
+    h56(vec_id) (a seeded sample with full determinism; ties by id).
+
+    This is the one driver action in the ANN family — bounded by nlist
+    (it fits the MODEL, the same class as the convergence/partition-
+    sizing aggregates; the sort is a distributed TakeOrdered, never a
+    full collect).  Returns (cid, centroid, norm) with the norm computed
+    by the same left fold as ``norm_col`` so inlined literals stay
+    bit-identical to a SQL mirror that folds over the stored doubles.
+    """
+    from ..functions.hashing import h56_col
+
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            h56_col(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(nlist)
+        .collect()
+    )
+    model = []
+    for r in rows:
+        cv = [float(x) for x in r["cv"]]
+        acc = 0.0
+        for x in cv:  # same deterministic left fold as norm_col
+            acc = acc + x * x
+        model.append((int(r["cid"]), cv, math.sqrt(acc)))
+    return model
+
+
+def _ivf_centroid_cos(vec: Column, vnorm: Column, cv: list[float], cn: float) -> Column:
+    """round-6 cosine(vec, literal centroid) — numerator fold per pair,
+    norms as literals/hoisted column (bit-identical to the per-pair SQL
+    formula: IEEE multiply is commutative, the folds share order)."""
+    num = dot_col(vec, cv)
+    den = F.lit(cn) * vnorm
+    return F.round(F.when(den == 0, 0.0).otherwise(num / den), 6)
+
+
+def ivf_cell_col(
+    vec: Column, vnorm: Column, model: list[tuple[int, list[float], float]]
+) -> Column:
+    """Scan-side cell assignment: argmax cosine over the literal
+    centroids (ties → smallest cid), zero shuffle — the IVF analogue of
+    ``lsh_bucket_col``.  Constant-size expression tree via array_max
+    over (cos, -cid) structs (the repo's 64KB-safe argmax shape)."""
+    entries = [
+        F.struct(
+            _ivf_centroid_cos(vec, vnorm, cv, cn).alias("cos"),
+            F.lit(-cid).cast("long").alias("negcid"),
+        )
+        for cid, cv, cn in model
+    ]
+    return (-F.array_max(F.array(*entries))["negcid"]).cast("long")
+
+
+def ivf_probe_cells_col(
+    vec: Column,
+    vnorm: Column,
+    model: list[tuple[int, list[float], float]],
+    nprobe: int = IVF_NPROBE,
+) -> Column:
+    """The query's nprobe nearest cells: sort (−cos, cid) structs asc —
+    identical ordering to the mirror's (cos desc, cid asc) window —
+    and slice.  Includes the query's own cell (its nearest centroid
+    ranks first), so planted near-duplicates are always reachable."""
+    entries = [
+        F.struct(
+            (-_ivf_centroid_cos(vec, vnorm, cv, cn)).alias("negcos"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cv, cn in model
+    ]
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) — the inverted file.  Narrow scan-side map; at
+    100 TB this is the table you bucket-by(cell) and persist."""
+    v = F.col(vec_col)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        ivf_cell_col(v, norm_col(v), model).alias("cell"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    n_queries: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine only inside the query's nprobe
+    probed cells.  Cells partition the corpus (each vector appears in
+    exactly one), so no pair dedup is needed.  The probe side is tiny
+    (n_queries × nprobe rows) → broadcast; the corpus streams, one
+    shuffle on the cell key; cell skew is AQE's skew-join case."""
+    if model is None:
+        model = ivf_fit(embeddings, nlist, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("n"),
+    )
+    corpus = v.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+        ivf_cell_col(F.col("v"), F.col("n"), model).alias("cell"),
+    )
+    queries = v
+    if n_queries is not None:
+        queries = queries.where(F.col("vid") < n_queries)
+    probes = queries.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+        F.explode(
+            ivf_probe_cells_col(F.col("v"), F.col("n"), model, nprobe)
+        ).alias("cell"),
+    )
+    scored = corpus.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = scored.withColumn(
+        "cosine",
+        cosine_from_norms_col(
+            pair_dot_col(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

@@ -855,6 +855,71 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {ANN_K}
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
+def _sql_ivf_common() -> str:
+    """Shared CTEs mirroring ann.ivf_fit + ivf_cell_col: the hash-ranked
+    nlist-sample quantizer re-derived from the table itself, then per-
+    vector argmax assignment (cos desc, cid asc ties) — value-identical
+    to Spark's literal-centroid scan because the folds share order and
+    IEEE multiply is commutative (see ann.ivf_fit docstring)."""
+    h = H.h56_sql("cast(vec_id as varchar)")
+    cos = ann.cosine_sql("v.v", "c.cv")
+    return f"""
+cent as (select vec_id as cid, embedding::double[] as cv from embeddings
+         order by {h} asc, vec_id asc limit {ann.IVF_NLIST}),
+vecs as (select vec_id as vid, embedding as v from embeddings),
+scoredc as (select v.vid, c.cid,
+            row_number() over (partition by v.vid
+                 order by {cos} desc, c.cid asc) as rn
+            from vecs v cross join cent c),
+asg as (select vid, cid as cell from scoredc where rn = 1)
+"""
+
+
+def q_ann_ivf_cells(spark, sf_dir):
+    """(vec_id, cell) inverted file — each vector in exactly one of the
+    nlist cells of the deterministic hash-sampled coarse quantizer."""
+    e = _emb(spark, sf_dir)
+    return ann.ivf_assign(e, ann.ivf_fit(e))
+
+
+def _sql_ann_ivf_cells() -> str:
+    return f"""
+with {_sql_ivf_common()}
+select vid as vec_id, cast(cell as bigint) as cell from asg
+"""
+
+
+SQL_ANN_IVF_CELLS = _sql_ann_ivf_cells()
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the second scale path beside banded LSH): exact cosine
+    only inside each query's nprobe nearest quantizer cells."""
+    return ann.ivf_topk(_emb(spark, sf_dir), k=ANN_K, n_queries=ANN_QUERIES)
+
+
+def _sql_ann_ivf_topk() -> str:
+    cos = ann.cosine_sql("q.v", "n.v")
+    return f"""
+with {_sql_ivf_common()},
+probes as (select vid as query_id, cid as cell from scoredc
+           where vid < {ANN_QUERIES} and rn <= {ann.IVF_NPROBE}),
+scored as (select p.query_id, a.vid as neighbor_id, {cos} as cosine
+           from probes p join asg a on p.cell = a.cell
+                join vecs q on q.vid = p.query_id
+                join vecs n on n.vid = a.vid
+           where p.query_id <> a.vid),
+ranked as (select query_id, neighbor_id, cosine,
+           cast(row_number() over (partition by query_id
+                order by cosine desc, neighbor_id asc) as bigint) as rank
+           from scored)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {ANN_K}
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
+
+
 # --- P6 full projection: entity rows with head mention, count, offsets,
 # conditional translation (flattened so the value-hash compare is exact) --------
 _ENT_DOCS = [
@@ -1888,6 +1953,8 @@ QUERIES: dict[str, Callable] = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_cells": q_ann_ivf_cells,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -1939,6 +2006,8 @@ ORACLES: dict[str, str] = {
     "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_cells": SQL_ANN_IVF_CELLS,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,

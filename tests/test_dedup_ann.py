@@ -140,6 +140,91 @@ def test_banded_lsh_recall_on_planted_neighbors(spark):
     assert recall >= 0.9, f"banded-LSH recall@planted-top1 = {recall:.3f}"
 
 
+def test_ivf_full_probe_equals_brute(spark):
+    """With nprobe = nlist the probed cells cover the whole corpus, so
+    IVF must reproduce the exact brute-force top-k (the approximation
+    comes ONLY from probing fewer cells)."""
+    sf_dir = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nlist = 8
+    model = ann.ivf_fit(e, nlist=nlist)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ann.ivf_topk(
+            e, k=3, nlist=nlist, nprobe=nlist, n_queries=20, model=model
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ann.brute_topk(e, k=3, n_queries=20).collect()
+    }
+    assert got == want
+
+
+def test_ivf_cells_partition_and_self_probe(spark):
+    """Each vector lands in exactly one of ≤ nlist cells; every query's
+    probe list contains its own cell (its nearest centroid ranks first),
+    so a vector can always find its planted near-duplicates."""
+    sf_dir = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = ann.ivf_fit(e)
+    cells = ann.ivf_assign(e, model)
+    n_vecs = e.count()
+    assert cells.count() == n_vecs  # one row per vector
+    assert cells.select("cell").distinct().count() <= ann.IVF_NLIST
+    v = F.col("embedding")
+    probes = e.select(
+        F.col("vec_id"),
+        ann.ivf_cell_col(v, ann.norm_col(v), model).alias("cell"),
+        ann.ivf_probe_cells_col(v, ann.norm_col(v), model).alias("probed"),
+    )
+    missing = probes.where(
+        ~F.array_contains(F.col("probed"), F.col("cell"))
+    ).count()
+    assert missing == 0
+    # centroid ids are corpus vector ids: each centroid sits in its own cell
+    cids = {cid for cid, _, _ in model}
+    own = {
+        r["vec_id"]: r["cell"]
+        for r in cells.where(F.col("vec_id").isin(list(cids))).collect()
+    }
+    assert own == {cid: cid for cid in cids}
+
+
+def test_ivf_recall_on_planted_neighbors(spark):
+    """Same planted-near-duplicate protocol as the banded-LSH recall
+    test: each query gets a 15%-mixed rotated copy (cosine ≈ 0.99).  A
+    near-identical pair almost always quantizes to the same cell, and
+    the query probes its own cell first — recall ≥ 0.9 at nprobe=4 of
+    nlist=16 (scoring ~1/4 of the corpus per query)."""
+    sf_dir = "/root/testdata/sf0.1"
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v = F.col("embedding")
+    rolled = F.concat(F.slice(v, F.size(v), 1), F.slice(v, 1, F.size(v) - 1))
+    planted = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(v, rolled, lambda a, b: a + F.lit(0.15) * b).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(planted).localCheckpoint(eager=True)
+
+    n_queries = 300
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann.brute_topk(corpus, k=1, n_queries=n_queries).collect()
+    }
+    got = ann.ivf_topk(corpus, k=3, n_queries=n_queries).collect()
+    found = {}
+    for r in got:
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"IVF recall@planted-top1 = {recall:.3f}"
+
+
 def test_banded_lsh_bucket_sizes_bounded(spark):
     """No bucket above the cap survives into pairing (the scale
     guarantee that replaced the fixed 256-bucket key)."""
