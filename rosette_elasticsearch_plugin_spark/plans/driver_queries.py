@@ -1232,6 +1232,97 @@ SQL_DOC_FINGERPRINT = (
 )
 
 
+# --- composed corpus-cleaning pipeline (the "make this crawl trainable"
+# query): exact-dedup keepers → language allowlist → quality threshold →
+# PII redaction + token count, all in one pass over the dup-augmented
+# corpus.  Each stage is an already-oracle-checked operator; this entry
+# checks their COMPOSITION end-to-end (filter/threshold interplay,
+# column pruning across the keeper join).  Scale shape: one groupBy
+# (md5 dedup) + one join back; everything else is scan-side column math
+# that Catalyst prunes behind the filters. ------------------------------------
+CLEAN_QUALITY_TAU = 0.85
+
+
+def q_corpus_clean(spark, sf_dir):
+    from ..functions.redact import redact_col
+
+    d = _docs_with_dups(spark, sf_dir)
+    keepers = dedup.exact_dedup(d).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    scored = d.join(keepers, "doc_id").select(
+        "doc_id",
+        TS.detect_language_col(F.col("text")).alias("ros_language"),
+        TS.quality_score_col(F.col("text")).alias("quality"),
+        TS.token_count_col(F.col("text")).alias("n_tokens"),
+        redact_col(F.col("text")).alias("clean_text"),
+    )
+    return scored.where(
+        (F.col("quality") >= CLEAN_QUALITY_TAU)
+        & (F.col("ros_language") == "eng")
+    )
+
+
+def _sql_corpus_clean() -> str:
+    from ..functions.redact import redact_sql
+
+    return f"""
+with d as ({_DOCS_WITH_DUPS_SQL}),
+keep as (select min(doc_id) as doc_id from d group by md5(text)),
+scored as (select d.doc_id,
+           {TS.detect_language_sql('text')} as ros_language,
+           {TS.quality_score_sql('text')} as quality,
+           {TS.token_count_sql('text')} as n_tokens,
+           {redact_sql('text')} as clean_text
+           from d join keep using (doc_id))
+select * from scored
+where quality >= {CLEAN_QUALITY_TAU} and ros_language = 'eng'
+"""
+
+
+SQL_CORPUS_CLEAN = _sql_corpus_clean()
+
+
+# --- seeded stratified sampling (training-data mixing): keep a per-
+# language percentage of documents, selected by a deterministic doc
+# hash.  Pure scan-side predicate — no shuffle, no state — which is the
+# only corpus-mixing shape that survives 100 TB (rand() would be
+# irreproducible across retries; sorting for systematic sampling would
+# be a global shuffle). ---------------------------------------------------------
+SAMPLE_PCT_ENG = 30  # downsample the dominant stratum; others keep 100%
+SAMPLE_SALT = ":mix1"
+
+
+def q_sample_stratified(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    scored = d.select(
+        "doc_id",
+        TS.detect_language_col(F.col("text")).alias("ros_language"),
+        (
+            H.h56_col(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT)))
+            % 100
+        ).alias("bkt"),
+    )
+    rate = F.when(
+        F.col("ros_language") == "eng", F.lit(SAMPLE_PCT_ENG)
+    ).otherwise(F.lit(100))
+    return scored.where(F.col("bkt") < rate).select("doc_id", "ros_language")
+
+
+def _sql_sample_stratified() -> str:
+    h = H.h56_sql(f"cast(doc_id as varchar) || '{SAMPLE_SALT}'")
+    return f"""
+with scored as (select doc_id,
+       {TS.detect_language_sql('text')} as ros_language,
+       {h} % 100 as bkt from documents)
+select doc_id, ros_language from scored
+where bkt < (case when ros_language = 'eng' then {SAMPLE_PCT_ENG} else 100 end)
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
+
+
 # --- PII/contact-info redaction (training-data scrub) over planted
 # fixtures + the real corpus (corpus texts are clean word soup, so the
 # planted rows carry the positive cases; both run through the same
@@ -1962,6 +2053,8 @@ QUERIES: dict[str, Callable] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "text_redact": q_text_redact,
+    "corpus_clean": q_corpus_clean,
+    "sample_stratified": q_sample_stratified,
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "er_resume_pipeline": q_er_resume_pipeline,
@@ -2015,6 +2108,8 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_redact": SQL_TEXT_REDACT,
+    "corpus_clean": SQL_CORPUS_CLEAN,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,

@@ -10,7 +10,8 @@ from __spark_entry__ import oracle_sql, queries
 
 SF = "/root/testdata/sf0.001"
 SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
-          "ann_brute_topk", "ros_language", "guard_passthrough"]
+          "ann_brute_topk", "ros_language", "guard_passthrough",
+          "ann_ivf_topk", "corpus_clean", "sample_stratified"]
 
 
 def test_oracle_keys_subset_of_queries():
@@ -40,6 +41,43 @@ def test_sampled_oracle_parity(spark, duck):
         dcols, dvals = canon(ddf)
         assert scols == dcols, name
         assert svals == dvals, name
+
+
+def test_corpus_clean_semantics(spark):
+    """The composed cleaning pipeline drops every non-keeper duplicate
+    (the dup-augmented ids ≥ 1000000 are copies of kept originals) and
+    every surviving row clears the language + quality gates."""
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as dq
+
+    rows = dq.q_corpus_clean(spark, SF).collect()
+    assert rows
+    assert all(r["doc_id"] < 1000000 for r in rows)
+    assert all(r["ros_language"] == "eng" for r in rows)
+    assert all(r["quality"] >= dq.CLEAN_QUALITY_TAU for r in rows)
+
+
+def test_sample_stratified_downsamples_dominant_stratum(spark):
+    """Deterministic mixing: the eng stratum lands near its configured
+    percentage; other strata are kept whole; re-running yields the
+    identical sample (hash predicate, not rand())."""
+    from pyspark.sql import functions as F
+
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as dq
+
+    full = dq._docs(spark, SF).select(
+        "doc_id",
+        dq.TS.detect_language_col(F.col("text")).alias("ros_language"),
+    )
+    n_eng = full.where(F.col("ros_language") == "eng").count()
+    n_other = full.count() - n_eng
+    got = dq.q_sample_stratified(spark, SF)
+    first = {r["doc_id"] for r in got.collect()}
+    eng_kept = got.where(F.col("ros_language") == "eng").count()
+    assert got.count() - eng_kept == n_other  # non-eng strata untouched
+    # h56 is uniform: expect pct ± a generous binomial margin
+    assert abs(eng_kept / n_eng - dq.SAMPLE_PCT_ENG / 100) < 0.15
+    again = {r["doc_id"] for r in dq.q_sample_stratified(spark, SF).collect()}
+    assert first == again
 
 
 def test_entry_smoke(spark):
