@@ -266,6 +266,8 @@ def ivf_fit(
         .limit(nlist)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_fit: empty embeddings table — no quantizer")
     model = []
     for r in rows:
         cv = [float(x) for x in r["cv"]]
