@@ -225,6 +225,28 @@ def test_ivf_recall_on_planted_neighbors(spark):
     assert recall >= 0.9, f"IVF recall@planted-top1 = {recall:.3f}"
 
 
+def test_ivf_udf_assignment_matches_literal(spark):
+    """The Arrow matmul cell assigner (the production kernel — the
+    literal fold path costs ~8× more per row and its expression tree
+    can't grow to large nlist) must agree with the SQL-mirrorable
+    literal path on every corpus vector: both round cosines to 6
+    decimals before the argmax and break ties to the smallest cid, so
+    SIMD-vs-left-fold float noise is quantized away."""
+    for sf in ("sf0.01", "sf0.1"):
+        e = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        model = ann.ivf_fit(e)
+        lit = ann.ivf_assign(e, model, method="literal")
+        udf = ann.ivf_assign(e, model, method="udf").withColumnRenamed(
+            "cell", "cell_udf"
+        )
+        diff = (
+            lit.join(udf, "vec_id")
+            .where(F.col("cell") != F.col("cell_udf"))
+            .count()
+        )
+        assert diff == 0, f"{sf}: {diff} cell disagreements"
+
+
 def test_banded_lsh_bucket_sizes_bounded(spark):
     """No bucket above the cap survives into pairing (the scale
     guarantee that replaced the fixed 256-bucket key)."""
