@@ -139,6 +139,39 @@ def band_keys_col(vec: Column, tables: list[list[list[float]]]) -> Column:
     return F.array(*keys)
 
 
+def band_keys_udf(tables: list[list[list[float]]]):
+    """Arrow matmul band keys — the production kernel for the same
+    reason as ``ivf_cell_udf``: the literal path evaluates T·b
+    per-element Catalyst lambda folds per vector (48 dot folds at the
+    defaults), the kernel one numpy matmul per batch.  Sign agreement
+    with the literal fold is exact for any dot product farther than
+    float-summation noise (~1e-15 relative) from zero — pinned equal
+    on both sf corpora by test; oracle queries keep the literal path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    planes = np.array(
+        [p for tp in tables for p in tp], dtype=np.float64
+    )  # (T·b) × dim
+    n_tables, bits = len(tables), len(tables[0])
+    weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
+
+    @pandas_udf(ArrayType(StringType()))
+    def keys(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        signs = (mat @ planes.T) >= 0.0  # batch × (T·b)
+        bucket = signs.reshape(len(mat), n_tables, bits) @ weights
+        return pd.Series(
+            [
+                [f"t{t}:{row[t]}" for t in range(n_tables)]
+                for row in bucket
+            ]
+        )
+
+    return keys
+
+
 def band_keys_sql(expr: str, tables: list[list[list[float]]]) -> str:
     keys = [
         f"'t{i}:' || cast({lsh_bucket_sql(expr, tp)} as varchar)"
@@ -156,6 +189,7 @@ def banded_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hot_block_mode: str = "drop",
+    key_method: str = "literal",
 ) -> DataFrame:
     """(node_a, node_b) distinct candidate pairs colliding in ≥1 LSH
     table, via the capped+salted grid join (resolution/pairs.py).
@@ -164,13 +198,19 @@ def banded_candidates(
     (an over-cap bucket of near-identical vectors is exactly the
     mega-duplicate group — every member pairs with the bucket's min-id
     representative, linear in bucket size).  The salt only bounds the
-    physical join; the logical pair set is mirrored by the oracle."""
+    physical join; the logical pair set is mirrored by the oracle.
+    ``key_method``: "literal" (exact SQL mirror) or "udf" (the Arrow
+    matmul kernel, see band_keys_udf — the production scan path)."""
     from ..resolution.pairs import candidate_pairs
 
     tables = tables if tables is not None else banded_hyperplanes()
+    if key_method == "udf":
+        keys = band_keys_udf(tables)(F.col(vec_col))
+    else:
+        keys = band_keys_col(F.col(vec_col), tables)
     keyed = embeddings.select(
         F.col(id_col).alias("node"),
-        F.explode(band_keys_col(F.col(vec_col), tables)).alias("block_key"),
+        F.explode(keys).alias("block_key"),
     )
     # materialize the band keys once: candidate_pairs consumes them from
     # the sizes aggregate, the sizes join, and both self-join sides, and
@@ -458,12 +498,14 @@ def lsh_topk(
     max_bucket: int = ANN_MAX_BUCKET,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    key_method: str = "literal",
 ) -> DataFrame:
     """Banded-LSH ANN: exact cosine only for pairs colliding in ≥1 of
     the L hyperplane tables (bounded buckets; see module docstring)."""
     tables = tables if tables is not None else banded_hyperplanes()
     cands = banded_candidates(
-        embeddings, tables, max_bucket, id_col=id_col, vec_col=vec_col
+        embeddings, tables, max_bucket, id_col=id_col, vec_col=vec_col,
+        key_method=key_method,
     )
     # materialized before the symmetrizing union: both branches
     # reference the candidate plan (capped+salted grid join), which

@@ -247,6 +247,30 @@ def test_ivf_udf_assignment_matches_literal(spark):
         assert diff == 0, f"{sf}: {diff} cell disagreements"
 
 
+def test_band_keys_udf_matches_literal(spark):
+    """The Arrow matmul band-key kernel (production scan path) must
+    emit exactly the literal fold path's keys for every vector: a sign
+    bit flips only if a plane dot sits within float-summation noise of
+    zero, which random 64-dim data never does."""
+    tables = ann.banded_hyperplanes()
+    for sf in ("sf0.01", "sf0.1"):
+        e = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        lit = e.select(
+            "vec_id",
+            ann.band_keys_col(F.col("embedding"), tables).alias("keys"),
+        )
+        udf = e.select(
+            "vec_id",
+            ann.band_keys_udf(tables)(F.col("embedding")).alias("keys_udf"),
+        )
+        diff = (
+            lit.join(udf, "vec_id")
+            .where(F.col("keys") != F.col("keys_udf"))
+            .count()
+        )
+        assert diff == 0, f"{sf}: {diff} band-key disagreements"
+
+
 def test_banded_lsh_bucket_sizes_bounded(spark):
     """No bucket above the cap survives into pairing (the scale
     guarantee that replaced the fixed 256-bucket key)."""
