@@ -1994,6 +1994,57 @@ def q_stream_incremental_resolve(spark, sf_dir):
 SQL_STREAM_INCREMENTAL_RESOLVE = _sql_er_incremental()
 
 
+# --- custom stateful streaming operator (applyInPandasWithState):
+# running per-name mention counts whose state survives across
+# micro-batches.  The final state is split-invariant — for ANY batch
+# order it equals the batch groupBy count, which IS the exact oracle. --------
+def q_stream_stateful_counts(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import final_counts, mention_count_stream
+
+    root = tempfile.mkdtemp(prefix="stream_state_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # three deterministic micro-batches with increasing mtimes so
+        # the file source drains them in a fixed order (the result is
+        # split-invariant anyway; the order only pins the update log)
+        import glob
+
+        for i in range(3):
+            batch = docs.where(F.col("doc_id") % 3 == i)
+            part_dir = os.path.join(root, f"part{i}")
+            batch.coalesce(1).write.parquet(part_dir)
+            (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(in_dir, f"batch-{i}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        q = mention_count_stream(
+            spark,
+            in_dir,
+            updates_root=os.path.join(root, "updates"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        return final_counts(
+            spark, os.path.join(root, "updates")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_STATEFUL_COUNTS = """
+select normalized, cast(count(*) as bigint) as n_mentions
+from (select unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) as normalized
+      from documents)
+group by normalized
+"""
+
+
 # --- P4-pattern broadcast dim join over the star schema -------------------------
 def q_region_customer_counts(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -2057,6 +2108,7 @@ QUERIES: dict[str, Callable] = {
     "sample_stratified": q_sample_stratified,
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
+    "stream_stateful_counts": q_stream_stateful_counts,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
     "er_incremental_stable": q_er_incremental_stable,
@@ -2112,6 +2164,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
+    "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
     "er_incremental_stable": SQL_ER_INCREMENTAL_STABLE,

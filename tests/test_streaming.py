@@ -183,3 +183,55 @@ def test_resolve_stream_replay_is_noop(spark, dirs):
     n = len(table.history())
     table2 = _run_resolve_stream(spark, dirs)
     assert len(table2.history()) == n
+
+
+def test_stateful_counts_accumulate_across_batches(spark, dirs):
+    """applyInPandasWithState: the per-name running total must SURVIVE
+    across micro-batches (strictly increasing update rows for a name
+    seen in every batch) and the final state must equal the batch
+    groupBy count for any split."""
+    import os
+
+    from rosette_elasticsearch_plugin_spark.streaming.stateful import (
+        final_counts,
+        mention_count_stream,
+    )
+
+    os.makedirs(dirs["in"], exist_ok=True)
+    texts = [
+        "alpha beta alpha",          # batch 0: alpha=2, beta=1
+        "alpha gamma",               # batch 1: alpha=3 cumulative
+        "beta beta alpha delta",     # batch 2: alpha=4, beta=3
+    ]
+    import glob
+    import shutil
+
+    for i, text in enumerate(texts):
+        part_dir = os.path.join(dirs["in"], f"__part{i}")
+        spark.createDataFrame(
+            [(i, text, "en", "t", len(text))], flat_docs_schema()
+        ).coalesce(1).write.parquet(part_dir)
+        (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(dirs["in"], f"b{i}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(part_dir)
+        # strictly increasing mtimes → deterministic file→batch order
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    q = mention_count_stream(
+        spark, dirs["in"], updates_root=dirs["table"], checkpoint_dir=dirs["ckpt"]
+    )
+    q.awaitTermination()
+
+    log = SnapshotTable(dirs["table"]).read(spark)
+    alpha = [
+        r["running_count"]
+        for r in log.where(F.col("normalized") == "alpha")
+        .orderBy("batch_id")
+        .collect()
+    ]
+    assert alpha == [2, 3, 4]  # state carried batch to batch
+    got = {
+        r["normalized"]: r["n_mentions"]
+        for r in final_counts(spark, dirs["table"]).collect()
+    }
+    assert got == {"alpha": 4, "beta": 3, "gamma": 1, "delta": 1}
