@@ -247,6 +247,20 @@ def test_ivf_udf_assignment_matches_literal(spark):
         assert diff == 0, f"{sf}: {diff} cell disagreements"
 
 
+def test_ivf_topk_plan_shape(spark):
+    """The IVF search plan must be: scan-side cell assignment (no
+    shuffle), broadcast of the tiny probe side, and exactly ONE
+    Exchange — the per-query window for top-k.  A second Exchange would
+    mean the corpus is being shuffled, which is the thing IVF exists to
+    avoid."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    df = ann.ivf_topk(e, k=3, n_queries=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # probes broadcast, corpus streams
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 1, f"unexpected corpus shuffle:\n{plan}"
+
+
 def test_band_keys_udf_matches_literal(spark):
     """The Arrow matmul band-key kernel (production scan path) must
     emit exactly the literal fold path's keys for every vector: a sign
