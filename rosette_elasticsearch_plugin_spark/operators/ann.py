@@ -151,10 +151,18 @@ def band_keys_udf(tables: list[list[list[float]]]):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
+    bits = len(tables[0])
+    if any(len(tp) != bits for tp in tables):
+        # the flat reshape below assumes uniform tables; fail at build
+        # time instead of a numpy ValueError at executor runtime
+        raise ValueError(
+            "band_keys_udf requires every table to have the same plane "
+            "count; use band_keys_col for ragged tables"
+        )
     planes = np.array(
         [p for tp in tables for p in tp], dtype=np.float64
     )  # (T·b) × dim
-    n_tables, bits = len(tables), len(tables[0])
+    n_tables = len(tables)
     weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
 
     @pandas_udf(ArrayType(StringType()))
@@ -222,6 +230,27 @@ def banded_candidates(
     )
 
 
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    """Shared output contract of every top-k path: rank per query by
+    (cosine desc, neighbor_id asc), keep k, cast rank to long.  One
+    place so brute/LSH/IVF and their oracles can never desynchronize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def brute_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -255,16 +284,7 @@ def brute_topk(
             pair_dot_col(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
         ),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_window(scored, k)
 
 
 # --- IVF (inverted-file) ANN ---------------------------------------------------
@@ -376,10 +396,15 @@ def ivf_cell_udf(model: list[tuple[int, list[float], float]]):
     unusable at the nlist ≈ √n a 10^9-vector corpus needs (measured:
     at nlist=64 plan/codegen overhead already costs seconds per
     action).  This is the genuine can't-express-it-in-builtins case, so
-    it is the one Pandas UDF in the ANN family; SIMD summation differs
-    from the left fold only below the shared round-6 quantization, and
-    ties break to the smallest cid on both paths (centroid columns are
-    pre-sorted by cid; np.argmax takes the first max)."""
+    it is the one Pandas UDF in the ANN family.  Quantization matches
+    the literal path's F.round semantics (HALF_UP at 6 decimals,
+    emulated — np.round is half-to-even so a .5-boundary cosine would
+    round the other way), and ties break to the smallest cid on both
+    paths (centroid columns are pre-sorted by cid; np.argmax takes the
+    first max).  Exact agreement is pinned by test on both sf corpora;
+    a cosine within float-summation noise of a rounding boundary could
+    still differ, which is exactly why ORACLE queries keep the literal
+    path."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
@@ -397,7 +422,9 @@ def ivf_cell_udf(model: list[tuple[int, list[float], float]]):
         num = mat @ C.T
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(den == 0.0, 0.0, num / den)
-        best = np.argmax(np.round(cos, 6), axis=1)
+        # HALF_UP at 6 decimals (away from zero), matching F.round
+        quant = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos)
+        best = np.argmax(quant, axis=1)
         return pd.Series(cids[best])
 
     return cell
@@ -465,7 +492,12 @@ def ivf_topk(
             ivf_probe_cells_col(F.col("v"), F.col("n"), model, nprobe)
         ).alias("cell"),
     )
-    scored = corpus.join(F.broadcast(probes), "cell").where(
+    # the broadcast hint holds only when the query set is bounded; with
+    # n_queries=None the probe side is the whole corpus × nprobe, so
+    # leave the strategy to AQE (same rule as assign_cluster_ids)
+    if n_queries is not None:
+        probes = F.broadcast(probes)
+    scored = corpus.join(probes, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = scored.withColumn(
@@ -474,21 +506,7 @@ def ivf_topk(
             pair_dot_col(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
         ),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cosine",
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _topk_window(scored, k)
 
 
 def lsh_topk(
@@ -550,13 +568,4 @@ def lsh_topk(
             ).alias("cosine"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_window(scored, k)

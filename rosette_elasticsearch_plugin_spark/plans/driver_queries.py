@@ -1950,7 +1950,6 @@ where {_STREAM_EMPTY} or {TS.detect_language_sql('text')} is not null
 # FULL-corpus recompute — the same oracle as er_incremental, now
 # covering the streaming path end to end. ----------------------------------------
 def q_stream_incremental_resolve(spark, sf_dir):
-    import glob
     import os
     import shutil
     import tempfile
@@ -1963,20 +1962,19 @@ def q_stream_incremental_resolve(spark, sf_dir):
     docs_df, _ = corpus_mod.to_spark(spark, c)
     root = tempfile.mkdtemp(prefix="stream_resolve_")
     try:
+        from ..streaming.ingest import stage_batch_files
+
         in_dir = os.path.join(root, "in")
-        os.makedirs(in_dir)
-        for i, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
-            batch = docs_df.where(
-                (F.col("doc_id") >= f"doc{lo:05d}")
-                & (F.col("doc_id") < f"doc{hi:05d}")
-            )
-            part_dir = os.path.join(root, f"part{i}")
-            batch.coalesce(1).write.parquet(part_dir)
-            (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            dst = os.path.join(in_dir, f"batch-{i}.parquet")
-            shutil.move(src, dst)
-            # strictly increasing mtimes → deterministic file→batch order
-            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        stage_batch_files(
+            [
+                docs_df.where(
+                    (F.col("doc_id") >= f"doc{lo:05d}")
+                    & (F.col("doc_id") < f"doc{hi:05d}")
+                )
+                for lo, hi in [(0, 40), (40, 80), (80, 120)]
+            ],
+            in_dir,
+        )
         q = resolve_stream(
             spark,
             in_dir,
@@ -2007,22 +2005,16 @@ def q_stream_stateful_counts(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="stream_state_")
     try:
-        in_dir = os.path.join(root, "in")
-        os.makedirs(in_dir)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        # three deterministic micro-batches with increasing mtimes so
-        # the file source drains them in a fixed order (the result is
-        # split-invariant anyway; the order only pins the update log)
-        import glob
+        from ..streaming.ingest import stage_batch_files
 
-        for i in range(3):
-            batch = docs.where(F.col("doc_id") % 3 == i)
-            part_dir = os.path.join(root, f"part{i}")
-            batch.coalesce(1).write.parquet(part_dir)
-            (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            dst = os.path.join(in_dir, f"batch-{i}.parquet")
-            shutil.move(src, dst)
-            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        in_dir = os.path.join(root, "in")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # three deterministic micro-batches, drained in order (the
+        # result is split-invariant anyway; order only pins the log)
+        stage_batch_files(
+            [docs.where(F.col("doc_id") % 3 == i) for i in range(3)],
+            in_dir,
+        )
         q = mention_count_stream(
             spark,
             in_dir,

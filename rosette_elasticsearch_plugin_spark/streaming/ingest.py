@@ -64,6 +64,28 @@ def checkpoint_run_id(checkpoint_dir: str, cache: list[str]) -> str:
     return cache[0]
 
 
+def stage_batch_files(batches, in_dir: str) -> None:
+    """Write each DataFrame as ONE flat parquet file
+    ``batch-<i>.parquet`` with strictly increasing mtimes, so a
+    ``maxFilesPerTrigger=1`` file stream drains them as deterministic
+    micro-batches in list order.  (The file source reads flat files,
+    not the directory-per-write layout ``df.write.parquet`` produces —
+    hence the single-part move.)"""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(in_dir, exist_ok=True)
+    for i, batch in enumerate(batches):
+        part_dir = os.path.join(in_dir, f"__stage{i}")
+        batch.coalesce(1).write.parquet(part_dir)
+        (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(in_dir, f"batch-{i}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+
 def enrich_stream(
     spark: SparkSession,
     input_dir: str,

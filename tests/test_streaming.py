@@ -203,20 +203,19 @@ def test_stateful_counts_accumulate_across_batches(spark, dirs):
         "alpha gamma",               # batch 1: alpha=3 cumulative
         "beta beta alpha delta",     # batch 2: alpha=4, beta=3
     ]
-    import glob
-    import shutil
+    from rosette_elasticsearch_plugin_spark.streaming.ingest import (
+        stage_batch_files,
+    )
 
-    for i, text in enumerate(texts):
-        part_dir = os.path.join(dirs["in"], f"__part{i}")
-        spark.createDataFrame(
-            [(i, text, "en", "t", len(text))], flat_docs_schema()
-        ).coalesce(1).write.parquet(part_dir)
-        (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        dst = os.path.join(dirs["in"], f"b{i}.parquet")
-        shutil.move(src, dst)
-        shutil.rmtree(part_dir)
-        # strictly increasing mtimes → deterministic file→batch order
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    stage_batch_files(
+        [
+            spark.createDataFrame(
+                [(i, text, "en", "t", len(text))], flat_docs_schema()
+            )
+            for i, text in enumerate(texts)
+        ],
+        dirs["in"],
+    )
     q = mention_count_stream(
         spark, dirs["in"], updates_root=dirs["table"], checkpoint_dir=dirs["ckpt"]
     )
