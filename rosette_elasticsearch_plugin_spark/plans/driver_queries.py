@@ -32,7 +32,7 @@ from ..operators.name_translation import (
 )
 from ..resolution.clustering import connected_components
 from ..resolution.scoring import score_expr, score_sql
-from ..sources.adapter import flat_to_spans
+from ..sources.adapter import flat_to_spans, parallelize_scan
 
 TOKEN_RE = r"[a-z]+"
 # demo threshold for the token-cluster queries (the short fixed vocab
@@ -46,11 +46,14 @@ ANN_QUERIES, ANN_K = 50, 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # parallelize_scan: the sf corpora are single small parquet files
+    # (one input split), which would serialize every signature /
+    # extraction kernel onto one core; no-op on a properly-sized scan
+    return parallelize_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return parallelize_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:

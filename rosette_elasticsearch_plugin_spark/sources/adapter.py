@@ -44,6 +44,30 @@ def flat_to_spans(flat: DataFrame, with_media: bool = True) -> DataFrame:
     )
 
 
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Physical-only: stop a small-file scan from serializing heavy
+    per-row kernels downstream.
+
+    A single small parquet file arrives as ONE input split (row-group
+    granularity + ``spark.sql.files.openCostInBytes``), so every
+    downstream signature/extraction kernel would run on one core no
+    matter the cluster size.  When the scan has fewer partitions than
+    the session's defaultParallelism, round-robin repartition up to it
+    (the explicit partition count keeps AQE from coalescing the tiny
+    table straight back to one partition).  At warehouse scale the
+    input has far more splits than cores and this is a no-op — no
+    shuffle is ever added to a properly-sized scan.  Output rows are
+    identical either way; only their placement changes, and nothing in
+    the engine derives values from partition layout (mention ids,
+    sampling and LSH keys are all row-content hashes).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_documents(spark, sf_dir: str, with_media: bool = True) -> DataFrame:
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = parallelize_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return flat_to_spans(flat, with_media)

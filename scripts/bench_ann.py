@@ -41,7 +41,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from rosette_elasticsearch_plugin_spark.sources.adapter import (
+        parallelize_scan,
+    )
+
+    e = parallelize_scan(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
     n = e.count()
 
     def force(df):

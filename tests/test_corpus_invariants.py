@@ -51,3 +51,36 @@ def test_span_sequence_invariant_under_enrichment(spark):
         F.to_json(F.filter("spans", lambda s: s["kind"] != F.lit("text"))).alias("m"),
     ).collect()}
     assert media == media_after
+
+
+def test_parallelize_scan_spreads_small_file(spark):
+    """A single small parquet file arrives as one input split; the
+    helper must spread it to defaultParallelism without changing a
+    single row.  On an already-parallel input it must be a no-op (no
+    shuffle inserted into a properly-sized scan)."""
+    import os
+    import tempfile
+
+    from rosette_elasticsearch_plugin_spark.sources.adapter import (
+        parallelize_scan,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="pscan_") as root:
+        path = os.path.join(root, "docs")
+        spark.range(0, 500).selectExpr(
+            "cast(id as string) doc_id", "concat('text ', id) text"
+        ).coalesce(1).write.parquet(path)
+        scan = spark.read.parquet(path)
+        assert scan.rdd.getNumPartitions() == 1
+        par = parallelize_scan(scan)
+        assert (
+            par.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        assert sorted(r["doc_id"] for r in par.collect()) == sorted(
+            r["doc_id"] for r in scan.collect()
+        )
+        # no-op on an input already at (or above) defaultParallelism:
+        # the same plan object must come back — no Exchange added
+        wide = scan.repartition(spark.sparkContext.defaultParallelism + 2)
+        assert parallelize_scan(wide) is wide
