@@ -211,9 +211,11 @@ def extract_mentions(
     (doc_id, mention_id, span_offset, start, end, surface, normalized,
     source, type).
 
-    ``gazetteer``: optional (normalized, type) dim, broadcast-joined;
-    unknown mentions default to 'MISC' (the reference would get the
-    type from the service; typing is config data here).
+    ``gazetteer``: optional (normalized, type) dim, joined unhinted
+    (AQE broadcasts a small one; a production gazetteer is
+    vocabulary-scale); unknown mentions default to 'MISC' (the
+    reference would get the type from the service; typing is config
+    data here).
     ``pattern``: the mention regex — capitalized sequences by default;
     lowercase corpora (the driver's flat tables) use a token pattern.
     """
@@ -240,7 +242,10 @@ def extract_mentions(
             .groupBy("normalized")
             .agg(F.min("type").alias("type"))
         )
-        m = m.join(F.broadcast(gaz), "normalized", "left").withColumn(
+        # NO broadcast hint: a production gazetteer is vocabulary-scale
+        # (the same argument that removed the forced eid broadcast from
+        # project_entities) — AQE broadcasts it when actually small
+        m = m.join(gaz, "normalized", "left").withColumn(
             "type", F.coalesce("type", F.lit("MISC"))
         )
     else:
