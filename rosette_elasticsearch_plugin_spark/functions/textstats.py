@@ -185,12 +185,24 @@ def quality_score_sql(expr: str) -> str:
 
 FP_BASE = 131
 FP_MOD = (1 << 31) - 1
+# whitespace class with identical semantics in Java regex and RE2
+# (\s differs: Java includes \x0B, RE2 does not)
+FP_WS_CLASS = r"[ \t\n\r\f\x0B]+"
 
 
 def fingerprint_col(c: Column) -> Column:
     """Rolling polynomial hash over whitespace tokens: fold of
-    (acc*B + h56(token)) mod P.  Order-sensitive document fingerprint."""
-    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    (acc*B + h56(token)) mod P.  Order-sensitive document fingerprint.
+    NULL in → NULL out; empty/whitespace-only text → 0 (the fold's
+    initial accumulator).  Tokens come from splitting on an EXPLICIT
+    whitespace class with empty tokens dropped — not from ``trim``
+    (DuckDB's strips Unicode spaces like U+00A0, Spark's only ASCII)
+    and not from ``\\s`` (Java's includes \\x0B, RE2's does not); both
+    ambiguities silently diverged the mirror on whitespace-edge
+    texts."""
+    toks = F.filter(
+        F.split(F.lower(c), FP_WS_CLASS), lambda t: t != F.lit("")
+    )
     from .hashing import h56_col
 
     return F.aggregate(
@@ -203,10 +215,16 @@ def fingerprint_col(c: Column) -> Column:
 def fingerprint_sql(expr: str) -> str:
     from .hashing import h56_sql
 
-    toks = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    toks = (
+        f"list_filter(string_split_regex(lower({expr}), "
+        f"'[ \\t\\n\\r\\f\\x0B]+'), t -> t <> '')"
+    )
     h = h56_sql("t")
+    # explicit NULL guard: list_prepend(0, NULL) is [0] in DuckDB, so
+    # without it a NULL text folds to 0 while Spark yields NULL
     return (
+        f"case when {expr} is null then null else "
         f"list_reduce(list_prepend(cast(0 as bigint), "
         f"list_transform({toks}, t -> {h} % {FP_MOD})), "
-        f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) end"
     )

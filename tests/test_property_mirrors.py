@@ -260,3 +260,24 @@ def test_alphabet_sweep_three_way(spark):
         if not (got_spark == duck[r["v"]] == want):
             bad.append((r["v"], got_spark, duck[r["v"]], want))
     assert not bad, bad[:5]
+
+
+@SET
+@given(s=st.one_of(
+    st.none(),
+    st.text(alphabet="ab \t\xa0 \x0b.!?", min_size=0, max_size=20),
+))
+def test_fingerprint_two_way_unicode_whitespace(spark, s):
+    """fingerprint must agree across engines on NULL, empty, and
+    Unicode-whitespace-bearing text (DuckDB's trim strips U+00A0 while
+    Spark's does not — regression for the trim-based divergence)."""
+    from rosette_elasticsearch_plugin_spark.functions.textstats import (
+        fingerprint_sql,
+        fingerprint_col,
+    )
+
+    got_spark = spark.createDataFrame([(s,)], "v string").select(
+        fingerprint_col(F.col("v")).alias("o")
+    ).collect()[0]["o"]
+    got_duck = _duck_one(f"select {fingerprint_sql('v')} from t", t=s)[0]
+    assert got_spark == got_duck
