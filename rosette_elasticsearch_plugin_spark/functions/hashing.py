@@ -183,7 +183,13 @@ def simhash_from_hashes_sql(hashes_expr: str, bits: int = 56) -> str:
             f"(case when 2 * {cnt} > len({hashes_expr}) "
             f"then cast({1 << j} as bigint) else 0 end)"
         )
-    return "(" + " + ".join(terms) + ")"
+    # NULL guard: Spark's aggregate over a NULL array yields NULL, but
+    # the per-bit cases fall to their ELSE 0 when len() is NULL
+    return (
+        f"(case when {hashes_expr} is null then null else "
+        + " + ".join(terms)
+        + " end)"
+    )
 
 
 def simhash_col(tokens: Column, bits: int = 56) -> Column:
@@ -203,4 +209,9 @@ def simhash_sql(tokens_expr: str, bits: int = 56) -> str:
             f"(case when 2 * {cnt} > len({tokens_expr}) "
             f"then cast({1 << j} as bigint) else 0 end)"
         )
-    return "(" + " + ".join(terms) + ")"
+    # NULL guard: same semantics as simhash_from_hashes_sql
+    return (
+        f"(case when {tokens_expr} is null then null else "
+        + " + ".join(terms)
+        + " end)"
+    )

@@ -28,22 +28,28 @@ from ..functions.hashing import (
     simhash_from_hashes_col,
 )
 
-# token 3-gram shingles ("w1 w2 w3") over lowercased word tokens
+# token 3-gram shingles ("w1 w2 w3") over lowercased word tokens.
+# Token-less text (empty/NULL/no [a-z0-9] runs) must yield [] on BOTH
+# engines: without the empty-gram filter, Spark's concat_ws swallows
+# the NULL slice into '' and emits [''] — giving every token-less doc
+# the SAME valid shingle set, hence identical MinHash signatures and a
+# phantom all-empty-docs dedup bucket (DuckDB yielded [] already).
 def token_shingles_col(text: Column, n: int = 3) -> Column:
     toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(F.filter(grams, lambda g: g != F.lit("")))
 
 
 def token_shingles_sql(expr: str, n: int = 3) -> str:
     toks = f"regexp_extract_all(lower({expr}), '[a-z0-9]+')"
     return (
-        f"list_distinct(list_transform("
+        f"list_distinct(list_filter(list_transform("
         f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')), "
+        f"g -> g <> ''))"
     )
 
 
@@ -98,13 +104,14 @@ def band_key_table(
     the signature table" — every downstream consumer (sizes aggregate,
     both self-join sides, the crossover row count) reads the
     materialized table instead of re-evaluating the shingle→md5→MinHash
-    chain.  Docs whose text yields no shingles (null/empty) produce a
-    null signature and drop out at the explode."""
+    chain.  Docs whose text yields no shingles (null/empty/token-less)
+    are filtered out before signing — mirroring the SQL side, where
+    their NULL band keys can never equi-join."""
     params = minhash_params(bands * rows, seed)
     hashed = docs.select(
         "doc_id",
         hashed_shingles_col(token_shingles_col(F.col(text_col))).alias("__h"),
-    )
+    ).where(F.size(F.col("__h")) > 0)
     # signature in its own projection: lsh_band_keys_col references the
     # sig array bands*rows times via element_at, and inlining the full
     # 12-perm expression there multiplies the MinHash work 12x per row

@@ -281,3 +281,44 @@ def test_fingerprint_two_way_unicode_whitespace(spark, s):
     ).collect()[0]["o"]
     got_duck = _duck_one(f"select {fingerprint_sql('v')} from t", t=s)[0]
     assert got_spark == got_duck
+
+
+@SET
+@given(s=st.one_of(
+    st.none(),
+    st.text(alphabet="ab \t\xa0\x0b.ё日", min_size=0, max_size=20),
+))
+def test_shingles_simhash_two_way_tokenless(spark, s):
+    """Token shingles and SimHash must agree across engines on NULL,
+    empty, and token-less text.  Regression: Spark's concat_ws swallowed
+    the empty slice into '' and emitted [''] where DuckDB emitted [],
+    giving every token-less doc an identical valid MinHash signature;
+    and the SQL SimHash folded NULL input to 0 where Spark yields NULL.
+    Shingle ORDER is engine-dependent (list_distinct reorders) and all
+    consumers are set-based, so compare as sets."""
+    from rosette_elasticsearch_plugin_spark.functions.hashing import (
+        simhash_sql,
+    )
+    from rosette_elasticsearch_plugin_spark.operators.dedup import (
+        simhash_signatures,
+        token_shingles_col,
+        token_shingles_sql,
+    )
+
+    sdf = spark.createDataFrame([(0, s)], "doc_id long, text string")
+    sh_spark = sdf.select(
+        token_shingles_col(F.col("text")).alias("o")
+    ).collect()[0]["o"]
+    sim_spark = simhash_signatures(sdf).collect()[0]["simhash"]
+    con = duckdb.connect()
+    con.execute("create temp table documents(doc_id bigint, text varchar)")
+    con.execute("insert into documents values (0, ?)", [s])
+    toks = "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    sh_duck, sim_duck = con.execute(
+        f"select {token_shingles_sql('text')}, {simhash_sql(toks)} "
+        f"from documents"
+    ).fetchone()
+    assert (set(sh_spark) if sh_spark is not None else None) == (
+        set(sh_duck) if sh_duck is not None else None
+    )
+    assert sim_spark == sim_duck
