@@ -78,10 +78,20 @@ def jaro_winkler_py(
 
 # --- JVM-side expressions ------------------------------------------------------
 def levenshtein_sim_col(a: Column, b: Column) -> Column:
-    """1 - lev/max_len, in [0,1]; JVM built-in."""
+    """1 - lev/max_len, clamped to [0,1]; JVM built-in.
+
+    The clamp is a no-op on the scorer's real domain (ER canonical
+    keys are transliterated ASCII, where edit distance ≤ max length by
+    construction) but keeps a similarity from going NEGATIVE on raw
+    multibyte input, where DuckDB's byte-based levenshtein can exceed
+    the char-based length.  Exact cross-engine value parity is
+    guaranteed on the ASCII domain only — DuckDB counts bytes, Spark
+    counts codepoints."""
     max_len = F.greatest(F.length(a), F.length(b))
     return F.when(max_len == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein(a, b) / max_len.cast("double")
+        F.greatest(
+            F.lit(0.0), 1.0 - F.levenshtein(a, b) / max_len.cast("double")
+        )
     )
 
 
@@ -108,6 +118,6 @@ def token_jaccard_sql(a: str, b: str) -> str:
 def levenshtein_sim_sql(a: str, b: str) -> str:
     return (
         f"case when greatest(length({a}), length({b})) = 0 then 1.0 "
-        f"else 1.0 - cast(levenshtein({a}, {b}) as double) "
-        f"/ greatest(length({a}), length({b})) end"
+        f"else greatest(0.0, 1.0 - cast(levenshtein({a}, {b}) as double) "
+        f"/ greatest(length({a}), length({b}))) end"
     )

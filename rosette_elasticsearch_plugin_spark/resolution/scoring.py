@@ -88,11 +88,19 @@ def _pair_class(t: str, u: str) -> str | None:
     None = invalid pairing."""
     if len(t) == 1 and len(u) == 1:
         return "ii" if t == u else None
+    # u[:1] not u[0]: an empty token (double/leading space in a raw,
+    # un-normalized query string) must classify as a failed compare —
+    # exactly what the SQL mirror's substring(u, 1, 1) does — not raise
     if len(t) == 1:
-        return "iw" if u[0] == t else None
+        return "iw" if u[:1] == t else None
     if len(u) == 1:
-        return "iw" if t[0] == u else None
-    return "ww" if _tok_match(t, u) else None
+        return "iw" if t[:1] == u else None
+    if not _tok_match(t, u):
+        return None
+    # "xx" = valid but classless: a pairing involving an EMPTY token
+    # (trivially prefix-compatible) must not count as a word-word
+    # anchor — the SQL _pair_ww_sql requires length > 1 on both sides
+    return "ww" if (len(t) > 1 and len(u) > 1) else "xx"
 
 
 def _perms_for(tx: list[str], ty: list[str]):

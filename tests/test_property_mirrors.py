@@ -322,3 +322,21 @@ def test_shingles_simhash_two_way_tokenless(spark, s):
         set(sh_duck) if sh_duck is not None else None
     )
     assert sim_spark == sim_duck
+
+
+@SET
+@given(a=st.text(alphabet="ab x9'.-\"", min_size=0, max_size=30),
+       b=st.text(alphabet="ab x9'.-\"", min_size=0, max_size=30))
+def test_pair_score_two_way_adversarial_ascii(spark, a, b):
+    """Scorer parity on the full adversarial-ASCII domain: empty
+    strings, leading/double/trailing spaces (empty tokens), digits,
+    quotes, punctuation.  Regression: an empty token (double space)
+    crashed the pair-features kernel with IndexError on u[0]."""
+    got_spark = spark.createDataFrame([(a, b)], "a string, b string").select(
+        score_expr(F.col("a"), F.col("b")).alias("o")
+    ).collect()[0]["o"]
+    con = duckdb.connect()
+    con.execute("create temp table p(a varchar, b varchar)")
+    con.execute("insert into p values (?, ?)", [a, b])
+    got_duck = con.execute(f"select {score_sql('a', 'b')} from p").fetchone()[0]
+    assert round(got_spark, 6) == round(got_duck, 6), (a, b)
