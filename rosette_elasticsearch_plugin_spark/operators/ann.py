@@ -109,7 +109,15 @@ def cosine_from_norms_col(num: Column, na: Column, nb: Column) -> Column:
 def cosine_sql(a: str, b: str) -> str:
     num = pair_dot_sql(a, b)
     den = f"(sqrt({pair_dot_sql(a, a)}) * sqrt({pair_dot_sql(b, b)}))"
-    return f"round(case when {den} = 0 then 0.0 else {num} / {den} end, 6)"
+    # NULL guard: DuckDB's fold over a NULL list yields 0 (→ 0.0 via
+    # the zero-denominator branch) while Spark's aggregate yields NULL;
+    # NULL vector in → NULL similarity out on both engines.  (NaN
+    # components stay engine-native — Spark NaN, DuckDB NULL — which
+    # the oracle canon already treats as equal.)
+    return (
+        f"round(case when {a} is null or {b} is null then null "
+        f"when {den} = 0 then 0.0 else {num} / {den} end, 6)"
+    )
 
 
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
