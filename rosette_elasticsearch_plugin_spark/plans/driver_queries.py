@@ -1649,6 +1649,33 @@ def _sql_er_incremental() -> str:
 SQL_ER_INCREMENTAL = _sql_er_incremental()
 
 
+# --- incremental over a PERSISTED-AND-EXTENDED name index: blocking
+# keys are read from the prior batch's index and the metaphone/MinHash
+# kernels run over the delta names only (plans/incremental.py
+# extend_name_index).  Blocking is a pure per-name function, so the
+# result equals the re-keying incremental path AND the full batch
+# recompute — the oracle is the same full-corpus clustering. ----------------
+def q_er_incremental_indexed(spark, sf_dir):
+    from .. import corpus as corpus_mod
+    from ..operators.entities import distinct_mention_names
+    from .er_pipeline import resolve_names
+    from .incremental import extend_name_index, incremental_resolve
+
+    c = corpus_mod.generate(n_docs=120, seed=42)
+    docs_df, _ = corpus_mod.to_spark(spark, c)
+    batch1 = docs_df.where(F.col("doc_id") < "doc00060")
+    batch2 = docs_df.where(F.col("doc_id") >= "doc00060")
+    n1 = distinct_mention_names(batch1)
+    n2 = distinct_mention_names(batch2)
+    prior = resolve_names(n1)
+    index = extend_name_index(extend_name_index(None, n1), n2)
+    out = incremental_resolve(prior, n2, name_index=index)
+    return out.select("node", "cluster")
+
+
+SQL_ER_INCREMENTAL_INDEXED = _sql_er_incremental()
+
+
 # --- incremental + stable relabel: the PRODUCTION id rule.  Min-node
 # labels are batch-equivalent but change when a lexicographically
 # smaller variant joins a cluster; stable_relabel keeps the smallest
@@ -2106,6 +2133,7 @@ QUERIES: dict[str, Callable] = {
     "stream_stateful_counts": q_stream_stateful_counts,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
+    "er_incremental_indexed": q_er_incremental_indexed,
     "er_incremental_stable": q_er_incremental_stable,
     "er_name_search": q_er_name_search,
     "er_name_f1": q_er_name_f1,
@@ -2162,6 +2190,7 @@ ORACLES: dict[str, str] = {
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
+    "er_incremental_indexed": SQL_ER_INCREMENTAL_INDEXED,
     "er_incremental_stable": SQL_ER_INCREMENTAL_STABLE,
     "er_name_search": SQL_ER_NAME_SEARCH,
     "er_name_f1": SQL_ER_NAME_F1,

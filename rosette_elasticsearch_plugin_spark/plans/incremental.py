@@ -38,10 +38,49 @@ from ..resolution.scoring import match_edges, score_pairs
 from .er_pipeline import ERConfig, er_key_col
 
 
+def extend_name_index(
+    prior_index: DataFrame | None,
+    new_names: DataFrame,
+    cfg: ERConfig = ERConfig(),
+) -> DataFrame:
+    """(node, key, block_key) over prior ∪ new names — the UNCAPPED
+    resolution block index, extended so the blocking kernels (the
+    Double Metaphone pandas UDF and the MinHash/shingle chain) run over
+    the DELTA names only.
+
+    This is the piece that makes per-batch cost truly
+    delta-proportional: without it, every increment re-keys the whole
+    accumulated vocabulary even though old names' keys never change
+    (blocking is a pure per-name function).  Commit the returned index
+    to a SnapshotTable beside the clusters table and feed it back as
+    ``prior_index`` on the next batch (streaming/resolve.py does this).
+    ``prior_index=None`` builds the index from scratch."""
+    n = new_names.select(F.col(new_names.columns[0]).alias("node")).distinct()
+    if prior_index is not None:
+        n = n.join(
+            prior_index.select("node").distinct(), "node", "left_anti"
+        )
+    keyed = n.select("node", er_key_col(F.col("node")).alias("key"))
+    delta_index = all_blocks(keyed, cfg.blocking).join(keyed, "node").select(
+        "node", "key", "block_key"
+    )
+    out = (
+        delta_index
+        if prior_index is None
+        else prior_index.select("node", "key", "block_key").unionByName(
+            delta_index
+        )
+    )
+    # materialized once: consumers read it for the pair grid, the
+    # per-node key join-back, and (in streaming) the index commit
+    return out.localCheckpoint(eager=False)
+
+
 def incremental_resolve(
     prior_clusters: DataFrame,
     new_names: DataFrame,
     cfg: ERConfig = ERConfig(),
+    name_index: DataFrame | None = None,
 ) -> DataFrame:
     """(node, cluster) over old ∪ new names; old×old pairs never
     re-scored.
@@ -49,6 +88,12 @@ def incremental_resolve(
     prior_clusters: (node, cluster) — output of resolve_names (or a
     previous incremental_resolve) read back from its snapshot table.
     new_names: (node) — distinct normalized names of the new batch.
+    name_index: optional (node, key, block_key) index over old ∪ new
+    names (from :func:`extend_name_index`) — its node set must equal
+    prior ∪ new.  With it, blocking keys are READ, not recomputed, so
+    the per-batch blocking cost is the delta's, not the vocabulary's.
+    Without it, the combined vocabulary is re-keyed in place (exact
+    same result — blocking is a pure per-name function).
     """
     old_nodes = prior_clusters.select("node")
     delta = (
@@ -58,10 +103,16 @@ def incremental_resolve(
     )
     all_names = old_nodes.unionByName(delta).localCheckpoint(eager=True)
 
-    keyed = all_names.select("node", er_key_col(F.col("node")).alias("key"))
-    # materialized once — candidate_pairs references the block table
-    # several times (same rationale as resolve_names)
-    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    if name_index is not None:
+        keyed = name_index.select("node", "key").dropDuplicates(["node"])
+        blocks = name_index.select("node", "block_key")
+    else:
+        keyed = all_names.select(
+            "node", er_key_col(F.col("node")).alias("key")
+        )
+        # materialized once — candidate_pairs references the block table
+        # several times (same rationale as resolve_names)
+        blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
     pairs = candidate_pairs(
         blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
     )

@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..plans.er_pipeline import ERConfig
-from ..plans.incremental import incremental_resolve, stable_relabel
+from ..plans.incremental import (
+    extend_name_index,
+    incremental_resolve,
+    stable_relabel,
+)
 from ..sources.table_io import SnapshotTable
 from .ingest import checkpoint_run_id
 
@@ -80,6 +84,11 @@ def resolve_stream(
     from ..schema import DOCUMENTS
 
     table = SnapshotTable(clusters_root)
+    # the name index lives BESIDE the clusters state: blocking keys of
+    # old names never change, so each batch extends the committed index
+    # with its delta instead of re-keying the whole vocabulary (the
+    # metaphone/MinHash kernels run over new names only)
+    index_table = SnapshotTable(clusters_root.rstrip("/") + "_index")
     run_id_cache: list[str] = []
 
     stream = (
@@ -98,13 +107,29 @@ def resolve_stream(
             prior = table.read(spark, prior_snap.snapshot_id)
         else:
             prior = spark.createDataFrame([], CLUSTERS_SCHEMA)
+        idx_snap = index_table.current_snapshot()
+        prior_index = (
+            index_table.read(spark, idx_snap.snapshot_id)
+            if idx_snap is not None
+            else None
+        )
         # With an empty prior every candidate pair has a new side and
         # the star edge set is empty, so batch 0 degenerates to the
         # full resolve — one code path for bootstrap and steady state.
         new_names = distinct_mention_names(batch_df)
-        clusters = incremental_resolve(prior, new_names, cfg)
+        index = extend_name_index(prior_index, new_names, cfg)
+        clusters = incremental_resolve(prior, new_names, cfg, name_index=index)
         if stable_ids:
             clusters = stable_relabel(clusters, prior)
+        # index first, clusters last: the clusters commit's stage label
+        # is the batch's completion marker, and re-overwriting the index
+        # on a replay is deterministic and idempotent
+        index_table.commit(
+            index.select("node", "key", "block_key"),
+            stage=stage_label,
+            metrics={"batch_id": float(batch_id)},
+            mode="overwrite",
+        )
         table.commit(
             clusters.select("node", "cluster"),
             stage=stage_label,

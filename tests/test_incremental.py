@@ -73,3 +73,53 @@ def test_stable_relabel_keeps_prior_ids(spark):
     assert stable["dan aykroyd"] == before["dan aykroyd"]
     assert stable["matt damon"] == before["matt damon"]
     assert stable["sofia moreau"] == "sofia moreau"
+
+
+def test_indexed_incremental_equals_full_recompute(spark):
+    """Feeding incremental_resolve a persisted-and-extended name index
+    (blocking kernels over the delta only) must give the exact clusters
+    of both the re-keying incremental path and the full batch
+    recompute."""
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        extend_name_index,
+    )
+
+    c = corpus.generate(n_docs=160, seed=7)
+    docs, _ = corpus.to_spark(spark, c)
+    b1 = docs.where(F.col("doc_id") < "doc00080")
+    b2 = docs.where(F.col("doc_id") >= "doc00080")
+    n1, n2 = distinct_mention_names(b1), distinct_mention_names(b2)
+
+    full = _clusters_dict(resolve_names(distinct_mention_names(docs)))
+    prior = resolve_names(n1)
+    idx1 = extend_name_index(None, n1)
+    idx2 = extend_name_index(idx1, n2)
+    inc = _clusters_dict(incremental_resolve(prior, n2, name_index=idx2))
+    assert inc == full
+
+
+def test_extend_name_index_never_rekeys_old_names(spark):
+    """Old names' rows must be carried from the prior index verbatim —
+    proven by poisoning the prior index with a synthetic block row that
+    re-keying could never produce and checking it survives extension."""
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        extend_name_index,
+    )
+
+    old = spark.createDataFrame([("dan aykroyd",)], "node string")
+    idx1 = extend_name_index(None, old)
+    poison = spark.createDataFrame(
+        [("dan aykroyd", "dan aykroyd", "POISON:not-a-real-key")],
+        "node string, key string, block_key string",
+    )
+    idx2 = extend_name_index(
+        idx1.unionByName(poison),
+        spark.createDataFrame(
+            [("dan aykroyd",), ("sofia moreau",)], "node string"
+        ),
+    )
+    rows = {(r["node"], r["block_key"]) for r in idx2.collect()}
+    # the poison row survives: the old name was not re-keyed
+    assert ("dan aykroyd", "POISON:not-a-real-key") in rows
+    # and the delta name was keyed fresh
+    assert any(n == "sofia moreau" for n, _ in rows)

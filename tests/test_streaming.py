@@ -234,3 +234,34 @@ def test_stateful_counts_accumulate_across_batches(spark, dirs):
         for r in final_counts(spark, dirs["table"]).collect()
     }
     assert got == {"alpha": 4, "beta": 3, "gamma": 1, "delta": 1}
+
+
+def test_resolve_stream_maintains_name_index(spark, dirs):
+    """The streaming resolver commits a (node, key, block_key) index
+    beside the clusters state, extending it per batch — its final
+    content must equal a from-scratch index over the full vocabulary,
+    and it must cover exactly the resolved node set."""
+    from rosette_elasticsearch_plugin_spark.operators.entities import (
+        distinct_mention_names,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        extend_name_index,
+    )
+
+    docs_df = _write_corpus_batches(spark, dirs["in"], [(0, 30), (30, 60)])
+    table = _run_resolve_stream(spark, dirs, stable_ids=False)
+    idx_table = SnapshotTable(dirs["table"].rstrip("/") + "_index")
+    assert len(idx_table.history()) == 2  # one index snapshot per batch
+    got = {
+        (r["node"], r["key"], r["block_key"])
+        for r in idx_table.read(spark).collect()
+    }
+    want = {
+        (r["node"], r["key"], r["block_key"])
+        for r in extend_name_index(
+            None, distinct_mention_names(docs_df)
+        ).collect()
+    }
+    assert got == want
+    nodes = {r["node"] for r in table.read(spark).collect()}
+    assert {n for n, _, _ in got} == nodes
