@@ -104,19 +104,46 @@ def incremental_resolve(
     all_names = old_nodes.unionByName(delta).localCheckpoint(eager=True)
 
     if name_index is not None:
-        keyed = name_index.select("node", "key").dropDuplicates(["node"])
-        blocks = name_index.select("node", "block_key")
+        index = name_index.select("node", "key", "block_key")
     else:
-        keyed = all_names.select(
+        keyed_all = all_names.select(
             "node", er_key_col(F.col("node")).alias("key")
         )
-        # materialized once — candidate_pairs references the block table
-        # several times (same rationale as resolve_names)
-        blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
-    pairs = candidate_pairs(
-        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+        index = (
+            all_blocks(keyed_all, cfg.blocking)
+            .join(keyed_all, "node")
+            .select("node", "key", "block_key")
+            .localCheckpoint(eager=False)
+        )
+    # restrict the pair grid to blocks the delta TOUCHES: a pair with
+    # ≥1 new side can only come from a block containing a new node, so
+    # untouched (old-only) blocks — the vocabulary-scale bulk — never
+    # enter the self-join at all.  Touched blocks keep ALL their
+    # members, so cap/salt size decisions match the full recompute for
+    # every block that can produce a kept pair (exactness: the kept
+    # pairs after the ≥1-new-side filter below are identical).  The
+    # touched slice is materialized ONCE — candidate_pairs references
+    # its input several times, and the per-pair key join-backs read the
+    # same slice, so nothing downstream of this point scans the
+    # vocabulary-scale index again (measured numbers: BENCH.md §3).
+    touched_keys = (
+        index.join(delta, "node", "left_semi")
+        .select("block_key")
+        .distinct()
     )
-    # precomputed-key join-back (translit once per name, not per pair)
+    touched = index.join(touched_keys, "block_key", "left_semi").localCheckpoint(
+        eager=False
+    )
+    pairs = candidate_pairs(
+        touched.select("node", "block_key"),
+        cfg.max_block_size,
+        cfg.n_salt,
+        cfg.salt_threshold,
+    )
+    # precomputed-key join-back (translit once per name, not per pair);
+    # every pair node is a touched-block member, so the key dim is the
+    # touched slice, not the vocabulary
+    keyed = touched.select("node", "key").dropDuplicates(["node"])
     pairs = pairs.join(
         keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a")),
         "node_a",
