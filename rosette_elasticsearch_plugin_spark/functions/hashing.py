@@ -118,13 +118,22 @@ def minhash_sig_sql(shingles_expr: str, params: list[tuple[int, int]]) -> str:
 
 
 def lsh_band_keys_col(sig: Column, bands: int, rows: int) -> Column:
-    """Array of band keys 'b:<i>:<v1>_<v2>_...' from an array signature."""
+    """Array of band keys 'b:<i>:<v1>_<v2>_...' from an array signature.
+
+    F.concat, NOT concat_ws: a NULL signature element (MinHash over an
+    empty shingle set) must produce a NULL key — concat_ws silently
+    DROPS nulls, which collapsed every unsignable doc onto the shared
+    key 'b<i>' (a phantom all-empty-docs bucket) and diverged from the
+    SQL mirror, where ``||`` null-propagates.  NULL keys drop out of
+    every downstream equi-join; explode consumers filter them eagerly
+    (operators/dedup.band_key_table)."""
     keys = []
     for b in range(bands):
         vals = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
-        keys.append(
-            F.concat_ws("_", F.lit(f"b{b}"), *[v.cast("string") for v in vals])
-        )
+        parts = [F.lit(f"b{b}")]
+        for v in vals:
+            parts += [F.lit("_"), v.cast("string")]
+        keys.append(F.concat(*parts))
     return F.array(*keys)
 
 

@@ -105,13 +105,16 @@ def band_key_table(
     both self-join sides, the crossover row count) reads the
     materialized table instead of re-evaluating the shingle→md5→MinHash
     chain.  Docs whose text yields no shingles (null/empty/token-less)
-    are filtered out before signing — mirroring the SQL side, where
-    their NULL band keys can never equi-join."""
+    get NULL signature elements → NULL band keys (lsh_band_keys_col
+    null-propagates, mirroring the SQL ``||``) and drop at the cheap
+    post-explode filter — never a predicate over the hash chain itself,
+    which Catalyst would collapse into the projection and evaluate the
+    md5 work twice."""
     params = minhash_params(bands * rows, seed)
     hashed = docs.select(
         "doc_id",
         hashed_shingles_col(token_shingles_col(F.col(text_col))).alias("__h"),
-    ).where(F.size(F.col("__h")) > 0)
+    )
     # signature in its own projection: lsh_band_keys_col references the
     # sig array bands*rows times via element_at, and inlining the full
     # 12-perm expression there multiplies the MinHash work 12x per row
@@ -123,7 +126,7 @@ def band_key_table(
     keys = sigs.select(
         "doc_id",
         F.explode(lsh_band_keys_col(F.col("sig"), bands, rows)).alias("band_key"),
-    )
+    ).where(F.col("band_key").isNotNull())
     return keys.localCheckpoint(eager=False)
 
 
