@@ -600,6 +600,85 @@ select doc_id_a, doc_id_b, jaccard from scored where jaccard >= 0.8
 SQL_DEDUP_NEAR_MINHASH = _sql_dedup_near_minhash()
 
 
+# --- canonical-document selection: the step a training-data pipeline
+# runs AFTER near-dup detection — group near-dups transitively
+# (connected components over the verified pair edges) and keep ONE
+# representative per group, the highest-quality member (tie: the
+# lexicographic-min doc id, which is also the component-label rule, so
+# both engines agree without a numeric cast).  Scale shape: the edge
+# set is the (sparse) verified near-dup pairs, CC is the same hash-min
+# loop as resolution, and the keeper choice is one window over
+# components — never a per-group collect. ------------------------------------
+def q_dedup_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(
+        d, bands=DEDUP_BANDS, rows=DEDUP_ROWS, threshold=0.8
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").cast("string").alias("node_a"),
+        F.col("doc_id_b").cast("string").alias("node_b"),
+    )
+    nodes = d.select(F.col("doc_id").cast("string").alias("node"))
+    comp = connected_components(edges, nodes=nodes)
+    quality = d.select(
+        F.col("doc_id").cast("string").alias("node"),
+        TS.quality_score_col(F.col("text")).alias("quality"),
+    )
+    j = comp.join(quality, "node")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality"), F.asc("node")
+    )
+    ranked = j.withColumn("__rn", F.row_number().over(w))
+    keepers = ranked.where(F.col("__rn") == 1).select(
+        "cluster", F.col("node").alias("canonical_doc_id")
+    )
+    return ranked.join(keepers, "cluster").select(
+        F.col("node").alias("doc_id"),
+        "cluster",
+        "quality",
+        "canonical_doc_id",
+    )
+
+
+def _sql_dedup_canonical() -> str:
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    jac = dedup.ngram_jaccard_sql("ta.text", "tb.text")
+    return f"""
+with recursive d as ({_DOCS_WITH_DUPS_SQL}),
+sigs as (select doc_id, {sig} as sig from d),
+keys as (select doc_id, unnest({band}) as band_key from sigs),
+{_lsh_cand_ctes()},
+medges as (select doc_id_a, doc_id_b
+           from cand join d ta on ta.doc_id = cand.doc_id_a
+                     join d tb on tb.doc_id = cand.doc_id_b
+           where {jac} >= 0.8),
+nodes as (select cast(doc_id as varchar) as node from d),
+eedges as (select cast(doc_id_a as varchar) as u, cast(doc_id_b as varchar) as v from medges
+           union all
+           select cast(doc_id_b as varchar), cast(doc_id_a as varchar) from medges),
+reach(u, v) as (select u, v from eedges
+                union
+                select r.u, e.v from reach r join eedges e on r.v = e.u),
+comp as (select n.node, least(n.node, coalesce(min(r.v), n.node)) as cluster
+         from nodes n left join reach r on r.u = n.node
+         group by n.node),
+q as (select cast(doc_id as varchar) as node, {TS.quality_score_sql('text')} as quality from d),
+ranked as (select comp.node, comp.cluster, q.quality,
+                  row_number() over (partition by comp.cluster
+                                     order by q.quality desc, comp.node asc) as rn
+           from comp join q on q.node = comp.node)
+select r.node as doc_id, r.cluster, r.quality, k.node as canonical_doc_id
+from ranked r join ranked k on k.cluster = r.cluster and k.rn = 1
+"""
+
+
+SQL_DEDUP_CANONICAL = _sql_dedup_canonical()
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -2110,6 +2189,7 @@ QUERIES: dict[str, Callable] = {
     "exists_filter": q_exists_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_near_minhash": q_dedup_near_minhash,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2167,6 +2247,7 @@ ORACLES: dict[str, str] = {
     "exists_filter": SQL_EXISTS_FILTER,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_near_minhash": SQL_DEDUP_NEAR_MINHASH,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,

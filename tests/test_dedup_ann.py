@@ -297,3 +297,49 @@ def test_banded_lsh_bucket_sizes_bounded(spark):
     sizes = keyed.groupBy("k").count().agg(F.max("count")).collect()[0][0]
     # 2000 vectors over 6×256 buckets: natural max far below the cap
     assert sizes <= ann.ANN_MAX_BUCKET
+
+
+def test_dedup_canonical_keeps_highest_quality(spark):
+    """Canonical selection must keep the highest-quality member of each
+    near-dup component (tie: lexicographic-min doc id), and leave
+    non-duplicated docs as their own canonical."""
+    from pyspark.sql import functions as F, Window
+
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+    from rosette_elasticsearch_plugin_spark.functions import textstats as TS
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        connected_components,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    rows = [
+        # near-dup pair with a quality gap: doc 2 has richer text
+        (1, base),
+        (2, base + " with very good structure and many more words here"),
+        # unrelated singleton
+        (3, "completely different text about spark query planning"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.near_dup_pairs(d, threshold=0.5)
+    edges = pairs.select(
+        F.col("doc_id_a").cast("string").alias("node_a"),
+        F.col("doc_id_b").cast("string").alias("node_b"),
+    )
+    comp = connected_components(
+        edges, nodes=d.select(F.col("doc_id").cast("string").alias("node"))
+    )
+    q = d.select(
+        F.col("doc_id").cast("string").alias("node"),
+        TS.quality_score_col(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), F.asc("node"))
+    ranked = comp.join(q, "node").withColumn("rn", F.row_number().over(w))
+    keepers = {
+        r["cluster"]: r["node"]
+        for r in ranked.where(F.col("rn") == 1).collect()
+    }
+    clusters = {r["node"]: r["cluster"] for r in comp.collect()}
+    assert clusters["1"] == clusters["2"]  # the planted pair groups
+    assert keepers[clusters["1"]] == "2"  # higher quality wins
+    assert keepers[clusters["3"]] == "3"  # singleton keeps itself
