@@ -3,10 +3,18 @@ components over the match-edge graph, then stable min-id cluster labels.
 
 Algorithm (label = lexicographic min node reachable so far):
   labels_0(v) = v
-  labels_{t+1}(v) = min(labels_t(v), min over neighbors u of labels_t(u))
-until no label changes.  Converges in O(diameter) rounds; name-variant
-clusters have tiny diameters (2-4), so this beats large-star/small-star
-constant factors here while staying pure DataFrame ops.
+  step(v)     = min(labels_t(v), min over neighbors u of labels_t(u))
+  labels_{t+1}(v) = min(step(v), labels_t(step(v)))   ← pointer halving
+until no label changes.  The label-of-label jump (one extra
+vocabulary-scale join per round) turns plain O(diameter) propagation
+into O(log diameter) — name-variant clusters have tiny diameters
+(2-4) where both are ~3 rounds, but CHAIN-shaped components (e.g.
+versioned near-duplicate documents A~B~C~…, which dedup_canonical
+clusters over) would exhaust a fixed iteration budget under plain
+propagation and abort; with halving, 25 rounds cover any component a
+real corpus can produce.  The jump preserves the invariant that a
+node's label is always a member of its own component, so the fixed
+point (component min) is unchanged.
 
 Scale handling (SURVEY.md §4):
 * ``localCheckpoint`` each round cuts the growing lineage (mandatory —
@@ -70,16 +78,29 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        new = (
-            labels.join(nbr, labels["node"] == nbr["u"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-                ).alias("cluster"),
-                (F.col("nbr_min") < F.col("cluster")).alias("changed"),
-            )
+        stepped = labels.join(nbr, labels["node"] == nbr["u"], "left").select(
+            "node",
+            F.col("cluster").alias("__old"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+            ).alias("__mid"),
         )
+        # pointer halving: jump to the current label OF the label —
+        # labels are component members, so this shortcuts chains
+        # without ever leaving the component
+        jump = labels.select(
+            F.col("node").alias("__mid"), F.col("cluster").alias("__jump")
+        )
+        new = stepped.join(jump, "__mid", "left").select(
+            "node",
+            F.least(
+                F.col("__mid"), F.coalesce(F.col("__jump"), F.col("__mid"))
+            ).alias("cluster"),
+            F.col("__old"),
+        )
+        new = new.withColumn(
+            "changed", F.col("cluster") < F.col("__old")
+        ).drop("__old")
         new = new.localCheckpoint(eager=True)
         n_changed = new.where(F.col("changed")).limit(1).count()
         labels = new.drop("changed")

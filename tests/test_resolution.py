@@ -90,3 +90,22 @@ def test_end_to_end_f1_meets_north_rule(spark):
         f1 = 2 * prec * rec / max(prec + rec, 1e-9)
         assert fp == 0, f"seed {seed}: false merges"
         assert f1 >= 0.99, f"seed {seed}: f1={f1:.4f}"
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-link chain needs ~59 rounds under plain min-propagation —
+    past the 25-round budget — but pointer halving converges in
+    O(log diameter).  All nodes must label to the chain's min node."""
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        connected_components,
+    )
+
+    n = 60
+    ids = [f"n{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        "node_a string, node_b string",
+    )
+    out = connected_components(edges)
+    got = {r["node"]: r["cluster"] for r in out.collect()}
+    assert got == {i: ids[0] for i in ids}
