@@ -55,6 +55,33 @@ STAGES: dict[str, Callable] = {
     "ros_entities": lambda spark, sc, cfg: entities_flat_stage(spark, sc, cfg),
 }
 
+# accepted config keys per processor — ES rejects unconsumed
+# properties at factory time ("doesn't support one or more provided
+# configuration parameters"), and a silently-ignored typo (e.g.
+# `target_feild`) would otherwise surface as mysteriously-missing
+# output long after build
+_COMMON_KEYS = {"field", "target_field", "ignore_failure"}
+STAGE_KEYS: dict[str, frozenset[str]] = {
+    "ros_language": frozenset(_COMMON_KEYS),
+    "ros_categories": frozenset(_COMMON_KEYS),
+    "ros_sentiment": frozenset(_COMMON_KEYS),
+    "ros_name_translation": frozenset(
+        _COMMON_KEYS
+        | {
+            "target_language", "target_script", "entity_type",
+            "source_language", "source_script", "source_language_of_origin",
+        }
+    ),
+    "ros_entities": frozenset(
+        _COMMON_KEYS
+        | {
+            "include_offsets", "include_translation", "translation_language",
+            "include_sentiment", "sentiment_window", "dictionary",
+            "pattern", "gazetteer",
+        }
+    ),
+}
+
 
 def compose(stages: list[Stage]) -> Stage:
     """Ordered composition — the ingest pipeline itself (SURVEY.md §2.2)."""
@@ -83,6 +110,12 @@ def build_pipeline(
         factory = STAGES.get(name)
         if factory is None:
             raise ValueError(f"unknown processor [{name}]")
+        unknown = sorted(set(cfg) - STAGE_KEYS[name])
+        if unknown:
+            raise ValueError(
+                f"processor [{name}] doesn't support the configuration "
+                f"parameter(s) {unknown}"
+            )
         stages.append(factory(spark, sc, cfg))
     return compose(stages)
 

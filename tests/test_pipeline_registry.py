@@ -294,3 +294,42 @@ def test_ignore_failure_via_config(spark):
     out = stage(df).collect()[0]
     assert out["ros_language"] is None
     assert out[error_col_name("ros_language")] is None
+
+
+def test_unknown_config_param_rejected_at_build(spark):
+    """ES factories reject unconsumed properties at creation time; a
+    silently-ignored typo would surface as missing output much later."""
+    import pytest
+
+    from rosette_elasticsearch_plugin_spark.plans.pipeline import (
+        build_pipeline,
+    )
+
+    with pytest.raises(ValueError, match=r"doesn't support.*bogus_param"):
+        build_pipeline(
+            spark, [{"ros_language": {"field": "text", "bogus_param": 1}}]
+        )
+    with pytest.raises(ValueError, match=r"doesn't support.*target_feild"):
+        build_pipeline(
+            spark,
+            [{"ros_entities": {"field": "text", "target_feild": "oops"}}],
+        )
+    # every documented key still builds
+    build_pipeline(
+        spark,
+        [
+            {"ros_name_translation": {
+                "field": "text", "target_field": "tr",
+                "target_language": "eng", "target_script": "Latn",
+                "entity_type": "PERSON", "source_language": "rus",
+                "source_script": "Cyrl", "source_language_of_origin": "rus",
+                "ignore_failure": True,
+            }},
+            {"ros_entities": {
+                "field": "text", "include_offsets": True,
+                "include_translation": True, "translation_language": "eng",
+                "include_sentiment": True, "sentiment_window": 30,
+                "dictionary": (), "pattern": "[a-z]{2,}",
+            }},
+        ],
+    )
