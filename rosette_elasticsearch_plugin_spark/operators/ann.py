@@ -173,17 +173,31 @@ def band_keys_udf(tables: list[list[list[float]]]):
     n_tables = len(tables)
     weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
 
+    dim = planes.shape[1]
+
     @pandas_udf(ArrayType(StringType()))
     def keys(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)
-        signs = (mat @ planes.T) >= 0.0  # batch × (T·b)
-        bucket = signs.reshape(len(mat), n_tables, bits) @ weights
-        return pd.Series(
-            [
+        # null-propagate like the literal band_keys_col: NULL or
+        # wrong-dimension vectors key to NULL instead of crashing the
+        # batch; an empty Arrow batch returns empty
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vals = v.to_numpy()
+        good = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = np.empty(len(vals), dtype=object)
+        if good.any():
+            mat = np.stack(vals[good]).astype(np.float64)
+            signs = (mat @ planes.T) >= 0.0  # batch × (T·b)
+            bucket = signs.reshape(len(mat), n_tables, bits) @ weights
+            lists = np.empty(len(bucket), dtype=object)
+            lists[:] = [
                 [f"t{t}:{row[t]}" for t in range(n_tables)]
                 for row in bucket
             ]
-        )
+            out[good] = lists
+        return pd.Series(out)
 
     return keys
 
@@ -422,18 +436,32 @@ def ivf_cell_udf(model: list[tuple[int, list[float], float]]):
     cn = np.array([n for _, _, n in ordered], dtype=np.float64)
     cids = np.array([cid for cid, _, _ in ordered], dtype=np.int64)
 
+    dim = C.shape[1] if len(C) else 0
+
     @pandas_udf(LongType())
     def cell(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)
-        vn = np.sqrt((mat * mat).sum(axis=1))
-        den = np.outer(vn, cn)
-        num = mat @ C.T
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(den == 0.0, 0.0, num / den)
-        # HALF_UP at 6 decimals (away from zero), matching F.round
-        quant = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos)
-        best = np.argmax(quant, axis=1)
-        return pd.Series(cids[best])
+        # null-propagate like the literal ivf_cell_col: NULL or
+        # wrong-dimension vectors assign to NULL cell instead of
+        # crashing the batch; an empty Arrow batch returns empty
+        if len(v) == 0:
+            return pd.Series([], dtype="Int64")
+        vals = v.to_numpy()
+        good = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = pd.array([None] * len(vals), dtype="Int64")
+        if good.any():
+            mat = np.stack(vals[good]).astype(np.float64)
+            vn = np.sqrt((mat * mat).sum(axis=1))
+            den = np.outer(vn, cn)
+            num = mat @ C.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, 0.0, num / den)
+            # HALF_UP at 6 decimals (away from zero), matching F.round
+            quant = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos)
+            best = np.argmax(quant, axis=1)
+            out[good] = cids[best]
+        return pd.Series(out, dtype="Int64")
 
     return cell
 

@@ -46,7 +46,11 @@ def er_key_col(c):
     return translit_lower_col(c)
 
 
-def resolve_names(names: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
+def resolve_names(
+    names: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    cc_stats: dict | None = None,
+) -> DataFrame:
     """(node) distinct normalized names → (node, cluster).  cluster =
     lexicographic min node in the connected component; singletons map
     to themselves."""
@@ -100,7 +104,7 @@ def resolve_names(names: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
     )
     edges = match_edges(scored, cfg.scoring)
     return connected_components(
-        edges, nodes=names, max_iter=cfg.cc_max_iter
+        edges, nodes=names, max_iter=cfg.cc_max_iter, stats=cc_stats
     )
 
 
@@ -109,6 +113,7 @@ def resolve_documents(
     gazetteer: DataFrame | None = None,
     cfg: ERConfig = ERConfig(),
     pattern: str | None = None,
+    cc_stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline over interleaved-span documents.
 
@@ -127,7 +132,7 @@ def resolve_documents(
     # 600k docs, local[32]).  At cluster scale the same two-pass shape
     # holds with the mention table written to storage by pass B.
     names = distinct_mention_names(docs, pat)
-    name_clusters = resolve_names(names, cfg)
+    name_clusters = resolve_names(names, cfg, cc_stats=cc_stats)
     mentions = extract_mentions(docs, gazetteer, pat)
     assigned = assign_cluster_ids(mentions, name_clusters, "normalized")
     return assigned, name_clusters

@@ -61,9 +61,17 @@ def extend_name_index(
             prior_index.select("node").distinct(), "node", "left_anti"
         )
     keyed = n.select("node", er_key_col(F.col("node")).alias("key"))
-    delta_index = all_blocks(keyed, cfg.blocking).join(keyed, "node").select(
-        "node", "key", "block_key"
-    )
+    # LEFT join from keyed: a name that produces zero block keys (not
+    # reachable under exact blocking — one key per name — but possible
+    # under a custom BlockingConfig) must still be carried in the index
+    # with a NULL block_key, or it would (a) violate the contract that
+    # the index node set equals prior ∪ new and (b) be re-keyed on
+    # every later batch.  NULL block_key rows never match a block join
+    # downstream, so they add no pairs — exactly like the full
+    # recompute, where a keyless name simply has no blocks.
+    delta_index = keyed.join(
+        all_blocks(keyed, cfg.blocking), "node", "left"
+    ).select("node", "key", "block_key")
     out = (
         delta_index
         if prior_index is None

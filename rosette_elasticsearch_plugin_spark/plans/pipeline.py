@@ -82,6 +82,14 @@ STAGE_KEYS: dict[str, frozenset[str]] = {
     ),
 }
 
+# the two registries must never drift: a processor registered in
+# STAGES without a STAGE_KEYS entry would turn the descriptive
+# unknown-parameter ValueError below into a bare KeyError
+assert STAGES.keys() == STAGE_KEYS.keys(), (
+    "STAGES / STAGE_KEYS registries drifted: "
+    f"{sorted(set(STAGES) ^ set(STAGE_KEYS))}"
+)
+
 
 def compose(stages: list[Stage]) -> Stage:
     """Ordered composition — the ingest pipeline itself (SURVEY.md §2.2)."""

@@ -4,17 +4,21 @@ components over the match-edge graph, then stable min-id cluster labels.
 Algorithm (label = lexicographic min node reachable so far):
   labels_0(v) = v
   step(v)     = min(labels_t(v), min over neighbors u of labels_t(u))
-  labels_{t+1}(v) = min(step(v), labels_t(step(v)))   ← pointer halving
+  labels_{t+1}(v) = step(v)                       (early rounds)
+  labels_{t+1}(v) = min(step(v), labels_t(step(v)))   (pointer halving)
 until no label changes.  The label-of-label jump (one extra
 vocabulary-scale join per round) turns plain O(diameter) propagation
-into O(log diameter) — name-variant clusters have tiny diameters
-(2-4) where both are ~3 rounds, but CHAIN-shaped components (e.g.
-versioned near-duplicate documents A~B~C~…, which dedup_canonical
-clusters over) would exhaust a fixed iteration budget under plain
-propagation and abort; with halving, 25 rounds cover any component a
-real corpus can produce.  The jump preserves the invariant that a
-node's label is always a member of its own component, so the fixed
-point (component min) is unchanged.
+into O(log diameter) — but it costs a second shuffle + checkpoint per
+round, and the dominant workload (name-variant clusters, diameter
+2-4) converges in ~3 plain rounds, never needing it.  So halving is
+ADAPTIVE: rounds 0..halving_after-1 run plain propagation; if the
+loop is still changing after that, the jump join switches on, and
+the remaining budget covers any chain a real corpus can produce
+(e.g. versioned near-duplicate documents A~B~C~…, which
+dedup_canonical clusters over: halving_after=3 + 22 halving rounds
+handles diameters beyond 2^20).  The jump preserves the invariant
+that a node's label is always a member of its own component, so the
+fixed point (component min) is unchanged.
 
 Scale handling (SURVEY.md §4):
 * ``localCheckpoint`` each round cuts the growing lineage (mandatory —
@@ -38,12 +42,26 @@ def connected_components(
     src: str = "node_a",
     dst: str = "node_b",
     max_iter: int = 25,
+    halving_after: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return (node, cluster) — cluster = min node in the component.
 
     edges: undirected edge list (each pair once is fine).
     nodes: optional node universe (isolated nodes become singletons);
            defaults to nodes appearing in edges.
+    halving_after: number of plain min-propagation rounds before the
+           pointer-halving jump join switches on (0 = halve from the
+           first round — for callers that KNOW the graph is
+           chain-shaped).  Small-diameter graphs converge before the
+           threshold and never pay the extra join.
+    stats: optional dict populated with convergence telemetry —
+           ``rounds`` (total executed), ``changed_per_round`` (exact
+           changed-label count per round) and ``halving_from_round``
+           (round index where halving engaged, or None).  Passing it
+           upgrades the per-round convergence probe from an
+           any-changed check to an exact count (same shuffle shape,
+           one cheap aggregate over the checkpointed label table).
     """
     # Materialize the edge list BEFORE symmetrizing: the union below
     # references ``edges`` twice, and an unmaterialized edges plan (the
@@ -67,11 +85,16 @@ def connected_components(
     labels = node_df.select("node", F.col("node").alias("cluster"))
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["changed_per_round"] = []
+        stats["halving_from_round"] = None
+        stats["rounds"] = 0
     if sym.limit(1).count() == 0:  # no edges → all singletons, skip loop
         return labels
 
     n_changed = 1
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        halve = rnd >= halving_after
         # min label among neighbors
         nbr = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -85,24 +108,39 @@ def connected_components(
                 F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
             ).alias("__mid"),
         )
-        # pointer halving: jump to the current label OF the label —
-        # labels are component members, so this shortcuts chains
-        # without ever leaving the component
-        jump = labels.select(
-            F.col("node").alias("__mid"), F.col("cluster").alias("__jump")
-        )
-        new = stepped.join(jump, "__mid", "left").select(
-            "node",
-            F.least(
-                F.col("__mid"), F.coalesce(F.col("__jump"), F.col("__mid"))
-            ).alias("cluster"),
-            F.col("__old"),
-        )
+        if halve:
+            # pointer halving: jump to the current label OF the label —
+            # labels are component members, so this shortcuts chains
+            # without ever leaving the component.  Only engaged once
+            # plain propagation has failed to converge within
+            # halving_after rounds (chain-shaped components).
+            jump = labels.select(
+                F.col("node").alias("__mid"), F.col("cluster").alias("__jump")
+            )
+            new = stepped.join(jump, "__mid", "left").select(
+                "node",
+                F.least(
+                    F.col("__mid"), F.coalesce(F.col("__jump"), F.col("__mid"))
+                ).alias("cluster"),
+                F.col("__old"),
+            )
+        else:
+            new = stepped.select(
+                "node", F.col("__mid").alias("cluster"), F.col("__old")
+            )
         new = new.withColumn(
             "changed", F.col("cluster") < F.col("__old")
         ).drop("__old")
         new = new.localCheckpoint(eager=True)
-        n_changed = new.where(F.col("changed")).limit(1).count()
+        changed_df = new.where(F.col("changed"))
+        if stats is not None:
+            n_changed = changed_df.count()
+            stats["changed_per_round"].append(n_changed)
+            stats["rounds"] = rnd + 1
+            if halve and stats["halving_from_round"] is None:
+                stats["halving_from_round"] = rnd
+        else:
+            n_changed = changed_df.limit(1).count()
         labels = new.drop("changed")
         if n_changed == 0:
             break

@@ -343,3 +343,53 @@ def test_dedup_canonical_keeps_highest_quality(spark):
     assert clusters["1"] == clusters["2"]  # the planted pair groups
     assert keepers[clusters["1"]] == "2"  # higher quality wins
     assert keepers[clusters["3"]] == "3"  # singleton keeps itself
+
+
+def test_arrow_kernels_null_propagate_on_dirty_input(spark):
+    """The production Arrow kernels (band_keys_udf / ivf_cell_udf) must
+    match the literal paths' null semantics on dirty input: a NULL
+    embedding or a wrong-dimension vector keys/assigns to NULL instead
+    of crashing the whole batch, and clean rows in the same batch still
+    get their exact keys."""
+    from pyspark.sql import types as T
+
+    dim = 8
+    tables = ann.banded_hyperplanes(dim=dim, tables=2, bits=4)
+    good1 = [float(i + 1) for i in range(dim)]
+    good2 = [float(dim - i) for i in range(dim)]
+    rows = [(1, good1), (2, None), (3, good2[:3]), (4, good2)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    e = spark.createDataFrame(rows, schema)
+
+    keys = {
+        r["vec_id"]: r["k"]
+        for r in e.select(
+            "vec_id", ann.band_keys_udf(tables)(F.col("embedding")).alias("k")
+        ).collect()
+    }
+    lit_keys = {
+        r["vec_id"]: r["k"]
+        for r in e.where(F.col("vec_id").isin(1, 4)).select(
+            "vec_id", ann.band_keys_col(F.col("embedding"), tables).alias("k")
+        ).collect()
+    }
+    assert keys[2] is None and keys[3] is None
+    assert keys[1] == lit_keys[1] and keys[4] == lit_keys[4]
+
+    clean = e.where(F.col("vec_id").isin(1, 4))
+    model = ann.ivf_fit(clean, nlist=2)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ann.ivf_assign(e, model, method="udf").collect()
+    }
+    lit_cells = {
+        r["vec_id"]: r["cell"]
+        for r in ann.ivf_assign(clean, model, method="literal").collect()
+    }
+    assert cells[2] is None and cells[3] is None
+    assert cells[1] == lit_cells[1] and cells[4] == lit_cells[4]

@@ -69,3 +69,62 @@ def test_iceberg_stage_lookup_and_metrics(spark, iceberg_table):
     assert snap is not None and snap.stage == "mentions"
     assert snap.metrics["rows"] == 1.0
     assert t.last_snapshot_for("nope") is None
+
+
+def test_commit_dsv2_write_path_executes_offline(spark, monkeypatch):
+    """The sandbox has no Iceberg runtime jar (download attempts are
+    recorded in README), so the three contract tests above skip — but
+    the DSv2 write path ``commit()`` drives is catalog-generic:
+    ``df.writeTo(t).option(...).createOrReplace()/.append()/.create()``
+    resolves through whatever TableCatalog owns ``t``.  Executing it
+    against Spark's built-in V2SessionCatalog (parquet-backed) proves
+    the seam's write-plan shape — mode routing, existence probe,
+    snapshot-property option assembly — end-to-end with a REAL catalog;
+    only the ``.snapshots`` metadata read-back is Iceberg-specific, so
+    it is stubbed here and covered by the jar-gated tests above."""
+    from pyspark.errors import AnalysisException
+
+    from rosette_elasticsearch_plugin_spark.sources.table_io import Snapshot
+
+    probe = Snapshot(
+        snapshot_id=1, parent_id=None, stage="probe", files=[],
+        metrics={}, schema_json="{}",
+    )
+    monkeypatch.setattr(
+        IcebergSnapshotTable, "current_snapshot", lambda self: probe
+    )
+    t = IcebergSnapshotTable(spark, "spark_catalog.default.ice_seam_probe")
+    spark.sql("drop table if exists spark_catalog.default.ice_seam_probe")
+    # a previously-failed run can leave the managed location behind
+    # after the catalog entry is gone; the create below would refuse it
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/ice_seam_probe", ignore_errors=True)
+
+    # create on first append commit to a fresh table (CreateTableAsSelect)
+    # — executes fully: catalog existence probe, option assembly, write
+    s = t.commit(
+        _df(spark, [(1, "a")]), "ingest", metrics={"rows": 1}, mode="append"
+    )
+    assert s is probe
+    assert [r["k"] for r in t.read(spark).collect()] == [1]
+    # plan-shape assertion for append: the seam must issue a DSv2
+    # AppendData — the session catalog serves the created table as v1,
+    # and DSv2 append REFUSES v1 tables with exactly this error (a v1
+    # insertInto fallback would have silently written); on Iceberg the
+    # append succeeds (pinned by the jar-gated tests above)
+    with pytest.raises(AnalysisException, match="v1 table"):
+        t.commit(_df(spark, [(2, "b")]), "ingest", mode="append")
+    # plan-shape assertion for overwrite: the seam must issue an ATOMIC
+    # ReplaceTableAsSelect (never drop+create) — the parquet session
+    # catalog is not a StagingTableCatalog, so reaching RTAS surfaces
+    # as exactly this capability error; on Iceberg it succeeds (pinned
+    # by the jar-gated test above)
+    with pytest.raises(
+        AnalysisException, match="REPLACE TABLE AS SELECT"
+    ):
+        t.commit(_df(spark, [(9, "z")]), "compact", mode="overwrite")
+    # neither failed plan may have destroyed the table (atomicity)
+    assert [r["k"] for r in t.read(spark).collect()] == [1]
+    spark.sql("drop table spark_catalog.default.ice_seam_probe")

@@ -123,3 +123,44 @@ def test_extend_name_index_never_rekeys_old_names(spark):
     assert ("dan aykroyd", "POISON:not-a-real-key") in rows
     # and the delta name was keyed fresh
     assert any(n == "sofia moreau" for n, _ in rows)
+
+
+def test_extend_name_index_carries_keyless_names(spark):
+    """A name that produces ZERO block keys (metaphone-only blocking,
+    CJK name with no codable tokens) must still be carried in the
+    index with a NULL block_key — so the index node set stays equal to
+    prior ∪ new and the name is never re-keyed on later batches."""
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import ERConfig
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        extend_name_index,
+    )
+    from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+        BlockingConfig,
+    )
+
+    cfg = ERConfig(
+        blocking=BlockingConfig(
+            use_exact=False, use_metaphone=True, use_minhash=False
+        )
+    )
+    names = spark.createDataFrame([("北京",), ("dan aykroyd",)], "node string")
+    idx = extend_name_index(None, names, cfg)
+    by_node: dict[str, list] = {}
+    for r in idx.collect():
+        by_node.setdefault(r["node"], []).append(r["block_key"])
+    # node set contract holds, keyless name carried with NULL key
+    assert set(by_node) == {"北京", "dan aykroyd"}
+    assert by_node["北京"] == [None]
+    assert all(k is not None for k in by_node["dan aykroyd"])
+    # and the keyless name is NOT re-keyed on the next batch: poison
+    # its row; extension must preserve it verbatim
+    poison = idx.where(F.col("node") == "北京").withColumn(
+        "key", F.lit("POISON")
+    )
+    idx2 = extend_name_index(
+        idx.where(F.col("node") != "北京").unionByName(poison),
+        spark.createDataFrame([("北京",), ("new name here",)], "node string"),
+        cfg,
+    )
+    keys = {r["node"]: r["key"] for r in idx2.collect() if r["node"] == "北京"}
+    assert keys["北京"] == "POISON"

@@ -76,3 +76,35 @@ def test_score_decisions():
     assert s("i almeida", "p almeida") < 0.70
     assert s("vladimir putin", "vladimir nabokov") < 0.70
     assert s("karim", "karim nakamura") < 0.70             # fragment
+
+
+def test_jaro_batch_bit_identical_to_scalar():
+    """The numpy-batched Jaro/Jaro-Winkler (the pair_features_udf hot
+    path) must be BIT-identical to the scalar reference loop — same
+    division order, same winkler boost — on random strings including
+    empties, non-ASCII, repeated chars, and long outliers mixed into
+    one batch (the padded-matrix code must not let pads match)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rosette_elasticsearch_plugin_spark.functions.similarity import (
+        jaro_batch_np,
+    )
+
+    alphabet = st.sampled_from(list("ab cde") + ["é", "北"])
+    name = st.lists(alphabet, min_size=0, max_size=12).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(name, name), min_size=1, max_size=30))
+    def check(pairs):
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        got_jw = jaro_batch_np(a, b, winkler=True)
+        got_j = jaro_batch_np(a, b, winkler=False)
+        ref_jw = np.array([jaro_winkler_py(x, y) for x, y in pairs])
+        ref_j = np.array([jaro_py(x, y) for x, y in pairs])
+        assert np.array_equal(got_jw, ref_jw), pairs
+        assert np.array_equal(got_j, ref_j), pairs
+
+    check()
