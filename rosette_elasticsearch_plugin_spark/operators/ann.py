@@ -199,7 +199,12 @@ def band_keys_udf(tables: list[list[list[float]]]):
             out[good] = lists
         return pd.Series(out)
 
-    return keys
+    # plan barrier, NOT actual nondeterminism (pure function of the
+    # vector): without it Catalyst pushes the downstream join's
+    # implicit isnotnull(key) filter through the projection and the
+    # Arrow kernel evaluates TWICE per row (observed as two
+    # ArrowEvalPython nodes in the physical plan)
+    return keys.asNondeterministic()
 
 
 def band_keys_sql(expr: str, tables: list[list[list[float]]]) -> str:
@@ -463,7 +468,57 @@ def ivf_cell_udf(model: list[tuple[int, list[float], float]]):
             out[good] = cids[best]
         return pd.Series(out, dtype="Int64")
 
-    return cell
+    # plan barrier against double evaluation — see band_keys_udf
+    return cell.asNondeterministic()
+
+
+def ivf_probe_cells_udf(
+    model: list[tuple[int, list[float], float]], nprobe: int = IVF_NPROBE
+):
+    """Arrow-batched top-nprobe cell probing — the query-side companion
+    of ``ivf_cell_udf`` for LARGE quantizers, where the literal fold's
+    O(nlist·dim) expression tree can't run.  Ordering matches
+    ``ivf_probe_cells_col`` exactly: cosine quantized HALF_UP at 6
+    decimals, descending, ties to the smallest cid (model pre-sorted by
+    cid + stable argsort).  NULL / wrong-dimension vectors probe NULL."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    ordered = sorted(model, key=lambda m: m[0])
+    C = np.array([cv for _, cv, _ in ordered], dtype=np.float64)
+    cn = np.array([n for _, _, n in ordered], dtype=np.float64)
+    cids = np.array([cid for cid, _, _ in ordered], dtype=np.int64)
+    dim = C.shape[1] if len(C) else 0
+    n_take = min(nprobe, len(ordered))
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vals = v.to_numpy()
+        good = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = np.empty(len(vals), dtype=object)
+        if good.any():
+            mat = np.stack(vals[good]).astype(np.float64)
+            vn = np.sqrt((mat * mat).sum(axis=1))
+            den = np.outer(vn, cn)
+            num = mat @ C.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, 0.0, num / den)
+            # HALF_UP at 6 decimals (away from zero), matching F.round
+            quant = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos)
+            order = np.argsort(-quant, axis=1, kind="stable")[:, :n_take]
+            picked = cids[order]
+            lists = np.empty(len(picked), dtype=object)
+            lists[:] = [[int(c) for c in row] for row in picked]
+            out[good] = lists
+        return pd.Series(out)
+
+    # plan barrier against double evaluation — see band_keys_udf
+    return probes.asNondeterministic()
 
 
 def ivf_assign(
@@ -498,12 +553,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     model: list[tuple[int, list[float], float]] | None = None,
+    method: str = "literal",
 ) -> DataFrame:
     """IVF ANN top-k: exact cosine only inside the query's nprobe
     probed cells.  Cells partition the corpus (each vector appears in
     exactly one), so no pair dedup is needed.  The probe side is tiny
     (n_queries × nprobe rows) → broadcast; the corpus streams, one
-    shuffle on the cell key; cell skew is AQE's skew-join case."""
+    shuffle on the cell key; cell skew is AQE's skew-join case.
+
+    ``method``: "literal" inlines the centroids as fold expressions
+    (exact SQL mirror — oracle queries use this); "udf" runs the Arrow
+    matmul kernels for cell assignment AND probing — the only shape
+    that runs at the nlist ≈ √n a large corpus needs (the literal
+    expression tree grows O(nlist·dim))."""
     if model is None:
         model = ivf_fit(embeddings, nlist, id_col, vec_col)
     v = embeddings.select(
@@ -511,11 +573,21 @@ def ivf_topk(
         F.col(vec_col).alias("v"),
         norm_col(F.col(vec_col)).alias("n"),
     )
+    if method == "udf":
+        cell_of = lambda vec, vn: ivf_cell_udf(model)(vec)  # noqa: E731
+        probes_of = lambda vec, vn: ivf_probe_cells_udf(  # noqa: E731
+            model, nprobe
+        )(vec)
+    else:
+        cell_of = lambda vec, vn: ivf_cell_col(vec, vn, model)  # noqa: E731
+        probes_of = lambda vec, vn: ivf_probe_cells_col(  # noqa: E731
+            vec, vn, model, nprobe
+        )
     corpus = v.select(
         F.col("vid").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.col("n").alias("cn"),
-        ivf_cell_col(F.col("v"), F.col("n"), model).alias("cell"),
+        cell_of(F.col("v"), F.col("n")).alias("cell"),
     )
     queries = v
     if n_queries is not None:
@@ -524,9 +596,7 @@ def ivf_topk(
         F.col("vid").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("n").alias("qn"),
-        F.explode(
-            ivf_probe_cells_col(F.col("v"), F.col("n"), model, nprobe)
-        ).alias("cell"),
+        F.explode(probes_of(F.col("v"), F.col("n"))).alias("cell"),
     )
     # the broadcast hint holds only when the query set is bounded; with
     # n_queries=None the probe side is the whole corpus × nprobe, so

@@ -2,13 +2,24 @@
 """Similarity-search path comparison: exact brute-force vs banded-LSH
 vs IVF top-k over the same embeddings, same k and query set.
 
-Usage: python3 scripts/bench_ann.py [sf_dir]   (default /root/testdata/sf0.1)
+Usage:
+    python3 scripts/bench_ann.py [sf_dir]   (default /root/testdata/sf0.1)
+    python3 scripts/bench_ann.py --scale
 
-Prints one JSON line with per-path wall seconds (noop sink, one warmup
-pass) plus the candidate-pair counts each approximate path actually
-scored — the scale argument is the scored-pair ratio, the small-scale
-wall clock mostly measures fixed overhead.
-"""
+Default mode prints one JSON line with per-path wall seconds (noop
+sink, one warmup pass) plus the candidate-pair counts each approximate
+path actually scored — the scale argument is the scored-pair ratio,
+the small-scale wall clock mostly measures fixed overhead.
+
+--scale runs IVF at a REALISTIC quantizer size: a deterministic
+synthetic corpus of $SPARK_GRAFT_ANN_N vectors (default 256k, dim 64,
+per-row seeded numpy — no external data) with planted near-duplicates,
+nlist=$SPARK_GRAFT_ANN_NLIST (default 256 ≈ √n) and
+nprobe=$SPARK_GRAFT_ANN_NPROBE (default 16).  It measures the Arrow
+matmul kernels (``method="udf"`` — assignment AND probing), pins
+recall@planted-top1 against exact brute-force ground truth, and probes
+the literal fold path at the same nlist on a small row slice to show
+why it can't serve this regime (O(nlist·dim) expression tree)."""
 
 from __future__ import annotations
 
@@ -108,5 +119,148 @@ def main() -> None:
     )
 
 
+def _synth_corpus(spark, n: int, dim: int):
+    """Deterministic synthetic embeddings: per-row numpy PCG64 seeded
+    by vec_id — identical values at any partitioning or parallelism."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = [
+                np.random.default_rng(int(i)).standard_normal(dim).tolist()
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema)
+    )
+
+
+def run_scale() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from rosette_elasticsearch_plugin_spark.operators import ann
+
+    n = int(os.environ.get("SPARK_GRAFT_ANN_N", "256000"))
+    nlist = int(os.environ.get("SPARK_GRAFT_ANN_NLIST", "256"))
+    nprobe = int(os.environ.get("SPARK_GRAFT_ANN_NPROBE", "16"))
+    lit_rows = int(os.environ.get("SPARK_GRAFT_ANN_LIT_ROWS", "2000"))
+    dim, n_queries, k = 64, 100, 3
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("bench_ann_scale")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    base = _synth_corpus(spark, n, dim)
+    # plant a near-duplicate (cosine ≈ 0.99) for each query vector so
+    # recall has an unambiguous target — same protocol as the sf-corpus
+    # recall tests
+    v = F.col("embedding")
+    rolled = F.concat(F.slice(v, F.size(v), 1), F.slice(v, 1, F.size(v) - 1))
+    planted = (
+        base.where(F.col("vec_id") < n_queries)
+        .select(
+            (F.col("vec_id") + n).alias("vec_id"),
+            F.zip_with(v, rolled, lambda a, b: a + F.lit(0.15) * b).alias(
+                "embedding"
+            ),
+        )
+    )
+    corpus = base.unionByName(planted).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    model = ann.ivf_fit(corpus, nlist)
+    t_fit = round(time.time() - t0, 3)
+
+    # Arrow-kernel IVF end-to-end (assignment + probing + in-cell exact)
+    force(ann.ivf_topk(corpus, k=k, nprobe=nprobe, n_queries=n_queries,
+                       model=model, method="udf"))  # warm
+    t0 = time.time()
+    force(ann.ivf_topk(corpus, k=k, nprobe=nprobe, n_queries=n_queries,
+                       model=model, method="udf"))
+    t_ivf = round(time.time() - t0, 3)
+
+    # exact brute-force ground truth (same queries) + its wall clock
+    t0 = time.time()
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann.brute_topk(corpus, k=1, n_queries=n_queries).collect()
+    }
+    t_brute = round(time.time() - t0, 3)
+
+    got = ann.ivf_topk(corpus, k=k, nprobe=nprobe, n_queries=n_queries,
+                       model=model, method="udf").collect()
+    found: dict = {}
+    for r in got:
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
+    recall = round(hits / len(truth), 3)
+
+    # literal-path feasibility probe at the same nlist, on a SMALL row
+    # slice: the wall clock is plan/codegen-dominated — the point is
+    # that it cannot serve a corpus this size, not that it's merely slow
+    lit = corpus.limit(lit_rows).localCheckpoint(eager=True)
+    t0 = time.time()
+    force(ann.ivf_assign(lit, model, method="literal"))
+    t_lit = round(time.time() - t0, 3)
+    t0 = time.time()
+    force(ann.ivf_assign(corpus, model, method="udf"))
+    t_udf_assign = round(time.time() - t0, 3)
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "ann_ivf_scale",
+                "unit": "sec",
+                "n_vectors": n + n_queries,
+                "dim": dim,
+                "nlist": nlist,
+                "nprobe": nprobe,
+                "k": k,
+                "n_queries": n_queries,
+                "recall_at_planted_top1": recall,
+                "wall_sec": {
+                    "ivf_fit": t_fit,
+                    "ivf_topk_udf": t_ivf,
+                    "brute_topk_exact": t_brute,
+                    f"ivf_assign_udf_{n + n_queries}rows": t_udf_assign,
+                    f"ivf_assign_literal_{lit_rows}rows": t_lit,
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale":
+        run_scale()
+    else:
+        main()

@@ -393,3 +393,65 @@ def test_arrow_kernels_null_propagate_on_dirty_input(spark):
     }
     assert cells[2] is None and cells[3] is None
     assert cells[1] == lit_cells[1] and cells[4] == lit_cells[4]
+
+
+def test_ivf_probe_udf_matches_literal(spark):
+    """The Arrow top-nprobe probe kernel must emit exactly the literal
+    fold path's probe list (same quantization, same cos-desc/cid-asc
+    order) for every corpus vector."""
+    for sf in ("sf0.01", "sf0.1"):
+        e = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        model = ann.ivf_fit(e)
+        lit = e.select(
+            "vec_id",
+            ann.ivf_probe_cells_col(
+                F.col("embedding"), ann.norm_col(F.col("embedding")), model, 4
+            ).alias("p"),
+        )
+        udf = e.select(
+            "vec_id",
+            ann.ivf_probe_cells_udf(model, 4)(F.col("embedding")).alias("pu"),
+        )
+        diff = (
+            lit.join(udf, "vec_id")
+            .where(F.col("p") != F.col("pu"))
+            .count()
+        )
+        assert diff == 0, f"{sf}: {diff} probe-list disagreements"
+
+
+def test_ivf_udf_path_recall_at_large_nlist(spark):
+    """The all-Arrow IVF path (method="udf": matmul cell assignment +
+    matmul probing) — the only shape that runs at the nlist ≈ √n a
+    large corpus needs — must keep recall ≥ 0.9 on the planted
+    protocol at nlist=64/nprobe=8 (scoring ~1/8 of the corpus per
+    query).  scripts/bench_ann.py --scale runs the same pin at
+    256k vectors / nlist=256."""
+    sf_dir = "/root/testdata/sf0.1"
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v = F.col("embedding")
+    rolled = F.concat(F.slice(v, F.size(v), 1), F.slice(v, 1, F.size(v) - 1))
+    planted = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(v, rolled, lambda a, b: a + F.lit(0.15) * b).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(planted).localCheckpoint(eager=True)
+
+    n_queries = 300
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann.brute_topk(corpus, k=1, n_queries=n_queries).collect()
+    }
+    got = ann.ivf_topk(
+        corpus, k=3, nlist=64, nprobe=8, n_queries=n_queries, method="udf"
+    ).collect()
+    found = {}
+    for r in got:
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"udf-path IVF recall@planted-top1 = {recall:.3f}"
