@@ -178,6 +178,164 @@ def _cover_py(x: str, y: str) -> float:
     return _cover_tok(sorted(x.split(" ")), sorted(y.split(" ")))
 
 
+# --- numpy-batched token-alignment features ------------------------------------
+#
+# Vectorized across PAIRS, bucketed by token-count signature (na, nb):
+# within a bucket every name has the same token count, so tokens pack
+# into regular codepoint tensors (G × n × maxlen, built by the same
+# _code_matrix as the batched Jaro) and prefix / equality / length
+# tests become uint8 compares; only token pairs whose prefix test
+# fails go through the batched Jaro-Winkler.  Semantics are kept
+# decision-identical to the scalar _cover_tok/_contra_tok/_expand_tok
+# (property-pinned), which remain the readable reference
+# implementation.
+
+_CLS_INVALID, _CLS_II, _CLS_IW, _CLS_WW, _CLS_XX = -1, 0, 1, 2, 3
+
+
+def _startswith_codes(C1, C2):
+    """C1 startswith C2, elementwise over the last (codepoint) axis —
+    true iff at every position C2 is exhausted (pad 0) or chars equal."""
+    return ((C2 == 0) | (C1 == C2)).all(axis=-1)
+
+
+def _tok_match_codes(C1, C2, gather):
+    """_tok_match over codepoint tensors; ``gather(mask) -> (t_list,
+    u_list)`` supplies the original strings for the JW fallback on
+    prefix-failing entries."""
+    pre = _startswith_codes(C1, C2) | _startswith_codes(C2, C1)
+    need = ~pre
+    if need.any():
+        ts, us = gather(need)
+        jw = jaro_batch_np(ts, us, winkler=True)
+        out = pre.copy()
+        out[need] = jw >= TOKEN_JW_MIN
+        return out
+    return pre
+
+
+def _pair_class_codes(CA, CB, gather):
+    """_pair_class over codepoint tensors → int8 class codes."""
+    import numpy as np
+
+    lt = (CA != 0).sum(axis=-1)
+    lu = (CB != 0).sum(axis=-1)
+    one_t, one_u = lt == 1, lu == 1
+    first_eq = CA[..., 0] == CB[..., 0]
+    code = np.full(lt.shape, _CLS_INVALID, dtype=np.int8)
+    code[one_t & one_u & (CA == CB).all(axis=-1)] = _CLS_II
+    code[(one_t ^ one_u) & first_eq] = _CLS_IW
+    rest = ~one_t & ~one_u
+    if rest.any():
+        tok = _tok_match_codes(CA, CB, gather)
+        multi = (lt > 1) & (lu > 1)
+        code[rest & tok & multi] = _CLS_WW
+        code[rest & tok & ~multi] = _CLS_XX
+    return code
+
+
+def _token_features_batch(av, bv):
+    """(cov, contra, expand) float64 arrays — vectorized mirror of the
+    scalar per-pair loop."""
+    import numpy as np
+
+    from ..functions.similarity import _code_matrix
+
+    N = len(av)
+    cov = np.zeros(N)
+    contra = np.zeros(N)
+    expand = np.zeros(N)
+    toks_a = [sorted(x.split(" ")) for x in av]
+    toks_b = [sorted(y.split(" ")) for y in bv]
+    try:
+        "".join(av).encode("latin-1")
+        "".join(bv).encode("latin-1")
+        ascii_ok = True
+    except UnicodeEncodeError:
+        ascii_ok = False
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i in range(N):
+        groups.setdefault((len(toks_a[i]), len(toks_b[i])), []).append(i)
+
+    for (na, nb), idx in groups.items():
+        ids = np.array(idx)
+        ta = [toks_a[i] for i in idx]
+        tb = [toks_b[i] for i in idx]
+        flat_a = [t for row in ta for t in row]
+        flat_b = [t for row in tb for t in row]
+        L = max(
+            max((len(t) for t in flat_a), default=0),
+            max((len(t) for t in flat_b), default=0),
+            1,
+        )
+        CA = _code_matrix(flat_a, L, ascii_ok).reshape(len(idx), na, L)
+        CB = _code_matrix(flat_b, L, ascii_ok).reshape(len(idx), nb, L)
+
+        if na != nb:
+            # perms empty → contra = expand = 0; cover = every short
+            # token matches some long token (both sides ≥ 2 tokens)
+            if min(na, nb) >= 2:
+                if na <= nb:
+                    CS, CL, ts_, tl_ = CA, CB, ta, tb
+                else:
+                    CS, CL, ts_, tl_ = CB, CA, tb, ta
+
+                def gather_cross(mask):
+                    g, i, j = np.nonzero(mask)
+                    return (
+                        [ts_[gg][ii] for gg, ii in zip(g, i)],
+                        [tl_[gg][jj] for gg, jj in zip(g, j)],
+                    )
+
+                M = _tok_match_codes(
+                    CS[:, :, None, :], CL[:, None, :, :], gather_cross
+                )
+                cov[ids] = M.any(axis=2).all(axis=1).astype(np.float64)
+            continue
+
+        n = na
+
+        def gather_diag(mask):
+            g, i = np.nonzero(mask)
+            return (
+                [ta[gg][ii] for gg, ii in zip(g, i)],
+                [tb[gg][ii] for gg, ii in zip(g, i)],
+            )
+
+        # cover: sorted positional alignment, both sides ≥ 2 tokens
+        if n >= 2:
+            diag = _tok_match_codes(CA, CB, gather_diag)
+            cov[ids] = diag.all(axis=1).astype(np.float64)
+        # alignment perms: identity always; swap for 2-token names
+        aligns = [_pair_class_codes(CA, CB, gather_diag)]
+        if n == 2:
+
+            def gather_swap(mask):
+                g, i = np.nonzero(mask)
+                return (
+                    [ta[gg][ii] for gg, ii in zip(g, i)],
+                    [tb[gg][1 - ii] for gg, ii in zip(g, i)],
+                )
+
+            aligns.append(
+                _pair_class_codes(CA, CB[:, ::-1, :], gather_swap)
+            )
+        any_valid = np.zeros(len(idx), dtype=bool)
+        any_expand = np.zeros(len(idx), dtype=bool)
+        for code in aligns:
+            valid = (code != _CLS_INVALID).all(axis=1)
+            any_valid |= valid
+            if n >= 2:
+                any_expand |= (
+                    valid
+                    & (code == _CLS_IW).any(axis=1)
+                    & (code == _CLS_WW).any(axis=1)
+                )
+        contra[ids] = (~any_valid).astype(np.float64)
+        expand[ids] = any_expand.astype(np.float64)
+    return cov, contra, expand
+
+
 _FEATURES_TYPE = T.StructType(
     [
         T.StructField("jw", T.DoubleType()),
@@ -216,13 +374,7 @@ def pair_features_udf(
             winkler=True,
         ),
     )
-    cov, contra, expand = [], [], []
-    for x, y in zip(av, bv):
-        # tokenize+sort ONCE per pair; cover/contra/expand share it
-        tx, ty = sorted(x.split(" ")), sorted(y.split(" "))
-        cov.append(_cover_tok(tx, ty))
-        contra.append(_contra_tok(tx, ty))
-        expand.append(_expand_tok(tx, ty))
+    cov, contra, expand = _token_features_batch(av, bv)
     return pd.DataFrame(
         {"jw": jw, "cov": cov, "contra": contra, "expand": expand}
     )

@@ -108,3 +108,37 @@ def test_jaro_batch_bit_identical_to_scalar():
         assert np.array_equal(got_j, ref_j), pairs
 
     check()
+
+
+def test_token_features_batch_identical_to_scalar():
+    """The vectorized token-alignment features (cover/contra/expand —
+    pair_features_udf's hot path) must decide exactly like the scalar
+    reference functions on random names including initials, empty
+    tokens (double spaces), unequal token counts, and non-ASCII."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rosette_elasticsearch_plugin_spark.resolution.scoring import (
+        _contra_tok,
+        _cover_tok,
+        _expand_tok,
+        _token_features_batch,
+    )
+
+    token = st.text(alphabet="abcdé北", min_size=0, max_size=6)
+    name = st.lists(token, min_size=1, max_size=5).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(name, name), min_size=1, max_size=40))
+    def check(pairs):
+        av = [p[0] for p in pairs]
+        bv = [p[1] for p in pairs]
+        cov, contra, expand = _token_features_batch(av, bv)
+        for i, (x, y) in enumerate(pairs):
+            tx, ty = sorted(x.split(" ")), sorted(y.split(" "))
+            assert cov[i] == _cover_tok(tx, ty), (x, y)
+            assert contra[i] == _contra_tok(tx, ty), (x, y)
+            assert expand[i] == _expand_tok(tx, ty), (x, y)
+
+    check()
