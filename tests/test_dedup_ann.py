@@ -259,6 +259,17 @@ def test_ivf_topk_plan_shape(spark):
     assert "BroadcastExchange" in plan  # probes broadcast, corpus streams
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles <= 1, f"unexpected corpus shuffle:\n{plan}"
+    # the all-Arrow path must evaluate each kernel exactly ONCE: one
+    # corpus-side cell assignment, one query-side probe — the join's
+    # implicit isnotnull(cell) filter must not re-run them (the
+    # asNondeterministic plan barrier; without it the same
+    # ArrowEvalPython appeared twice per side)
+    dfu = ann.ivf_topk(e, k=3, n_queries=20, method="udf")
+    plan_u = dfu._jdf.queryExecution().executedPlan().toString()
+    n_arrow = plan_u.count("ArrowEvalPython")
+    assert n_arrow == 2, f"kernel double-evaluation:\n{plan_u}"
+    assert "BroadcastExchange" in plan_u
+    assert plan_u.count("Exchange hashpartitioning") <= 1
 
 
 def test_band_keys_udf_matches_literal(spark):

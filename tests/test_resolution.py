@@ -109,3 +109,41 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(edges)
     got = {r["node"]: r["cluster"] for r in out.collect()}
     assert got == {i: ids[0] for i in ids}
+
+
+def test_adaptive_halving_engages_only_on_chains(spark):
+    """The pointer-halving jump join must NEVER run for small-diameter
+    components (the dominant name-cluster workload — it would add a
+    second vocabulary-scale join per round for nothing) and MUST
+    engage for chain-shaped components that plain propagation can't
+    finish within the threshold.  stats telemetry is the evidence
+    surface the bench exports."""
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        connected_components,
+    )
+
+    # star: diameter 2 → converges in ≤3 plain rounds, no halving
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "node_a string, node_b string"
+    )
+    stats: dict = {}
+    out = connected_components(star, stats=stats)
+    assert {r["cluster"] for r in out.collect()} == {"hub"}
+    assert stats["halving_from_round"] is None
+    assert stats["rounds"] <= 3
+
+    # 40-link chain: plain propagation alone would need ~39 rounds —
+    # halving must engage at round index 3 and converge well inside 25
+    ids = [f"n{i:02d}" for i in range(40)]
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)],
+        "node_a string, node_b string",
+    )
+    stats2: dict = {}
+    out2 = connected_components(chain, stats=stats2)
+    assert {r["cluster"] for r in out2.collect()} == {ids[0]}
+    assert stats2["halving_from_round"] == 3
+    assert stats2["rounds"] <= 12
+    # telemetry shape: one changed-count per executed round, last is 0
+    assert len(stats2["changed_per_round"]) == stats2["rounds"]
+    assert stats2["changed_per_round"][-1] == 0
