@@ -180,12 +180,23 @@ def ngram_jaccard_col(a: Column, b: Column, n: int = 3) -> Column:
     )
 
 
-def ngram_jaccard_sql(a: str, b: str, n: int = 3) -> str:
-    sa, sb = token_shingles_sql(a, n), token_shingles_sql(b, n)
+def ngram_jaccard_from_arrays_sql(sa: str, sb: str) -> str:
+    """DuckDB mirror of :func:`ngram_jaccard_from_arrays_col` over two
+    precomputed shingle-list expressions.  Oracles should shingle per
+    DOCUMENT in a materialized CTE and pass column refs here — inlining
+    :func:`token_shingles_sql` per pair re-runs the whole
+    regex+slice+concat pipeline up to 6× per candidate (DuckDB inlines
+    CTE references), which dominated the correctness-gate wall clock."""
     return (
         f"round(case when len(list_distinct({sa} || {sb})) = 0 then 0.0 "
         f"else cast(len(list_intersect({sa}, {sb})) as double) "
         f"/ len(list_distinct({sa} || {sb})) end, 6)"
+    )
+
+
+def ngram_jaccard_sql(a: str, b: str, n: int = 3) -> str:
+    return ngram_jaccard_from_arrays_sql(
+        token_shingles_sql(a, n), token_shingles_sql(b, n)
     )
 
 

@@ -130,9 +130,12 @@ _TOKEN_PAIRS_SQL = (
 
 
 def _with_ctes(body: str) -> str:
+    # keys is referenced by BOTH sides of the pairs self-join; DuckDB
+    # inlines plain CTEs per reference, so without the hint the whole
+    # token→MinHash pipeline runs twice (see er_oracle.cluster_ctes)
     return (
-        f"with toks as ({_TOKENS_SQL}), "
-        f"keys as ({_token_band_keys_sql()}), "
+        f"with toks as materialized ({_TOKENS_SQL}), "
+        f"keys as materialized ({_token_band_keys_sql()}), "
         f"pairs as ({_TOKEN_PAIRS_SQL}) "
         f"{body}"
     )
@@ -258,13 +261,13 @@ def q_er_clusters(spark, sf_dir, cc_stats: dict | None = None):
 
 SQL_ER_CLUSTERS = f"""
 with recursive
-toks as ({_TOKENS_SQL}),
-keys as ({_token_band_keys_sql()}),
-pairs as ({_TOKEN_PAIRS_SQL}),
-match as (select token_a, token_b from
+toks as materialized ({_TOKENS_SQL}),
+keys as materialized ({_token_band_keys_sql()}),
+pairs as materialized ({_TOKEN_PAIRS_SQL}),
+match as materialized (select token_a, token_b from
   (select token_a, token_b, {score_sql('token_a', 'token_b')} as score from pairs)
   where score >= {TOKEN_TAU}),
-edges as (select token_a as u, token_b as v from match
+edges as materialized (select token_a as u, token_b as v from match
           union all select token_b as u, token_a as v from match),
 reach(u, v) as (select u, v from edges
                 union
@@ -566,9 +569,13 @@ def _lsh_cand_ctes(keys: str = "keys") -> str:
     (ONE source of truth — a change to the Spark candidate semantics is
     mirrored here once, for all three dedup oracles)."""
     k = keys
-    return f"""{k}sizes as (select band_key, count(*) as n from {k} group by band_key),
-{k}reps as (select band_key, min(doc_id) as rep from {k} group by band_key),
-cand as (select distinct doc_id_a, doc_id_b from (
+    # materialized: DuckDB inlines plain CTEs per reference, so the
+    # sizes table (referenced by BOTH union branches) and the cand set
+    # would otherwise re-execute the whole shingle→MinHash pipeline
+    # they sit on top of — measured 2× gate-time for the dedup oracles
+    return f"""{k}sizes as materialized (select band_key, count(*) as n from {k} group by band_key),
+{k}reps as materialized (select band_key, min(doc_id) as rep from {k} group by band_key),
+cand as materialized (select distinct doc_id_a, doc_id_b from (
          select a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from {k} a join {k} b using (band_key)
                      join {k}sizes s using (band_key)
@@ -584,15 +591,19 @@ def _sql_dedup_near_minhash() -> str:
     params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
     sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
     band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
-    jac = dedup.ngram_jaccard_sql("ta.text", "tb.text")
+    jac = dedup.ngram_jaccard_from_arrays_sql("sa.sh", "sb.sh")
+    # sh: shingle once per DOCUMENT and join the lists — the exact
+    # mirror of the Spark plan (candidate_jaccard_scores), and the
+    # reason the oracle no longer re-shingles per candidate pair
     return f"""
-with d as ({_DOCS_WITH_DUPS_SQL}),
+with d as materialized ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
-keys as (select doc_id, unnest({band}) as band_key from sigs),
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
 {_lsh_cand_ctes()},
+sh as materialized (select doc_id, {dedup.token_shingles_sql('text')} as sh from d),
 scored as (select doc_id_a, doc_id_b, {jac} as jaccard
-           from cand join d ta on ta.doc_id = cand.doc_id_a
-                     join d tb on tb.doc_id = cand.doc_id_b)
+           from cand join sh sa on sa.doc_id = cand.doc_id_a
+                     join sh sb on sb.doc_id = cand.doc_id_b)
 select doc_id_a, doc_id_b, jaccard from scored where jaccard >= 0.8
 """
 
@@ -646,18 +657,19 @@ def _sql_dedup_canonical() -> str:
     params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
     sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
     band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
-    jac = dedup.ngram_jaccard_sql("ta.text", "tb.text")
+    jac = dedup.ngram_jaccard_from_arrays_sql("sa.sh", "sb.sh")
     return f"""
-with recursive d as ({_DOCS_WITH_DUPS_SQL}),
+with recursive d as materialized ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
-keys as (select doc_id, unnest({band}) as band_key from sigs),
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
 {_lsh_cand_ctes()},
+sh as materialized (select doc_id, {dedup.token_shingles_sql('text')} as sh from d),
 medges as (select doc_id_a, doc_id_b
-           from cand join d ta on ta.doc_id = cand.doc_id_a
-                     join d tb on tb.doc_id = cand.doc_id_b
+           from cand join sh sa on sa.doc_id = cand.doc_id_a
+                     join sh sb on sb.doc_id = cand.doc_id_b
            where {jac} >= 0.8),
 nodes as (select cast(doc_id as varchar) as node from d),
-eedges as (select cast(doc_id_a as varchar) as u, cast(doc_id_b as varchar) as v from medges
+eedges as materialized (select cast(doc_id_a as varchar) as u, cast(doc_id_b as varchar) as v from medges
            union all
            select cast(doc_id_b as varchar), cast(doc_id_a as varchar) from medges),
 reach(u, v) as (select u, v from eedges
@@ -707,15 +719,16 @@ def _sql_dedup_ngram_jaccard() -> str:
     params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
     sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
     band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
-    jac = dedup.ngram_jaccard_sql("ta.text", "tb.text")
+    jac = dedup.ngram_jaccard_from_arrays_sql("sa.sh", "sb.sh")
     return f"""
-with d as ({_DOCS_WITH_DUPS_SQL}),
+with d as materialized ({_DOCS_WITH_DUPS_SQL}),
 sigs as (select doc_id, {sig} as sig from d),
-keys as (select doc_id, unnest({band}) as band_key from sigs),
-{_lsh_cand_ctes()}
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
+{_lsh_cand_ctes()},
+sh as materialized (select doc_id, {dedup.token_shingles_sql('text')} as sh from d)
 select doc_id_a, doc_id_b, {jac} as jaccard
-from cand join d ta on ta.doc_id = cand.doc_id_a
-          join d tb on tb.doc_id = cand.doc_id_b
+from cand join sh sa on sa.doc_id = cand.doc_id_a
+          join sh sb on sb.doc_id = cand.doc_id_b
 """
 
 
@@ -761,10 +774,10 @@ def _sql_dedup_simhash_pairs() -> str:
     hashes = f"list_transform({toks}, t -> {H.h56_sql('t')})"
     sim = H.simhash_from_hashes_sql("h")
     return f"""
-with d as ({_DOCS_WITH_DUPS_SQL}),
-sigs as (select doc_id, {sim} as simhash from
+with d as materialized ({_DOCS_WITH_DUPS_SQL}),
+sigs as materialized (select doc_id, {sim} as simhash from
          (select doc_id, {hashes} as h from d)),
-mkeys as (select doc_id, unnest({band}) as band_key from
+mkeys as materialized (select doc_id, unnest({band}) as band_key from
           (select doc_id, {sig} as sig from d)),
 {_lsh_cand_ctes("mkeys")}
 select doc_id_a, doc_id_b,

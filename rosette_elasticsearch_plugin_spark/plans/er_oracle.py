@@ -76,7 +76,7 @@ def blocks_ctes(
 {p}mcodes(tok, code) as (values {m_vals}),
 {p}mtoks as (select node, unnest(string_split(key, ' ')[1:{bcfg.metaphone_max_tokens}]) as tok
           from {p}names),
-{p}blocks as (
+{p}blocks as materialized (
   select distinct node, block_key from (
     select node, 'x:' || key as block_key from {p}names
     union all
@@ -99,6 +99,11 @@ def cluster_ctes(
     independent resolutions (e.g. a prior batch and the full corpus)
     coexist in one statement, like ``blocks_ctes``."""
     p = prefix
+    # materialized where multiply-referenced: blocks feeds bsizes plus
+    # BOTH self-join sides; medges feeds both eedges branches; and the
+    # recursive ``reach`` re-evaluates eedges every iteration — without
+    # the hints DuckDB (which inlines plain CTEs per reference) re-runs
+    # the whole blocks→score pipeline once per recursion round
     return f"""{blocks_ctes(names, cfg, prefix=p)},
 {p}bsizes as (select block_key, count(*) as n from {p}blocks group by block_key),
 {p}cpairs as (select distinct a.node as node_a, b.node as node_b
@@ -109,9 +114,9 @@ def cluster_ctes(
                   {score_sql('ka.key', 'kb.key', cfg.scoring)} as score
            from {p}cpairs join {p}names ka on ka.node = {p}cpairs.node_a
                        join {p}names kb on kb.node = {p}cpairs.node_b),
-{p}medges as (select node_a, node_b from {p}scored
+{p}medges as materialized (select node_a, node_b from {p}scored
            where score >= {cfg.scoring.threshold}),
-{p}eedges as (select node_a as u, node_b as v from {p}medges
+{p}eedges as materialized (select node_a as u, node_b as v from {p}medges
            union all select node_b as u, node_a as v from {p}medges),
 {p}reach(u, v) as (select u, v from {p}eedges
                 union
