@@ -316,6 +316,59 @@ from ({SQL_ER_CLUSTER_SIZES})
 """
 
 
+# R3-R6 observability — blocking-quality metrics: the knobs a 100 TB
+# deployment tunes blocking by.  reduction_ratio = 1 - candidates /
+# all-pairs is THE standard blocking metric (≈1 means the block join
+# prunes almost the whole quadratic pair space); block-size stats show
+# whether any key is degenerating toward a quadratic hot bucket (the
+# cap/salt/star machinery in resolution/pairs.py exists for exactly
+# those).  Pure aggregates over the existing blocking builders — three
+# map-side-combined single-row aggs cross-joined, no collect, scale-safe.
+def q_er_blocking_stats(spark, sf_dir):
+    tokens = _tokens_df(spark, sf_dir).localCheckpoint(eager=False)
+    keys = _token_band_keys(tokens)
+    pairs = _token_pairs(tokens)
+    names_agg = tokens.agg(F.count("*").cast("long").alias("n_names"))
+    blocks_agg = (
+        keys.groupBy("band_key")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.max("n").cast("long").alias("max_block_size"),
+            F.round(F.avg("n"), 6).alias("avg_block_size"),
+        )
+    )
+    pairs_agg = pairs.agg(
+        F.count("*").cast("long").alias("n_candidate_pairs")
+    )
+    out = names_agg.crossJoin(blocks_agg).crossJoin(pairs_agg)
+    return out.withColumn(
+        "reduction_ratio",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_candidate_pairs")
+            / (F.col("n_names") * (F.col("n_names") - F.lit(1)) / F.lit(2)),
+            6,
+        ),
+    )
+
+
+SQL_ER_BLOCKING_STATS = _with_ctes(
+    """
+select n_names, n_blocks, max_block_size, avg_block_size,
+       n_candidate_pairs,
+       round(1.0 - n_candidate_pairs
+             / (n_names * (n_names - 1) / 2), 6) as reduction_ratio
+from (select cast(count(*) as bigint) as n_names from toks),
+     (select cast(count(*) as bigint) as n_blocks,
+             cast(max(n) as bigint) as max_block_size,
+             round(avg(n), 6) as avg_block_size
+      from (select band_key, count(*) as n from keys group by band_key)),
+     (select cast(count(*) as bigint) as n_candidate_pairs from pairs)
+"""
+)
+
+
 # R11 — pairwise F1 (truth: lang equality; predicted: detected-language
 # equality).  The all-pairs evaluation is quadratic, so it runs on the
 # FIXED-SIZE hash sample: the K docs with the smallest h56(doc_id) —
@@ -2192,6 +2245,7 @@ QUERIES: dict[str, Callable] = {
     "er_clusters": q_er_clusters,
     "er_cluster_sizes": q_er_cluster_sizes,
     "er_cluster_stats": q_er_cluster_stats,
+    "er_blocking_stats": q_er_blocking_stats,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
     "ros_categories": q_ros_categories,
@@ -2250,6 +2304,7 @@ ORACLES: dict[str, str] = {
     "er_clusters": SQL_ER_CLUSTERS,
     "er_cluster_sizes": SQL_ER_CLUSTER_SIZES,
     "er_cluster_stats": SQL_ER_CLUSTER_STATS,
+    "er_blocking_stats": SQL_ER_BLOCKING_STATS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
     "ros_categories": SQL_ROS_CATEGORIES,
@@ -2325,4 +2380,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 55
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 56
