@@ -1953,6 +1953,94 @@ def q_er_name_f1(spark, sf_dir):
     )
 
 
+# Blocking recall (pairs completeness) on the same labeled fixture:
+# fraction of TRUE matched name pairs (same entity label) that share
+# ≥1 block key.  The recall side of blocking quality —
+# er_blocking_stats measures the efficiency side (reduction ratio);
+# together they are how a deployment tunes bands/rows/caps without
+# running the full pipeline.  A pair the blocker never co-blocks can
+# never be scored, so this bounds end-to-end recall from above.
+def q_er_blocking_recall(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from .er_pipeline import ERConfig, er_key_col
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    names = distinct_mention_names(docs).localCheckpoint(eager=False)
+    keyed = names.select("node", er_key_col(F.col("node")).alias("key"))
+    blocks = all_blocks(keyed, ERConfig().blocking).localCheckpoint(
+        eager=False
+    )
+    tn = truth.select("entity_label", "normalized").distinct()
+    a, b = tn.alias("a"), tn.alias("b")
+    tpairs = (
+        a.join(
+            b,
+            (F.col("a.entity_label") == F.col("b.entity_label"))
+            & (F.col("a.normalized") < F.col("b.normalized")),
+        )
+        .select(
+            F.col("a.normalized").alias("node_a"),
+            F.col("b.normalized").alias("node_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ba = blocks.select(F.col("node").alias("node_a"), "block_key")
+    bb = blocks.select(F.col("node").alias("node_b"), "block_key")
+    shared = (
+        tpairs.join(ba, "node_a")
+        .join(bb, ["node_b", "block_key"])
+        .select("node_a", "node_b")
+        .distinct()
+    )
+    out = tpairs.agg(
+        F.count("*").cast("long").alias("n_true_pairs")
+    ).crossJoin(
+        shared.agg(F.count("*").cast("long").alias("n_blocked_pairs"))
+    )
+    return out.withColumn(
+        "pairs_completeness",
+        F.round(
+            F.col("n_blocked_pairs")
+            / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def _sql_er_blocking_recall() -> str:
+    from .er_oracle import blocks_ctes
+
+    names, truth = _name_f1_fixture()
+    tn = sorted({(e, n) for _m, e, n in truth})
+    tn_vals = ", ".join(
+        "('" + e.replace("'", "''") + "', '" + n.replace("'", "''") + "')"
+        for e, n in tn
+    )
+    return f"""
+with {blocks_ctes(names)},
+tn(entity_label, normalized) as (values {tn_vals}),
+tpairs as materialized (select distinct a.normalized as node_a, b.normalized as node_b
+           from tn a join tn b
+           on a.entity_label = b.entity_label and a.normalized < b.normalized),
+shared as (select distinct p.node_a, p.node_b
+           from tpairs p join blocks ba on ba.node = p.node_a
+                         join blocks bb on bb.node = p.node_b
+                                       and bb.block_key = ba.block_key)
+select n_true_pairs, n_blocked_pairs,
+       round(n_blocked_pairs / greatest(n_true_pairs, 1), 6)
+         as pairs_completeness
+from (select cast(count(*) as bigint) as n_true_pairs from tpairs),
+     (select cast(count(*) as bigint) as n_blocked_pairs from shared)
+"""
+
+
+SQL_ER_BLOCKING_RECALL = _sql_er_blocking_recall()
+
+
 # --- media plumbing: decode stub (mapInPandas, Arrow-batched) with a full
 # sha256-based DuckDB mirror, plus resize / frame-sample / feature plans --------
 def q_media_metadata(spark, sf_dir):
@@ -2246,6 +2334,7 @@ QUERIES: dict[str, Callable] = {
     "er_cluster_sizes": q_er_cluster_sizes,
     "er_cluster_stats": q_er_cluster_stats,
     "er_blocking_stats": q_er_blocking_stats,
+    "er_blocking_recall": q_er_blocking_recall,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
     "ros_categories": q_ros_categories,
@@ -2305,6 +2394,7 @@ ORACLES: dict[str, str] = {
     "er_cluster_sizes": SQL_ER_CLUSTER_SIZES,
     "er_cluster_stats": SQL_ER_CLUSTER_STATS,
     "er_blocking_stats": SQL_ER_BLOCKING_STATS,
+    "er_blocking_recall": SQL_ER_BLOCKING_RECALL,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
     "ros_categories": SQL_ROS_CATEGORIES,
@@ -2380,4 +2470,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 56
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 57
