@@ -2041,6 +2041,289 @@ from (select cast(count(*) as bigint) as n_true_pairs from tpairs),
 SQL_ER_BLOCKING_RECALL = _sql_er_blocking_recall()
 
 
+# B-cubed precision/recall/F1 on the same labeled fixture: the standard
+# cluster-level ER metric (Bagga & Baldwin 1998) beside the pairwise F1
+# the north rule pins.  Per mention i with predicted cluster C(i) and
+# truth label L(i): P_i = |C(i)∩L(i)|/|C(i)|, R_i = |C(i)∩L(i)|/|L(i)|;
+# B³ = the mention-averaged P/R and their harmonic mean.  Unlike
+# pairwise F1 it is not quadratic in cluster size, so a deployment can
+# compute it over the full corpus, and it penalizes one giant wrong
+# cluster linearly per member rather than quadratically — the two
+# metrics together are how the reference's entity-linking quality
+# (fixture entityId groups, mock_responses/entities_response.json:
+# 315-378) is tracked at scale. --------------------------------------------
+def q_er_bcubed(spark, sf_dir):
+    from .. import corpus
+    from .er_pipeline import resolve_documents
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    _, name_clusters = resolve_documents(docs)
+    tc = (
+        truth.select("mention_id", "entity_label", "normalized")
+        .join(
+            name_clusters.withColumnRenamed("node", "normalized"),
+            "normalized",
+            "left",
+        )
+        .withColumn("cluster", F.coalesce("cluster", F.col("normalized")))
+        .select("mention_id", "entity_label", "cluster")
+        # feeds the cell/cluster-size/label-size aggregates plus the
+        # per-mention join — four consumers, one tiny table
+        .localCheckpoint(eager=False)
+    )
+    cell = tc.groupBy("cluster", "entity_label").agg(
+        F.count("*").alias("n_cell")
+    )
+    csize = tc.groupBy("cluster").agg(F.count("*").alias("n_c"))
+    lsize = tc.groupBy("entity_label").agg(F.count("*").alias("n_l"))
+    per = (
+        tc.join(cell, ["cluster", "entity_label"])
+        .join(csize, "cluster")
+        .join(lsize, "entity_label")
+        .select(
+            (F.col("n_cell") / F.col("n_c")).alias("p"),
+            (F.col("n_cell") / F.col("n_l")).alias("r"),
+        )
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.avg("p").alias("bp"),
+        F.avg("r").alias("br"),
+    )
+    f1 = F.when(F.col("bp") + F.col("br") == 0, F.lit(0.0)).otherwise(
+        2 * F.col("bp") * F.col("br") / (F.col("bp") + F.col("br"))
+    )
+    return agg.select(
+        "n_mentions",
+        F.round("bp", 6).alias("bcubed_precision"),
+        F.round("br", 6).alias("bcubed_recall"),
+        F.round(f1, 6).alias("bcubed_f1"),
+    )
+
+
+def _sql_er_bcubed() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, truth = _name_f1_fixture()
+    truth_vals = ", ".join(
+        "('" + m.replace("'", "''") + "', '" + e.replace("'", "''")
+        + "', '" + n.replace("'", "''") + "')"
+        for m, e, n in truth
+    )
+    return f"""
+with recursive {cluster_ctes(names)},
+truth(mention_id, entity_label, normalized) as (values {truth_vals}),
+tc as materialized (
+  select t.mention_id, t.entity_label,
+         coalesce(c.cluster, t.normalized) as cluster
+  from truth t left join clusters c on c.node = t.normalized),
+cell as (select cluster, entity_label, count(*) as n_cell
+         from tc group by cluster, entity_label),
+csize as (select cluster, count(*) as n_c from tc group by cluster),
+lsize as (select entity_label, count(*) as n_l from tc group by entity_label),
+per as (select n_cell / n_c as p, n_cell / n_l as r
+        from tc join cell using (cluster, entity_label)
+                join csize using (cluster)
+                join lsize using (entity_label)),
+agg as (select cast(count(*) as bigint) as n_mentions,
+               avg(p) as bp, avg(r) as br from per)
+select n_mentions,
+       round(bp, 6) as bcubed_precision,
+       round(br, 6) as bcubed_recall,
+       round(case when bp + br = 0 then 0.0
+             else 2 * bp * br / (bp + br) end, 6) as bcubed_f1
+from agg
+"""
+
+
+SQL_ER_BCUBED = _sql_er_bcubed()
+
+
+# Cross-source record linkage: the same blocking + scoring stack linking
+# TWO record sets (A↔B) instead of deduplicating one.  Every name gets a
+# deterministic source tag (md5 parity — mirrorable on both engines);
+# candidate pairs come from the shared block index exactly as in
+# resolve_names, but only cross-source pairs are scored and kept.  This
+# is the "link my CRM export against the enriched corpus" shape — the
+# reference's users do it by querying the ros_entities field of one
+# index with names from another (RosetteTextAnalysisPluginIT.java:
+# 120-140 searches enriched docs by translated name); here it is one
+# join, with the old×old and new×new pair spaces never generated. ----------
+def q_er_cross_link(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        # feeds blocking plus both pair-side source/key joins
+        .localCheckpoint(eager=False)
+    )
+    src = keyed.withColumn(
+        "source",
+        F.when(
+            F.substring(F.md5("node"), 1, 1).isin(*"01234567"), "A"
+        ).otherwise("B"),
+    )
+    blocks = all_blocks(keyed, cfg.blocking)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    sa = src.select(
+        F.col("node").alias("node_a"),
+        F.col("key").alias("key_a"),
+        F.col("source").alias("source_a"),
+    )
+    sb = src.select(
+        F.col("node").alias("node_b"),
+        F.col("key").alias("key_b"),
+        F.col("source").alias("source_b"),
+    )
+    linked = (
+        pairs.join(sa, "node_a")
+        .join(sb, "node_b")
+        .where(F.col("source_a") != F.col("source_b"))
+        .withColumn(
+            "score", score_expr(F.col("key_a"), F.col("key_b"), cfg.scoring)
+        )
+        .where(F.col("score") >= cfg.scoring.threshold)
+    )
+    return linked.select(
+        "node_a",
+        "node_b",
+        "source_a",
+        "source_b",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_er_cross_link() -> str:
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    halves = ", ".join(f"'{c}'" for c in "01234567")
+    return f"""
+with {blocks_ctes(names)},
+src as materialized (
+  select node, key,
+         case when substring(md5(node), 1, 1) in ({halves})
+              then 'A' else 'B' end as source
+  from names),
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+linked as (select node_a, node_b,
+                  sa.source as source_a, sb.source as source_b,
+                  {score_sql('sa.key', 'sb.key', cfg.scoring)} as score
+           from cpairs join src sa on sa.node = cpairs.node_a
+                       join src sb on sb.node = cpairs.node_b
+           where sa.source <> sb.source)
+select node_a, node_b, source_a, source_b, round(score, 6) as score
+from linked where score >= {cfg.scoring.threshold}
+"""
+
+
+SQL_ER_CROSS_LINK = _sql_er_cross_link()
+
+
+# Match explainability: per-feature breakdown for every candidate pair
+# of the fixture universe — jw / lev / token-jaccard / coverage plus the
+# contradiction and expansion gates beside the final score.  The Spark
+# side shares ONE kernel evaluation between the breakdown and the score
+# (resolution/scoring.explain_expr — score_expr IS its "score" entry),
+# so the explanation can never drift from the production decision; the
+# oracle rebuilds each feature from the same SQL fragments score_sql
+# composes.  This is the audit surface a deployment needs when a
+# reviewer asks why two records were (or weren't) linked. -------------------
+def q_er_score_explain(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from ..resolution.scoring import explain_expr
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    blocks = all_blocks(keyed, cfg.blocking)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    ka = keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a"))
+    kb = keyed.select(F.col("node").alias("node_b"), F.col("key").alias("key_b"))
+    ex = explain_expr(F.col("key_a"), F.col("key_b"), cfg.scoring)
+    return (
+        pairs.join(ka, "node_a")
+        .join(kb, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            F.round(ex["jw"], 6).alias("jw"),
+            F.round(ex["lev"], 6).alias("lev"),
+            F.round(ex["token_jaccard"], 6).alias("token_jaccard"),
+            F.round(ex["coverage"], 6).alias("coverage"),
+            F.round(ex["contradiction"], 6).alias("contradiction"),
+            F.round(ex["expansion"], 6).alias("expansion"),
+            ex["score"].alias("score"),
+        )
+    )
+
+
+def _sql_er_score_explain() -> str:
+    from ..functions.similarity import token_jaccard_sql
+    from ..resolution.scoring import (
+        contra_sql,
+        cover_sql,
+        expand_sql,
+        jw_sql,
+        lev_sql,
+    )
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    ka, kb = "ka.key", "kb.key"
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node)
+select node_a, node_b,
+       round({jw_sql(ka, kb)}, 6) as jw,
+       round({lev_sql(ka, kb)}, 6) as lev,
+       round({token_jaccard_sql(ka, kb)}, 6) as token_jaccard,
+       round({cover_sql(ka, kb)}, 6) as coverage,
+       round({contra_sql(ka, kb)}, 6) as contradiction,
+       round({expand_sql(ka, kb)}, 6) as expansion,
+       {score_sql(ka, kb, cfg.scoring)} as score
+from cpairs join names ka on ka.node = cpairs.node_a
+            join names kb on kb.node = cpairs.node_b
+"""
+
+
+SQL_ER_SCORE_EXPLAIN = _sql_er_score_explain()
+
+
 # --- media plumbing: decode stub (mapInPandas, Arrow-batched) with a full
 # sha256-based DuckDB mirror, plus resize / frame-sample / feature plans --------
 def q_media_metadata(spark, sf_dir):
@@ -2335,6 +2618,9 @@ QUERIES: dict[str, Callable] = {
     "er_cluster_stats": q_er_cluster_stats,
     "er_blocking_stats": q_er_blocking_stats,
     "er_blocking_recall": q_er_blocking_recall,
+    "er_bcubed": q_er_bcubed,
+    "er_cross_link": q_er_cross_link,
+    "er_score_explain": q_er_score_explain,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
     "ros_categories": q_ros_categories,
@@ -2395,6 +2681,9 @@ ORACLES: dict[str, str] = {
     "er_cluster_stats": SQL_ER_CLUSTER_STATS,
     "er_blocking_stats": SQL_ER_BLOCKING_STATS,
     "er_blocking_recall": SQL_ER_BLOCKING_RECALL,
+    "er_bcubed": SQL_ER_BCUBED,
+    "er_cross_link": SQL_ER_CROSS_LINK,
+    "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
     "ros_categories": SQL_ROS_CATEGORIES,
@@ -2470,4 +2759,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 57
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 60

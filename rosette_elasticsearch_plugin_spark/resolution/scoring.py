@@ -391,7 +391,13 @@ def pair_features_udf(
 pair_features_udf = pair_features_udf.asNondeterministic()
 
 
-def score_expr(a: Column, b: Column, cfg: ScoringConfig = ScoringConfig()) -> Column:
+def explain_expr(
+    a: Column, b: Column, cfg: ScoringConfig = ScoringConfig()
+) -> dict[str, Column]:
+    """Named per-feature columns + the final score — the "why did these
+    two records link" surface.  One kernel evaluation feeds every
+    field; ``score_expr`` is the ``score`` entry, so the breakdown can
+    never drift from the production score."""
     sa, sb = sort_tokens_col(a), sort_tokens_col(b)
     feat = pair_features_udf(a, b, sa, sb)
     ca, cb = F.replace(a, F.lit(" "), F.lit("")), F.replace(b, F.lit(" "), F.lit(""))
@@ -418,7 +424,19 @@ def score_expr(a: Column, b: Column, cfg: ScoringConfig = ScoringConfig()) -> Co
     gated = F.when(
         feat["expand"] == 1.0, F.greatest(gated, F.lit(cfg.expansion_floor))
     ).otherwise(gated)
-    return F.round(gated, 6)
+    return {
+        "jw": feat["jw"],
+        "lev": lev,
+        "token_jaccard": jac,
+        "coverage": feat["cov"],
+        "contradiction": feat["contra"],
+        "expansion": feat["expand"],
+        "score": F.round(gated, 6),
+    }
+
+
+def score_expr(a: Column, b: Column, cfg: ScoringConfig = ScoringConfig()) -> Column:
+    return explain_expr(a, b, cfg)["score"]
 
 
 def score_pairs(
@@ -557,16 +575,30 @@ def contra_sql(a: str, b: str) -> str:
     )
 
 
-def score_sql(a: str, b: str, cfg: ScoringConfig = ScoringConfig()) -> str:
-    """DuckDB mirror of score_expr (value-identical; round 6dp)."""
+def jw_sql(a: str, b: str) -> str:
+    """DuckDB mirror of the kernel's jw feature (max over the raw,
+    token-sorted and space-stripped alignments)."""
     sa, sb = sort_tokens_sql(a), sort_tokens_sql(b)
     ca, cb = f"replace({a}, ' ', '')", f"replace({b}, ' ', '')"
-    jw = (
+    return (
         f"greatest(jaro_winkler_similarity({a}, {b}), "
         f"jaro_similarity({sa}, {sb}), "
         f"jaro_winkler_similarity({ca}, {cb}))"
     )
-    lev = f"greatest({levenshtein_sim_sql(a, b)}, {levenshtein_sim_sql(ca, cb)})"
+
+
+def lev_sql(a: str, b: str) -> str:
+    """DuckDB mirror of the scorer's lev feature (max over raw and
+    space-stripped forms)."""
+    ca, cb = f"replace({a}, ' ', '')", f"replace({b}, ' ', '')"
+    return f"greatest({levenshtein_sim_sql(a, b)}, {levenshtein_sim_sql(ca, cb)})"
+
+
+def score_sql(a: str, b: str, cfg: ScoringConfig = ScoringConfig()) -> str:
+    """DuckDB mirror of score_expr (value-identical; round 6dp)."""
+    ca, cb = f"replace({a}, ' ', '')", f"replace({b}, ' ', '')"
+    jw = jw_sql(a, b)
+    lev = lev_sql(a, b)
     jac = token_jaccard_sql(a, b)
     cov = cover_sql(a, b)
     raw = (

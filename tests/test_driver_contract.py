@@ -11,7 +11,8 @@ from __spark_entry__ import oracle_sql, queries
 SF = "/root/testdata/sf0.001"
 SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
           "ann_brute_topk", "ros_language", "guard_passthrough",
-          "ann_ivf_topk", "corpus_clean", "sample_stratified"]
+          "ann_ivf_topk", "corpus_clean", "sample_stratified",
+          "er_bcubed", "er_cross_link", "er_score_explain"]
 
 
 def test_oracle_keys_subset_of_queries():
@@ -78,6 +79,35 @@ def test_sample_stratified_downsamples_dominant_stratum(spark):
     assert abs(eng_kept / n_eng - dq.SAMPLE_PCT_ENG / 100) < 0.15
     again = {r["doc_id"] for r in dq.q_sample_stratified(spark, SF).collect()}
     assert first == again
+
+
+def test_bcubed_perfect_on_fixture(spark):
+    """The resolved fixture corpus scores B³ = 1.0 — cluster-level
+    agreement with planted truth, matching the pairwise F1 = 1.0 pin
+    (er_name_f1) on the same corpus."""
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as dq
+
+    row = dq.q_er_bcubed(spark, SF).collect()[0]
+    assert row["n_mentions"] > 0
+    assert row["bcubed_precision"] == 1.0
+    assert row["bcubed_recall"] == 1.0
+    assert row["bcubed_f1"] == 1.0
+
+
+def test_cross_link_only_cross_source_pairs(spark):
+    """Cross-source linkage emits only A↔B pairs, every link clears the
+    match threshold, and at least one true variant pair links across
+    the md5-parity split."""
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as dq
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import ERConfig
+
+    rows = dq.q_er_cross_link(spark, SF).collect()
+    assert rows
+    tau = ERConfig().scoring.threshold
+    for r in rows:
+        assert r["source_a"] != r["source_b"]
+        assert r["node_a"] < r["node_b"]
+        assert r["score"] >= tau - 5e-7  # round(…, 6) on output
 
 
 def test_entry_smoke(spark):
