@@ -2324,6 +2324,87 @@ from cpairs join names ka on ka.node = cpairs.node_a
 SQL_ER_SCORE_EXPLAIN = _sql_er_score_explain()
 
 
+# Per-cluster confidence: the weakest and mean match-edge score inside
+# each resolved multi-member cluster, beside its member/edge counts.  A
+# deployment sorts by min_score ascending to get the human-review queue
+# — a cluster held together by one borderline edge (min close to τ)
+# is where a wrong merge lives, while er_cluster_stats only shows the
+# corpus-level distribution.  Mirrors the full resolve pipeline, then
+# aggregates the surviving edges per component. -----------------------------
+def q_er_cluster_confidence(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    blocks = all_blocks(keyed, cfg.blocking)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    ka = keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a"))
+    kb = keyed.select(F.col("node").alias("node_b"), F.col("key").alias("key_b"))
+    edges = (
+        pairs.join(ka, "node_a")
+        .join(kb, "node_b")
+        .withColumn(
+            "score", score_expr(F.col("key_a"), F.col("key_b"), cfg.scoring)
+        )
+        .where(F.col("score") >= cfg.scoring.threshold)
+        .select("node_a", "node_b", "score")
+        # feeds connected_components (multi-round self-joins) AND the
+        # per-cluster aggregate — sever the scoring lineage once
+        .localCheckpoint(eager=False)
+    )
+    cc = connected_components(edges, max_iter=cfg.cc_max_iter)
+    mem = cc.groupBy("cluster").agg(F.count("*").cast("long").alias("n_members"))
+    agg = (
+        edges.join(cc.withColumnRenamed("node", "node_a"), "node_a")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )
+    return agg.join(mem, "cluster").select(
+        "cluster", "n_members", "n_edges", "min_score", "avg_score"
+    )
+
+
+def _sql_er_cluster_confidence() -> str:
+    from .er_oracle import cluster_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with recursive {cluster_ctes(names)},
+est as (select s.score, c.cluster
+        from scored s join clusters c on c.node = s.node_a
+        where s.score >= {cfg.scoring.threshold}),
+mem as (select cluster, cast(count(*) as bigint) as n_members
+        from clusters group by cluster),
+agg as (select cluster, cast(count(*) as bigint) as n_edges,
+               round(min(score), 6) as min_score,
+               round(avg(score), 6) as avg_score
+        from est group by cluster)
+select a.cluster, m.n_members, a.n_edges, a.min_score, a.avg_score
+from agg a join mem m using (cluster)
+"""
+
+
+SQL_ER_CLUSTER_CONFIDENCE = _sql_er_cluster_confidence()
+
+
 # --- media plumbing: decode stub (mapInPandas, Arrow-batched) with a full
 # sha256-based DuckDB mirror, plus resize / frame-sample / feature plans --------
 def q_media_metadata(spark, sf_dir):
@@ -2621,6 +2702,7 @@ QUERIES: dict[str, Callable] = {
     "er_bcubed": q_er_bcubed,
     "er_cross_link": q_er_cross_link,
     "er_score_explain": q_er_score_explain,
+    "er_cluster_confidence": q_er_cluster_confidence,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
     "ros_categories": q_ros_categories,
@@ -2684,6 +2766,7 @@ ORACLES: dict[str, str] = {
     "er_bcubed": SQL_ER_BCUBED,
     "er_cross_link": SQL_ER_CROSS_LINK,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
+    "er_cluster_confidence": SQL_ER_CLUSTER_CONFIDENCE,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
     "ros_categories": SQL_ROS_CATEGORIES,
@@ -2759,4 +2842,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 60
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 61

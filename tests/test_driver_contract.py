@@ -12,7 +12,8 @@ SF = "/root/testdata/sf0.001"
 SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
           "ann_brute_topk", "ros_language", "guard_passthrough",
           "ann_ivf_topk", "corpus_clean", "sample_stratified",
-          "er_bcubed", "er_cross_link", "er_score_explain"]
+          "er_bcubed", "er_cross_link", "er_score_explain",
+          "er_cluster_confidence"]
 
 
 def test_oracle_keys_subset_of_queries():
@@ -108,6 +109,22 @@ def test_cross_link_only_cross_source_pairs(spark):
         assert r["source_a"] != r["source_b"]
         assert r["node_a"] < r["node_b"]
         assert r["score"] >= tau - 5e-7  # round(…, 6) on output
+
+
+def test_cluster_confidence_component_invariants(spark):
+    """Every row is a true multi-member component: at least a spanning
+    tree of match edges (n_edges ≥ n_members−1), and min ≤ mean with
+    min clearing the match threshold."""
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as dq
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import ERConfig
+
+    rows = dq.q_er_cluster_confidence(spark, SF).collect()
+    assert rows
+    tau = ERConfig().scoring.threshold
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["n_edges"] >= r["n_members"] - 1
+        assert tau - 5e-7 <= r["min_score"] <= r["avg_score"] + 1e-9
 
 
 def test_entry_smoke(spark):
