@@ -316,6 +316,76 @@ from ({SQL_ER_CLUSTER_SIZES})
 """
 
 
+# R10 deliverable — survivorship / golden record: the merged per-entity
+# view a consumer reads AFTER resolution (the reference's users get this
+# by aggregating the ros_entities field across the enriched index; here
+# it is the terminal select of the resolution plan).  Per cluster: the
+# canonical surface form = highest mention support, ties broken by
+# lexicographic min (the same determinism rule as the min-id cluster
+# labels), plus alias/mention/document support counts.  Scale shape:
+# mentions (corpus-scale) join the vocabulary-scale cluster map — AQE
+# broadcasts the small side; the canonical pick is one window over
+# per-(cluster, token) counts, already map-side-combined — no collect,
+# no all-pairs, one shuffle each for the two aggregates.
+def q_er_golden_record(spark, sf_dir):
+    from pyspark.sql import Window
+
+    m = (
+        q_er_mentions(spark, sf_dir)
+        .join(q_er_clusters(spark, sf_dir), "token")
+        # two aggregate consumers (canonical pick + support counts)
+        .localCheckpoint(eager=False)
+    )
+    per_tok = m.groupBy("cluster", "token").agg(
+        F.count("*").cast("long").alias("n_tok_mentions")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_tok_mentions").desc(), F.col("token").asc()
+    )
+    canon = (
+        per_tok.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("token").alias("canonical_name"),
+            F.col("n_tok_mentions").alias("canonical_mentions"),
+        )
+    )
+    support = m.groupBy("cluster").agg(
+        F.countDistinct("token").cast("long").alias("n_aliases"),
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return support.join(canon, "cluster")
+
+
+SQL_ER_GOLDEN_RECORD = f"""
+with m as materialized (
+  select mm.doc_id, mm.token, c.cluster
+  from ({SQL_ER_MENTIONS}) mm
+  join ({SQL_ER_CLUSTERS}) c using (token)),
+per_tok as materialized (
+  select cluster, token, cast(count(*) as bigint) as n_tok_mentions
+  from m group by cluster, token),
+canon as (
+  select cluster, token as canonical_name,
+         n_tok_mentions as canonical_mentions
+  from (select *, row_number() over (
+          partition by cluster
+          order by n_tok_mentions desc, token) as rn from per_tok)
+  where rn = 1),
+support as (
+  select cluster,
+         cast(count(distinct token) as bigint) as n_aliases,
+         cast(count(*) as bigint) as n_mentions,
+         cast(count(distinct doc_id) as bigint) as n_docs
+  from m group by cluster)
+select support.cluster, n_aliases, n_mentions, n_docs,
+       canonical_name, canonical_mentions
+from support join canon using (cluster)
+"""
+
+
 # R3-R6 observability — blocking-quality metrics: the knobs a 100 TB
 # deployment tunes blocking by.  reduction_ratio = 1 - candidates /
 # all-pairs is THE standard blocking metric (≈1 means the block join
@@ -2697,6 +2767,7 @@ QUERIES: dict[str, Callable] = {
     "er_clusters": q_er_clusters,
     "er_cluster_sizes": q_er_cluster_sizes,
     "er_cluster_stats": q_er_cluster_stats,
+    "er_golden_record": q_er_golden_record,
     "er_blocking_stats": q_er_blocking_stats,
     "er_blocking_recall": q_er_blocking_recall,
     "er_bcubed": q_er_bcubed,
@@ -2761,6 +2832,7 @@ ORACLES: dict[str, str] = {
     "er_clusters": SQL_ER_CLUSTERS,
     "er_cluster_sizes": SQL_ER_CLUSTER_SIZES,
     "er_cluster_stats": SQL_ER_CLUSTER_STATS,
+    "er_golden_record": SQL_ER_GOLDEN_RECORD,
     "er_blocking_stats": SQL_ER_BLOCKING_STATS,
     "er_blocking_recall": SQL_ER_BLOCKING_RECALL,
     "er_bcubed": SQL_ER_BCUBED,
@@ -2842,4 +2914,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 61
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 62
