@@ -13,7 +13,7 @@ SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
           "ann_brute_topk", "ros_language", "guard_passthrough",
           "ann_ivf_topk", "corpus_clean", "sample_stratified",
           "er_bcubed", "er_cross_link", "er_score_explain",
-          "er_cluster_confidence"]
+          "er_cluster_confidence", "er_golden_record"]
 
 
 def test_oracle_keys_subset_of_queries():
@@ -125,6 +125,37 @@ def test_cluster_confidence_component_invariants(spark):
         assert r["n_members"] >= 2
         assert r["n_edges"] >= r["n_members"] - 1
         assert tau - 5e-7 <= r["min_score"] <= r["avg_score"] + 1e-9
+
+
+def test_golden_record_survivorship_invariants(spark):
+    """One golden record per cluster; the canonical name is a member of
+    the cluster with maximal mention support (lexicographic-min on
+    ties), and support counts are internally consistent."""
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as dq
+
+    golden = {r["cluster"]: r for r in dq.q_er_golden_record(spark, SF).collect()}
+    assert golden  # non-degenerate fixture
+    clusters = dq.q_er_clusters(spark, SF).collect()
+    members: dict[str, set] = {}
+    for r in clusters:
+        members.setdefault(r["cluster"], set()).add(r["token"])
+    mentions = dq.q_er_mentions(spark, SF).collect()
+    support: dict[str, int] = {}
+    for m in mentions:
+        support[m["token"]] = support.get(m["token"], 0) + 1
+    assert set(golden) == set(members)
+    for cid, g in golden.items():
+        assert g["canonical_name"] in members[cid]
+        best = max(
+            members[cid], key=lambda t: (support.get(t, 0), )
+        )
+        best_n = support.get(best, 0)
+        ties = sorted(t for t in members[cid] if support.get(t, 0) == best_n)
+        assert g["canonical_name"] == ties[0]
+        assert g["canonical_mentions"] == best_n
+        assert g["n_aliases"] == len(members[cid])
+        assert g["n_mentions"] == sum(support.get(t, 0) for t in members[cid])
+        assert 1 <= g["n_docs"] <= g["n_mentions"]
 
 
 def test_entry_smoke(spark):
