@@ -2394,6 +2394,162 @@ from cpairs join names ka on ka.node = cpairs.node_a
 SQL_ER_SCORE_EXPLAIN = _sql_er_score_explain()
 
 
+# Threshold sweep: decision-level precision/recall/F1 at a ladder of
+# candidate thresholds τ over the labeled fixture — the table a
+# deployment reads to SET cfg.scoring.threshold (default 0.70) before a
+# full run, instead of re-resolving per τ.  Candidate pairs are scored
+# ONCE (blocking + scorer exactly as resolution, no threshold applied);
+# each τ is then a filter + count over the same scored set, so the sweep
+# costs one scoring pass regardless of ladder length.  True pairs the
+# blocker never co-blocks count as FN at every τ (consistent with
+# er_blocking_recall's upper bound).  Scale shape: the ladder is a
+# broadcast literal; aggregates are map-side combined. ----------------------
+TAU_SWEEP = [0.50, 0.60, 0.65, 0.70, 0.75, 0.80, 0.90]
+
+
+def q_er_threshold_sweep(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        # feeds blocking plus both pair-side key joins
+        .localCheckpoint(eager=False)
+    )
+    blocks = all_blocks(keyed, cfg.blocking)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    ka = keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a"))
+    kb = keyed.select(F.col("node").alias("node_b"), F.col("key").alias("key_b"))
+    tn = truth.select("entity_label", "normalized").distinct()
+    a, b = tn.alias("a"), tn.alias("b")
+    tpairs = (
+        a.join(
+            b,
+            (F.col("a.entity_label") == F.col("b.entity_label"))
+            & (F.col("a.normalized") < F.col("b.normalized")),
+        )
+        .select(
+            F.col("a.normalized").alias("node_a"),
+            F.col("b.normalized").alias("node_b"),
+        )
+        .distinct()
+        # feeds the is_true label join + the n_true aggregate
+        .localCheckpoint(eager=False)
+    )
+    labeled = (
+        pairs.join(ka, "node_a")
+        .join(kb, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            score_expr(F.col("key_a"), F.col("key_b"), cfg.scoring).alias(
+                "score"
+            ),
+        )
+        .join(
+            tpairs.withColumn("is_true", F.lit(True)),
+            ["node_a", "node_b"],
+            "left",
+        )
+        .withColumn("is_true", F.coalesce("is_true", F.lit(False)))
+    )
+    taus = spark.createDataFrame([(t,) for t in TAU_SWEEP], "tau double")
+    per = (
+        labeled.crossJoin(F.broadcast(taus))
+        .where(F.col("score") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("long").alias("tp"),
+            F.sum(F.when(~F.col("is_true"), 1).otherwise(0))
+            .cast("long").alias("fp"),
+        )
+    )
+    # a τ no candidate clears must still report a (0, 0) row
+    per = (
+        taus.join(per, "tau", "left")
+        .fillna(0, ["tp", "fp"])
+        .select("tau", F.col("tp").cast("long"), F.col("fp").cast("long"))
+    )
+    n_true = tpairs.agg(F.count("*").cast("long").alias("n_true"))
+    out = per.crossJoin(n_true).withColumn(
+        "fn", (F.col("n_true") - F.col("tp")).cast("long")
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(prec + rec == 0, 0.0).otherwise(2 * prec * rec / (prec + rec))
+    return out.select(
+        "tau", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def _sql_er_threshold_sweep() -> str:
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, truth = _name_f1_fixture()
+    tn = sorted({(e, n) for _m, e, n in truth})
+    tn_vals = ", ".join(
+        "('" + e.replace("'", "''") + "', '" + n.replace("'", "''") + "')"
+        for e, n in tn
+    )
+    tau_vals = ", ".join(f"({t})" for t in TAU_SWEEP)
+    return f"""
+with {blocks_ctes(names)},
+tn(entity_label, normalized) as (values {tn_vals}),
+tpairs as materialized (select distinct a.normalized as node_a, b.normalized as node_b
+          from tn a join tn b
+          on a.entity_label = b.entity_label and a.normalized < b.normalized),
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+scored as materialized (
+  select c.node_a, c.node_b,
+         {score_sql('ka.key', 'kb.key', cfg.scoring)} as score,
+         (t.node_a is not null) as is_true
+  from cpairs c
+  join names ka on ka.node = c.node_a
+  join names kb on kb.node = c.node_b
+  left join tpairs t on t.node_a = c.node_a and t.node_b = c.node_b),
+taus(tau) as (values {tau_vals}),
+per as (
+  select tau,
+         cast(sum(case when s.is_true then 1 else 0 end) as bigint) as tp,
+         cast(sum(case when not s.is_true then 1 else 0 end) as bigint) as fp
+  from taus left join scored s on s.score >= taus.tau
+  group by tau),
+nt as (select cast(count(*) as bigint) as n_true from tpairs)
+select tau, tp, fp, cast(n_true - tp as bigint) as fn,
+       round(tp / greatest(tp + fp, 1), 6) as precision,
+       round(tp / greatest(tp + (n_true - tp), 1), 6) as recall,
+       round(case when tp / greatest(tp + fp, 1)
+                     + tp / greatest(tp + (n_true - tp), 1) = 0 then 0.0
+             else 2 * (tp / greatest(tp + fp, 1))
+                    * (tp / greatest(tp + (n_true - tp), 1))
+                  / (tp / greatest(tp + fp, 1)
+                     + tp / greatest(tp + (n_true - tp), 1)) end, 6) as f1
+from per, nt
+"""
+
+
+SQL_ER_THRESHOLD_SWEEP = _sql_er_threshold_sweep()
+
+
 # Per-cluster confidence: the weakest and mean match-edge score inside
 # each resolved multi-member cluster, beside its member/edge counts.  A
 # deployment sorts by min_score ascending to get the human-review queue
@@ -2773,6 +2929,7 @@ QUERIES: dict[str, Callable] = {
     "er_bcubed": q_er_bcubed,
     "er_cross_link": q_er_cross_link,
     "er_score_explain": q_er_score_explain,
+    "er_threshold_sweep": q_er_threshold_sweep,
     "er_cluster_confidence": q_er_cluster_confidence,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
@@ -2838,6 +2995,7 @@ ORACLES: dict[str, str] = {
     "er_bcubed": SQL_ER_BCUBED,
     "er_cross_link": SQL_ER_CROSS_LINK,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
+    "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_cluster_confidence": SQL_ER_CLUSTER_CONFIDENCE,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
@@ -2914,4 +3072,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 62
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 63
