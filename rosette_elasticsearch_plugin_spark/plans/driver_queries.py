@@ -2550,6 +2550,53 @@ from per, nt
 SQL_ER_THRESHOLD_SWEEP = _sql_er_threshold_sweep()
 
 
+# Analyst overrides: resolution with must-link / cannot-link edge edits
+# — the consumer of er_cluster_confidence's review queue.  The demo
+# override re-assigns the ambiguous initials record 'b petrov' (merged
+# with the Bruno Petrov variants by the scorer — the classic
+# initial-form wrong merge) to Dmitri Petrov on analyst evidence:
+# cannot-link cuts its three edges into the Bruno component, must-link
+# attaches it to Dmitri's.  Overrides are edge edits applied between
+# scoring and clustering (plans/er_pipeline.resolve_names_with_
+# overrides); the oracle applies the same edits to the mirrored edge
+# CTE (er_oracle.cluster_ctes must_link/cannot_link). ----------------------
+OVERRIDE_MUST_LINK = [("b petrov", "dmitri petrov")]
+OVERRIDE_CANNOT_LINK = [
+    ("b petrov", "brnuo petrov"),
+    ("b petrov", "bruno petrov"),
+    ("b petrov", "petrov bruno"),
+]
+
+
+def q_er_override_resolve(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from .er_pipeline import resolve_names_with_overrides
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    out = resolve_names_with_overrides(
+        distinct_mention_names(docs),
+        must_link=OVERRIDE_MUST_LINK,
+        cannot_link=OVERRIDE_CANNOT_LINK,
+    )
+    return out.select("node", "cluster")
+
+
+def _sql_er_override_resolve() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    return (
+        f"with recursive "
+        f"{cluster_ctes(names, must_link=OVERRIDE_MUST_LINK, cannot_link=OVERRIDE_CANNOT_LINK)} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_OVERRIDE_RESOLVE = _sql_er_override_resolve()
+
+
 # Per-cluster confidence: the weakest and mean match-edge score inside
 # each resolved multi-member cluster, beside its member/edge counts.  A
 # deployment sorts by min_score ascending to get the human-review queue
@@ -2930,6 +2977,7 @@ QUERIES: dict[str, Callable] = {
     "er_cross_link": q_er_cross_link,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
+    "er_override_resolve": q_er_override_resolve,
     "er_cluster_confidence": q_er_cluster_confidence,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
@@ -2996,6 +3044,7 @@ ORACLES: dict[str, str] = {
     "er_cross_link": SQL_ER_CROSS_LINK,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
+    "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
     "er_cluster_confidence": SQL_ER_CLUSTER_CONFIDENCE,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
@@ -3072,4 +3121,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 63
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 64

@@ -90,15 +90,49 @@ def blocks_ctes(
 
 
 def cluster_ctes(
-    names: list[str], cfg: ERConfig = ERConfig(), prefix: str = ""
+    names: list[str],
+    cfg: ERConfig = ERConfig(),
+    prefix: str = "",
+    must_link: list[tuple[str, str]] | None = None,
+    cannot_link: list[tuple[str, str]] | None = None,
 ) -> str:
     """CTE chain ``names → blocks → cpairs → scored → clusters`` over a
     fixed name universe, mirroring ``resolve_names`` value-for-value.
     ``clusters`` yields (node, cluster = min node of the connected
     component; singletons map to themselves).  ``prefix`` lets two
     independent resolutions (e.g. a prior batch and the full corpus)
-    coexist in one statement, like ``blocks_ctes``."""
+    coexist in one statement, like ``blocks_ctes``.  ``must_link`` /
+    ``cannot_link`` mirror ``resolve_names_with_overrides``'s edge
+    edits: cannot-link pairs are dropped from the thresholded edges,
+    then must-link pairs are unioned in (merge beats split); with both
+    absent the emitted SQL is unchanged."""
     p = prefix
+
+    def _pair_vals(pairs):
+        norm = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+        return ", ".join(
+            f"('{_q(a)}', '{_q(b)}')" for a, b in norm
+        )
+
+    cannot_clause = ""
+    if cannot_link:
+        cannot_clause = (
+            f" and not exists (select 1 from (values {_pair_vals(cannot_link)})"
+            f" cl(x, y) where x = node_a and y = node_b)"
+        )
+    must_clause = ""
+    if must_link:
+        known = {n for n in names}
+        kept = [
+            (a, b)
+            for a, b in must_link
+            if a in known and b in known
+        ]
+        if kept:
+            must_clause = (
+                f" union select node_a, node_b from"
+                f" (values {_pair_vals(kept)}) ml(node_a, node_b)"
+            )
     # materialized where multiply-referenced: blocks feeds bsizes plus
     # BOTH self-join sides; medges feeds both eedges branches; and the
     # recursive ``reach`` re-evaluates eedges every iteration — without
@@ -115,7 +149,7 @@ def cluster_ctes(
            from {p}cpairs join {p}names ka on ka.node = {p}cpairs.node_a
                        join {p}names kb on kb.node = {p}cpairs.node_b),
 {p}medges as materialized (select node_a, node_b from {p}scored
-           where score >= {cfg.scoring.threshold}),
+           where score >= {cfg.scoring.threshold}{cannot_clause}{must_clause}),
 {p}eedges as materialized (select node_a as u, node_b as v from {p}medges
            union all select node_b as u, node_a as v from {p}medges),
 {p}reach(u, v) as (select u, v from {p}eedges

@@ -46,14 +46,15 @@ def er_key_col(c):
     return translit_lower_col(c)
 
 
-def resolve_names(
-    names: DataFrame,
-    cfg: ERConfig = ERConfig(),
-    cc_stats: dict | None = None,
-) -> DataFrame:
-    """(node) distinct normalized names → (node, cluster).  cluster =
-    lexicographic min node in the connected component; singletons map
-    to themselves."""
+def name_match_edges(
+    names: DataFrame, cfg: ERConfig = ERConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """Blocking → candidate pairs → scoring → threshold over a distinct
+    name table.  Returns ``(names_checkpointed, edges)`` — the node
+    universe (lineage severed, partition-sized) and the matched edge
+    list (node_a < node_b) — so callers can post-process edges (e.g.
+    analyst overrides) before clustering.  ``resolve_names`` is exactly
+    this plus connected components."""
     # sever lineage: names is typically a distinct() over the full
     # mention table, and it fans out to every blocking family plus the
     # CC node universe — without a checkpoint that multi-million-row
@@ -103,8 +104,92 @@ def resolve_names(
         key_b=F.col("key_b"),
     )
     edges = match_edges(scored, cfg.scoring)
+    return names, edges
+
+
+def resolve_names(
+    names: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    cc_stats: dict | None = None,
+) -> DataFrame:
+    """(node) distinct normalized names → (node, cluster).  cluster =
+    lexicographic min node in the connected component; singletons map
+    to themselves."""
+    names, edges = name_match_edges(names, cfg)
     return connected_components(
         edges, nodes=names, max_iter=cfg.cc_max_iter, stats=cc_stats
+    )
+
+
+def _override_pairs_df(spark, pairs) -> DataFrame:
+    """Literal override pairs, normalized to the edge orientation
+    (node_a < node_b) the pipeline uses throughout."""
+    norm = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    return spark.createDataFrame(norm, "node_a string, node_b string")
+
+
+def resolve_names_with_overrides(
+    names: DataFrame,
+    must_link: list[tuple[str, str]] | None = None,
+    cannot_link: list[tuple[str, str]] | None = None,
+    cfg: ERConfig = ERConfig(),
+    cc_stats: dict | None = None,
+) -> DataFrame:
+    """``resolve_names`` with analyst overrides — the consumer of the
+    ``er_cluster_confidence`` review queue.  ``cannot_link`` pairs are
+    removed from the matched edge list; ``must_link`` pairs are added
+    (so a pair in both lists ends up linked — an explicit merge beats a
+    split).  Overrides are EDGE edits, not partition constraints: a
+    cannot-link pair can stay transitively connected through other
+    names — ``override_violations`` surfaces exactly those for further
+    splitting.  Override nodes must belong to the name universe
+    (an edge to an unknown node is dropped by the semi-joins here —
+    it could not affect any known name's cluster anyway).  Scale: the
+    override lists are analyst-curated (small); both edits are
+    broadcast joins against the vocabulary-scale edge list."""
+    names, edges = name_match_edges(names, cfg)
+    spark = names.sparkSession
+    e = edges.select("node_a", "node_b")
+    if cannot_link:
+        e = e.join(
+            F.broadcast(_override_pairs_df(spark, cannot_link)),
+            ["node_a", "node_b"],
+            "left_anti",
+        )
+    if must_link:
+        ml = _override_pairs_df(spark, must_link)
+        known = names.select(F.col("node"))
+        ml = (
+            ml.join(known.withColumnRenamed("node", "node_a"), "node_a")
+            .join(known.withColumnRenamed("node", "node_b"), "node_b")
+            .select("node_a", "node_b")
+        )
+        e = e.unionByName(ml).distinct()
+    return connected_components(
+        e, nodes=names, max_iter=cfg.cc_max_iter, stats=cc_stats
+    )
+
+
+def override_violations(
+    clusters: DataFrame, cannot_link: list[tuple[str, str]]
+) -> DataFrame:
+    """Cannot-link pairs still co-clustered after override resolution
+    (connected through a transitive path the edge removal didn't cut).
+    Returns (node_a, node_b, cluster) — the analyst's next review
+    queue."""
+    spark = clusters.sparkSession
+    cl = _override_pairs_df(spark, cannot_link)
+    ca = clusters.select(
+        F.col("node").alias("node_a"), F.col("cluster").alias("cluster_a")
+    )
+    cb = clusters.select(
+        F.col("node").alias("node_b"), F.col("cluster").alias("cluster_b")
+    )
+    return (
+        cl.join(ca, "node_a")
+        .join(cb, "node_b")
+        .where(F.col("cluster_a") == F.col("cluster_b"))
+        .select("node_a", "node_b", F.col("cluster_a").alias("cluster"))
     )
 
 

@@ -14,7 +14,7 @@ SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
           "ann_ivf_topk", "corpus_clean", "sample_stratified",
           "er_bcubed", "er_cross_link", "er_score_explain",
           "er_cluster_confidence", "er_golden_record",
-          "er_threshold_sweep"]
+          "er_threshold_sweep", "er_override_resolve"]
 
 
 def test_oracle_keys_subset_of_queries():
@@ -157,6 +157,47 @@ def test_golden_record_survivorship_invariants(spark):
         assert g["n_aliases"] == len(members[cid])
         assert g["n_mentions"] == sum(support.get(t, 0) for t in members[cid])
         assert 1 <= g["n_docs"] <= g["n_mentions"]
+
+
+def test_override_resolve_semantics(spark):
+    """The demo overrides re-assign the ambiguous 'b petrov' record to
+    Dmitri's cluster with no residual violations; a LONE cannot-link on
+    a pair with an alternate path is correctly reported as violated
+    (edge edits, not partition constraints)."""
+    from rosette_elasticsearch_plugin_spark import corpus
+    from rosette_elasticsearch_plugin_spark.operators.entities import (
+        distinct_mention_names,
+    )
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as dq
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        override_violations,
+        resolve_names_with_overrides,
+    )
+
+    cl = {r["node"]: r["cluster"]
+          for r in dq.q_er_override_resolve(spark, SF).collect()}
+    assert cl["b petrov"] == cl["dmitri petrov"] == cl["petrov dmitri"]
+    assert cl["b petrov"] != cl["bruno petrov"]
+    assert cl["brnuo petrov"] == cl["bruno petrov"] == cl["petrov bruno"]
+    out = resolve_names_with_overrides(
+        distinct_mention_names(
+            corpus.to_spark(spark, corpus.generate(n_docs=120, seed=42))[0]
+        ),
+        must_link=dq.OVERRIDE_MUST_LINK,
+        cannot_link=dq.OVERRIDE_CANNOT_LINK,
+    )
+    assert override_violations(out, dq.OVERRIDE_CANNOT_LINK).count() == 0
+    # one removed edge, but 'brnuo petrov' ↔ 'bruno petrov' still
+    # connect through 'petrov bruno' — must surface as a violation
+    lone = [("brnuo petrov", "bruno petrov")]
+    out2 = resolve_names_with_overrides(
+        distinct_mention_names(
+            corpus.to_spark(spark, corpus.generate(n_docs=120, seed=42))[0]
+        ),
+        cannot_link=lone,
+    )
+    v = override_violations(out2, lone).collect()
+    assert [(r["node_a"], r["node_b"]) for r in v] == lone
 
 
 def test_entry_smoke(spark):
