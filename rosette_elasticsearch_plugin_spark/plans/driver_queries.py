@@ -2597,6 +2597,99 @@ def _sql_er_override_resolve() -> str:
 SQL_ER_OVERRIDE_RESOLVE = _sql_er_override_resolve()
 
 
+# Active-learning label queue: the candidate pairs whose score sits
+# closest to the decision threshold — exactly the pairs where a human
+# label (or an override from er_override_resolve) buys the most model
+# improvement per annotation.  Deterministic: uncertainty = |score−τ|,
+# ties broken by (node_a, node_b).  Scale shape: the top-k is an
+# orderBy().limit() — Spark's distributed TakeOrdered, never a global
+# single-partition window over the full pair set; the rank window runs
+# over the K surviving rows only. --------------------------------------------
+LABEL_QUEUE_K = 20
+
+
+def q_er_label_queue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    blocks = all_blocks(keyed, cfg.blocking)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    ka = keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a"))
+    kb = keyed.select(F.col("node").alias("node_b"), F.col("key").alias("key_b"))
+    scored = (
+        pairs.join(ka, "node_a")
+        .join(kb, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            score_expr(F.col("key_a"), F.col("key_b"), cfg.scoring).alias(
+                "score"
+            ),
+        )
+        .withColumn(
+            "uncertainty", F.abs(F.col("score") - F.lit(cfg.scoring.threshold))
+        )
+    )
+    top = scored.orderBy("uncertainty", "node_a", "node_b").limit(LABEL_QUEUE_K)
+    w = Window.orderBy("uncertainty", "node_a", "node_b")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "node_a",
+        "node_b",
+        F.round("score", 6).alias("score"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+        "rank",
+    )
+
+
+def _sql_er_label_queue() -> str:
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+scored as (select node_a, node_b,
+                  {score_sql('ka.key', 'kb.key', cfg.scoring)} as score
+           from cpairs join names ka on ka.node = cpairs.node_a
+                       join names kb on kb.node = cpairs.node_b),
+u as (select node_a, node_b, score,
+             abs(score - {cfg.scoring.threshold}) as uncertainty from scored),
+ranked as (select node_a, node_b, score, uncertainty,
+                  cast(row_number() over (order by uncertainty, node_a,
+                       node_b) as bigint) as rank
+           from u)
+select node_a, node_b, round(score, 6) as score,
+       round(uncertainty, 6) as uncertainty, rank
+from ranked where rank <= {LABEL_QUEUE_K}
+"""
+
+
+SQL_ER_LABEL_QUEUE = _sql_er_label_queue()
+
+
 # Per-cluster confidence: the weakest and mean match-edge score inside
 # each resolved multi-member cluster, beside its member/edge counts.  A
 # deployment sorts by min_score ascending to get the human-review queue
@@ -2978,6 +3071,7 @@ QUERIES: dict[str, Callable] = {
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
+    "er_label_queue": q_er_label_queue,
     "er_cluster_confidence": q_er_cluster_confidence,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
@@ -3045,6 +3139,7 @@ ORACLES: dict[str, str] = {
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
+    "er_label_queue": SQL_ER_LABEL_QUEUE,
     "er_cluster_confidence": SQL_ER_CLUSTER_CONFIDENCE,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
@@ -3121,4 +3216,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 64
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 65

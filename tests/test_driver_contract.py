@@ -14,7 +14,8 @@ SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
           "ann_ivf_topk", "corpus_clean", "sample_stratified",
           "er_bcubed", "er_cross_link", "er_score_explain",
           "er_cluster_confidence", "er_golden_record",
-          "er_threshold_sweep", "er_override_resolve"]
+          "er_threshold_sweep", "er_override_resolve",
+          "er_label_queue"]
 
 
 def test_oracle_keys_subset_of_queries():
