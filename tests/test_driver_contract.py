@@ -201,6 +201,28 @@ def test_override_resolve_semantics(spark):
     assert [(r["node_a"], r["node_b"]) for r in v] == lone
 
 
+def test_override_noop_equals_resolve_names(spark):
+    """With empty override lists the override path degrades to exactly
+    resolve_names — same (node, cluster) set."""
+    from rosette_elasticsearch_plugin_spark import corpus
+    from rosette_elasticsearch_plugin_spark.operators.entities import (
+        distinct_mention_names,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        resolve_names,
+        resolve_names_with_overrides,
+    )
+
+    docs = corpus.to_spark(spark, corpus.generate(n_docs=60, seed=7))[0]
+    names = distinct_mention_names(docs)
+    base = {(r["node"], r["cluster"]) for r in resolve_names(names).collect()}
+    noop = {
+        (r["node"], r["cluster"])
+        for r in resolve_names_with_overrides(names).collect()
+    }
+    assert base == noop
+
+
 def test_entry_smoke(spark):
     from __spark_entry__ import entry
 
