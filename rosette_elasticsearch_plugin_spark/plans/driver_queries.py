@@ -2690,6 +2690,91 @@ from ranked where rank <= {LABEL_QUEUE_K}
 SQL_ER_LABEL_QUEUE = _sql_er_label_queue()
 
 
+# Resolution diff: what re-running with a TIGHTER threshold changes —
+# the ops question behind every retune ("if I raise τ per the
+# er_threshold_sweep table, how much existing clustering churns?").
+# With τ_strict > τ_loose the strict edge set is a subset, so the
+# strict run REFINES the loose one: clusters only split, never merge —
+# the diff is fully characterized by how many loose clusters fragment
+# and how far.  One row: node/cluster counts at both settings, the
+# number of loose clusters that split, and the worst fan-out.  Scale
+# shape: the per-node join is vocabulary-scale; both aggregates are
+# map-side combined; in production the loose run is read back from its
+# committed snapshot table instead of recomputed. ---------------------------
+DIFF_TAU_STRICT = 0.80
+
+
+def q_er_resolution_diff(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.scoring import ScoringConfig
+    from .er_pipeline import ERConfig, resolve_names
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    names = distinct_mention_names(docs)
+    loose = resolve_names(names)
+    strict = resolve_names(
+        names, ERConfig(scoring=ScoringConfig(threshold=DIFF_TAU_STRICT))
+    )
+    j = (
+        loose.select("node", F.col("cluster").alias("cluster_loose"))
+        .join(
+            strict.select("node", F.col("cluster").alias("cluster_strict")),
+            "node",
+        )
+        # feeds the node count, both cluster counts, and the fan-out agg
+        .localCheckpoint(eager=False)
+    )
+    fan = j.groupBy("cluster_loose").agg(
+        F.countDistinct("cluster_strict").alias("n_strict_parts")
+    )
+    counts = j.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.countDistinct("cluster_loose").cast("long").alias("n_clusters_loose"),
+        F.countDistinct("cluster_strict").cast("long").alias(
+            "n_clusters_strict"
+        ),
+    )
+    split = fan.agg(
+        F.sum(F.when(F.col("n_strict_parts") > 1, 1).otherwise(0))
+        .cast("long").alias("n_clusters_split"),
+        F.max("n_strict_parts").cast("long").alias("max_fanout"),
+    )
+    return counts.crossJoin(split)
+
+
+def _sql_er_resolution_diff() -> str:
+    from ..resolution.scoring import ScoringConfig
+    from .er_oracle import cluster_ctes
+    from .er_pipeline import ERConfig
+
+    names, _truth = _name_f1_fixture()
+    strict_cfg = ERConfig(scoring=ScoringConfig(threshold=DIFF_TAU_STRICT))
+    return f"""
+with recursive {cluster_ctes(names)},
+{cluster_ctes(names, strict_cfg, prefix="s")},
+j as materialized (
+  select l.node, l.cluster as cluster_loose, s.cluster as cluster_strict
+  from clusters l join sclusters s on s.node = l.node),
+fan as (select cluster_loose, count(distinct cluster_strict) as n_strict_parts
+        from j group by cluster_loose)
+select n_nodes, n_clusters_loose, n_clusters_strict,
+       n_clusters_split, max_fanout
+from (select cast(count(*) as bigint) as n_nodes,
+             cast(count(distinct cluster_loose) as bigint) as n_clusters_loose,
+             cast(count(distinct cluster_strict) as bigint) as n_clusters_strict
+      from j),
+     (select cast(sum(case when n_strict_parts > 1 then 1 else 0 end) as bigint)
+               as n_clusters_split,
+             cast(max(n_strict_parts) as bigint) as max_fanout
+      from fan)
+"""
+
+
+SQL_ER_RESOLUTION_DIFF = _sql_er_resolution_diff()
+
+
 # Per-cluster confidence: the weakest and mean match-edge score inside
 # each resolved multi-member cluster, beside its member/edge counts.  A
 # deployment sorts by min_score ascending to get the human-review queue
@@ -3072,6 +3157,7 @@ QUERIES: dict[str, Callable] = {
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
     "er_label_queue": q_er_label_queue,
+    "er_resolution_diff": q_er_resolution_diff,
     "er_cluster_confidence": q_er_cluster_confidence,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
@@ -3140,6 +3226,7 @@ ORACLES: dict[str, str] = {
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
     "er_label_queue": SQL_ER_LABEL_QUEUE,
+    "er_resolution_diff": SQL_ER_RESOLUTION_DIFF,
     "er_cluster_confidence": SQL_ER_CLUSTER_CONFIDENCE,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
@@ -3216,4 +3303,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 65
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 66
