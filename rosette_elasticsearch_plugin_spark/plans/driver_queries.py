@@ -3115,6 +3115,53 @@ group by normalized
 """
 
 
+# --- built-in watermarked windowed aggregation over the events table:
+# readStream → withWatermark → tumbling window() → count, drained with
+# availableNow over deterministic micro-batch files.  Complete-mode
+# final table ≡ the batch window aggregation (the exact oracle); the
+# append-mode late-row DROP semantics are pinned in pytest
+# (tests/test_streaming.py) where batch timestamps are crafted. -------------
+def q_stream_windowed_counts(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import stage_batch_files
+    from ..streaming.windowed import (
+        final_windowed_counts,
+        windowed_event_counts,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_window_")
+    try:
+        in_dir = os.path.join(root, "in")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stage_batch_files(
+            [events.where(F.col("event_id") % 3 == i) for i in range(3)],
+            in_dir,
+        )
+        q, name = windowed_event_counts(
+            spark,
+            in_dir,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            window="1 hour",
+            watermark="30 minutes",
+            output_mode="complete",
+        )
+        q.awaitTermination()
+        return final_windowed_counts(spark, name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+select cast(epoch(date_trunc('hour', ts)) as bigint) as window_start,
+       event_type, cast(count(*) as bigint) as n_events
+from events
+group by 1, 2
+"""
+
+
 # --- P4-pattern broadcast dim join over the star schema -------------------------
 def q_region_customer_counts(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -3191,6 +3238,7 @@ QUERIES: dict[str, Callable] = {
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
+    "stream_windowed_counts": q_stream_windowed_counts,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
     "er_incremental_indexed": q_er_incremental_indexed,
@@ -3260,6 +3308,7 @@ ORACLES: dict[str, str] = {
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
+    "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
     "er_incremental_indexed": SQL_ER_INCREMENTAL_INDEXED,
@@ -3303,4 +3352,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 66
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 67

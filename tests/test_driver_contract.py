@@ -15,7 +15,8 @@ SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
           "er_bcubed", "er_cross_link", "er_score_explain",
           "er_cluster_confidence", "er_golden_record",
           "er_threshold_sweep", "er_override_resolve",
-          "er_label_queue", "er_resolution_diff"]
+          "er_label_queue", "er_resolution_diff",
+          "stream_windowed_counts"]
 
 
 def test_oracle_keys_subset_of_queries():

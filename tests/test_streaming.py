@@ -265,3 +265,76 @@ def test_resolve_stream_maintains_name_index(spark, dirs):
     assert got == want
     nodes = {r["node"] for r in table.read(spark).collect()}
     assert {n for n, _, _ in got} == nodes
+
+
+def _write_event_batch(spark, in_dir, rows):
+    """One micro-batch file of (event_id, ts, event_type) rows."""
+    from rosette_elasticsearch_plugin_spark.streaming.windowed import (
+        events_schema,
+    )
+
+    full = [(i, ts, 0, et, 0.0, "{}") for i, ts, et in rows]
+    (
+        spark.createDataFrame(full, events_schema())
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir)
+    )
+
+
+def test_windowed_append_drops_late_rows(spark, dirs):
+    """Append-mode watermark semantics: a row older than the watermark
+    is dropped, and only watermark-closed windows are emitted.
+
+    Batch 1: two 'a' events in hour-0       → watermark 00:20−30m
+    Batch 2: one 'b' event at 02:00         → watermark 01:30, hour-0
+             window (end 01:00) closes with count 2
+    Batch 3: LATE 'a' at 00:10 (< 01:30 → DROPPED) + one 'c' at 04:00
+             → watermark 03:30, hour-2 window closes with count 1;
+             hour-4 stays open and is never emitted."""
+    from datetime import datetime as DT
+
+    from rosette_elasticsearch_plugin_spark.streaming.windowed import (
+        final_windowed_counts,
+        windowed_event_counts,
+    )
+
+    d = lambda h, m: DT(2024, 1, 1, h, m)  # noqa: E731
+    batches = [
+        [(0, d(0, 5), "a"), (1, d(0, 20), "a")],
+        [(2, d(2, 0), "b")],
+        [(3, d(0, 10), "a"), (4, d(4, 0), "c")],
+    ]
+    # write each file only after the stream drained the previous one —
+    # the batch ORDER is the point of this test (the watermark is
+    # computed from batches 1-2 and must drop batch 3's late row)
+    _write_event_batch(spark, dirs["in"], batches[0])
+    q, name = windowed_event_counts(
+        spark,
+        dirs["in"],
+        checkpoint_dir=dirs["ckpt"],
+        window="1 hour",
+        watermark="30 minutes",
+        output_mode="append",
+        available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            _write_event_batch(spark, dirs["in"], b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    rows = final_windowed_counts(spark, name).collect()
+    got = {r["event_type"]: (r["window_start"], r["n_events"]) for r in rows}
+    # the late row was dropped: hour-0 'a' window emitted with 2, not 3
+    assert got["a"][1] == 2
+    # hour-2 'b' window closed by the final watermark
+    assert got["b"][1] == 1
+    # the open hour-4 'c' window was never emitted
+    assert "c" not in got
+    assert len(rows) == 2
+    # tumbling alignment: epoch-hour-aligned starts exactly 2h apart
+    assert got["a"][0] % 3600 == 0
+    assert got["b"][0] - got["a"][0] == 7200
