@@ -3162,6 +3162,38 @@ group by 1, 2
 """
 
 
+# --- §2.3 ingest-format seam: the reference's native input is JSON
+# documents (one `_source` body per index request); prove the JSON-lines
+# path end-to-end by round-tripping the driver corpus through jsonl and
+# reading it back via the explicit-schema reader
+# (sources/adapter.read_flat_documents — no inference scan).  The oracle
+# is the original table: hash equality shows format-agnostic ingestion.
+# CSV takes the same seam and is pinned in tests/test_table_seam.py. -------
+def q_ingest_json_docs(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.adapter import read_flat_documents
+
+    root = tempfile.mkdtemp(prefix="ingest_json_")
+    try:
+        out = os.path.join(root, "docs_jsonl")
+        spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode(
+            "overwrite"
+        ).json(out)
+        return read_flat_documents(spark, out, fmt="json").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INGEST_JSON_DOCS = (
+    "select doc_id, text, lang, source, n_chars from documents"
+)
+
+
 # --- P4-pattern broadcast dim join over the star schema -------------------------
 def q_region_customer_counts(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -3239,6 +3271,7 @@ QUERIES: dict[str, Callable] = {
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "ingest_json_docs": q_ingest_json_docs,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
     "er_incremental_indexed": q_er_incremental_indexed,
@@ -3309,6 +3342,7 @@ ORACLES: dict[str, str] = {
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
+    "ingest_json_docs": SQL_INGEST_JSON_DOCS,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
     "er_incremental_indexed": SQL_ER_INCREMENTAL_INDEXED,
@@ -3352,4 +3386,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 67
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 68

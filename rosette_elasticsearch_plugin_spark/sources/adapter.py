@@ -71,3 +71,30 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
 def load_documents(spark, sf_dir: str, with_media: bool = True) -> DataFrame:
     flat = parallelize_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return flat_to_spans(flat, with_media)
+
+
+def read_flat_documents(
+    spark, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Read a flat documents table from parquet, JSON-lines, or CSV —
+    always with an EXPLICIT schema, never inference (inference is a
+    second full scan at warehouse scale and types dirty data
+    non-deterministically).  JSON-lines is the reference's native
+    ingest shape — one ``_source`` document per index request
+    (RosetteTextAnalysisPluginIT.java indexes JSON bodies); CSV covers
+    export/interchange dumps.  Reading through the same schema means
+    every downstream operator is format-agnostic."""
+    from ..streaming.ingest import flat_docs_schema
+
+    reader = spark.read.schema(schema or flat_docs_schema())
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "csv":
+        # multiLine + RFC-style quote escaping so documents containing
+        # newlines / quotes round-trip byte-identically
+        return reader.options(
+            header=True, multiLine=True, quote='"', escape='"'
+        ).csv(path)
+    raise ValueError(f"unsupported documents format: {fmt!r}")

@@ -16,7 +16,7 @@ SAMPLE = ["er_scored_pairs", "er_clusters", "dedup_simhash",
           "er_cluster_confidence", "er_golden_record",
           "er_threshold_sweep", "er_override_resolve",
           "er_label_queue", "er_resolution_diff",
-          "stream_windowed_counts"]
+          "stream_windowed_counts", "ingest_json_docs"]
 
 
 def test_oracle_keys_subset_of_queries():

@@ -177,3 +177,39 @@ def test_resume_pipeline_reuses_only_matching_fingerprint(spark, tmp_path):
     changed = ResumableERPipeline(root)
     changed.run(spark, docs, pattern=r"[a-z]{4,}")
     assert not any(m["resumed"] for m in changed.metrics())
+
+
+def test_flat_documents_format_agnostic(spark, tmp_path):
+    """parquet / JSON-lines / CSV readers produce the identical flat
+    documents frame through the explicit-schema seam — including text
+    containing quotes, commas, and embedded newlines (the CSV
+    multiLine + escape options exist for exactly those)."""
+    from rosette_elasticsearch_plugin_spark.sources.adapter import (
+        read_flat_documents,
+    )
+    from rosette_elasticsearch_plugin_spark.streaming.ingest import (
+        flat_docs_schema,
+    )
+
+    rows = [
+        (1, 'plain text', "en", "t", 10),
+        (2, 'with "quotes", commas', "en", "t", 21),
+        (3, "multi\nline\ntext", "de", "u", 15),
+        (4, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, flat_docs_schema()).coalesce(1)
+    paths = {
+        "parquet": str(tmp_path / "p"),
+        "json": str(tmp_path / "j"),
+        "csv": str(tmp_path / "c"),
+    }
+    df.write.parquet(paths["parquet"])
+    df.write.json(paths["json"])
+    df.write.options(header=True, quote='"', escape='"').csv(paths["csv"])
+    want = {tuple(r) for r in rows}
+    for fmt, path in paths.items():
+        got = {
+            tuple(r)
+            for r in read_flat_documents(spark, path, fmt=fmt).collect()
+        }
+        assert got == want, fmt
