@@ -3238,6 +3238,11 @@ QUERIES: dict[str, Callable] = {
     "er_label_queue": q_er_label_queue,
     "er_resolution_diff": q_er_resolution_diff,
     "er_cluster_confidence": q_er_cluster_confidence,
+    # declared here (not with their stream/source siblings at the tail)
+    # so these never-yet-driver-evidenced queries sit inside the first
+    # 50 registry positions — see the rotation note below the registry
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "ingest_json_docs": q_ingest_json_docs,
     "er_pairwise_f1": q_er_pairwise_f1,
     "ros_language": q_ros_language,
     "ros_categories": q_ros_categories,
@@ -3270,8 +3275,6 @@ QUERIES: dict[str, Callable] = {
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "ingest_json_docs": q_ingest_json_docs,
     "er_resume_pipeline": q_er_resume_pipeline,
     "er_incremental": q_er_incremental,
     "er_incremental_indexed": q_er_incremental_indexed,
@@ -3309,6 +3312,8 @@ ORACLES: dict[str, str] = {
     "er_label_queue": SQL_ER_LABEL_QUEUE,
     "er_resolution_diff": SQL_ER_RESOLUTION_DIFF,
     "er_cluster_confidence": SQL_ER_CLUSTER_CONFIDENCE,
+    "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
+    "ingest_json_docs": SQL_INGEST_JSON_DOCS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "ros_language": SQL_ROS_LANGUAGE,
     "ros_categories": SQL_ROS_CATEGORIES,
@@ -3341,8 +3346,6 @@ ORACLES: dict[str, str] = {
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
-    "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
-    "ingest_json_docs": SQL_INGEST_JSON_DOCS,
     "er_resume_pipeline": SQL_ER_RESUME_PIPELINE,
     "er_incremental": SQL_ER_INCREMENTAL,
     "er_incremental_indexed": SQL_ER_INCREMENTAL_INDEXED,
