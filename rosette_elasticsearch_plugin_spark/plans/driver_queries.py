@@ -1937,6 +1937,93 @@ from clusters f join m on m.c = f.cluster
 SQL_ER_INCREMENTAL_STABLE = _sql_er_incremental_stable()
 
 
+# --- retraction: the DELETE half of incrementality (GDPR erasure /
+# source-record retraction).  retract_names re-resolves ONLY the
+# clusters the removed names can influence — splits where a bridge
+# variant is deleted, merges where an over-cap block shrinks back
+# under the cap — and passes the untouched bulk through.  The oracle
+# is the FULL recompute over the remaining names (cluster_ctes):
+# hash equality proves delete-incrementality is exact. ----------------------
+_RETRACT_STRIDE = 7
+
+
+def _retract_removed_names() -> list[str]:
+    """Deterministic delete set: every 7th name of the sorted fixture
+    vocabulary — lands on bridge variants and cluster minima alike, so
+    both the split path and the relabel path execute."""
+    names, _truth = _name_f1_fixture()
+    return sorted(names)[::_RETRACT_STRIDE]
+
+
+def q_er_retract(spark, sf_dir):
+    from .er_pipeline import resolve_names
+    from .incremental import retract_names
+
+    names, _truth = _name_f1_fixture()
+    ndf = spark.createDataFrame([(n,) for n in names], "node string")
+    prior = resolve_names(ndf)
+    removed = spark.createDataFrame(
+        [(n,) for n in _retract_removed_names()], "node string"
+    )
+    return retract_names(prior, removed).select("node", "cluster")
+
+
+def _sql_er_retract() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    removed = set(_retract_removed_names())
+    remaining = sorted(n for n in names if n not in removed)
+    return (
+        f"with recursive {cluster_ctes(remaining)} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_RETRACT = _sql_er_retract()
+
+
+# --- sorted-neighborhood blocking (Hernández-Stolfo merge/purge): the
+# fourth blocking family — pair each name with its window-1 successors
+# in canonical-key order.  Catches same-prefix variants whose typo
+# breaks every key-equality family, with an exactly linear pair budget
+# (no hot blocks, no salting).  The Spark side computes the global
+# rank WITHOUT a single-partition window (distributed two-phase rank,
+# resolution/blocking.global_rank); the oracle mirrors it with the
+# plain row_number() the small fixture affords. -----------------------------
+_SNM_WINDOW = 4
+
+
+def q_er_block_sorted(spark, sf_dir):
+    from ..resolution.blocking import sorted_neighborhood_pairs
+    from .er_pipeline import er_key_col
+
+    names, _truth = _name_f1_fixture()
+    ndf = spark.createDataFrame([(n,) for n in names], "node string")
+    keyed = ndf.select("node", er_key_col(F.col("node")).alias("key"))
+    return sorted_neighborhood_pairs(keyed, window=_SNM_WINDOW)
+
+
+def _sql_er_block_sorted() -> str:
+    from .er_oracle import _q, er_key_py
+
+    names, _truth = _name_f1_fixture()
+    uniq = sorted(set(names))
+    vals = ", ".join(
+        f"('{_q(n)}', '{_q(er_key_py(n))}')" for n in uniq
+    )
+    return f"""
+with names(node, key) as (values {vals}),
+ranked as (select node, row_number() over (order by key, node) - 1 as r
+           from names)
+select least(a.node, b.node) as node_a, greatest(a.node, b.node) as node_b
+from ranked a join ranked b on b.r > a.r and b.r <= a.r + {_SNM_WINDOW - 1}
+"""
+
+
+SQL_ER_BLOCK_SORTED = _sql_er_block_sorted()
+
+
 # --- §2.3 search-side: fuzzy name lookup over the blocking index — the
 # batch analogue of querying the enriched/linked fields (same keys, same
 # scorer, same threshold as resolution, reused verbatim). -------------------
@@ -3216,6 +3303,10 @@ group by r_name
 
 
 QUERIES: dict[str, Callable] = {
+    # new this round (never driver-evidenced) → earliest slots after
+    # the rotated front five, inside any positional gate cap
+    "er_retract": q_er_retract,
+    "er_block_sorted": q_er_block_sorted,
     "er_span_assembly": q_er_span_assembly,
     "er_mentions": q_er_mentions,
     "er_normalize": q_er_normalize,
@@ -3290,6 +3381,8 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "er_retract": SQL_ER_RETRACT,
+    "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize": SQL_ER_NORMALIZE,
@@ -3389,4 +3482,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 68
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 70

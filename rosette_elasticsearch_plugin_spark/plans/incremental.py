@@ -219,3 +219,147 @@ def stable_relabel(
     return new_clusters.join(stable, "cluster").select(
         "node", F.col("__stable").alias("cluster")
     )
+
+
+def retract_names(
+    prior_clusters: DataFrame,
+    removed_names: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    name_index: DataFrame | None = None,
+) -> DataFrame:
+    """(node, cluster) over prior-minus-removed names — the DELETE half
+    of the incremental story (GDPR erasure, source-record retraction).
+    Only clusters a removed name can influence are re-resolved; the
+    vocabulary-scale bulk passes through untouched.
+
+    Exactness vs a full recompute on the remaining names (the driver
+    oracle for ``er_retract``): deleting nodes only ever REMOVES edges
+    — except under the block-size cap, where shrinking an over-cap
+    block back under ``max_block_size`` re-admits its pairs.  So the
+    re-resolved slice is the union of
+      1. remaining members of clusters that contained a removed name
+         (deleting a bridge variant can SPLIT such a cluster), and
+      2. full prior clusters of every member of a newly-uncapped block
+         (its re-admitted pairs can MERGE previously separate
+         clusters).
+    Any candidate pair between that slice and an untouched name scores
+    below threshold — if it didn't, its endpoints would already share
+    a prior cluster (edges are a deterministic pair function and the
+    pair was a candidate before the delete too) and the untouched side
+    wouldn't be untouched — so re-clustering the slice alone, with
+    block sizes taken from the FULL remaining universe, reproduces the
+    full recompute label-for-label (untouched clusters keep identical
+    membership, hence identical min-node labels).
+
+    prior_clusters: (node, cluster) from resolve_names /
+    incremental_resolve, read back from its snapshot table.
+    removed_names: (node) names to erase; unknown names are ignored.
+    name_index: optional (node, key, block_key) persisted index over
+    the PRIOR universe (extend_name_index) — with it, no blocking
+    kernel runs at all (deletes touch no new names); without it the
+    prior vocabulary is re-keyed in place (same result, vocabulary
+    cost).  At 10^12 names keep the index committed beside the
+    clusters table; the block-size aggregates below are single
+    groupBy passes over it, never self-joins.
+    """
+    prior_nodes = prior_clusters.select("node")
+    removed = (
+        removed_names.select(
+            F.col(removed_names.columns[0]).alias("node")
+        )
+        .distinct()
+        .join(prior_nodes, "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    remaining = prior_clusters.join(removed, "node", "left_anti")
+
+    if name_index is not None:
+        index = name_index.select("node", "key", "block_key").join(
+            prior_nodes, "node", "left_semi"
+        )
+    else:
+        keyed = prior_nodes.select(
+            "node", er_key_col(F.col("node")).alias("key")
+        )
+        index = (
+            all_blocks(keyed, cfg.blocking)
+            .join(keyed, "node")
+            .select("node", "key", "block_key")
+        )
+    index = index.localCheckpoint(eager=False)
+    rem_index = index.join(removed, "node", "left_anti").localCheckpoint(
+        eager=False
+    )
+
+    # blocks that shrink from over-cap to within-cap re-admit their
+    # pair space; everyone they touch (and those members' whole prior
+    # clusters) must re-resolve so cap-crossing merges are reproduced
+    before = index.groupBy("block_key").agg(F.count("*").alias("n_before"))
+    after = rem_index.groupBy("block_key").agg(F.count("*").alias("n_after"))
+    uncapped = (
+        before.join(after, "block_key")
+        .where(
+            (F.col("n_before") > cfg.max_block_size)
+            & (F.col("n_after") <= cfg.max_block_size)
+            & (F.col("n_after") >= 2)
+        )
+        .select("block_key")
+    )
+    uncap_nodes = rem_index.join(uncapped, "block_key", "left_semi").select(
+        "node"
+    )
+
+    seed = removed.unionByName(uncap_nodes)
+    affected_ids = (
+        prior_clusters.join(seed, "node", "left_semi")
+        .select("cluster")
+        .distinct()
+    )
+    affected = (
+        remaining.join(affected_ids, "cluster", "left_semi")
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    untouched = remaining.join(affected_ids, "cluster", "left_anti")
+    if affected.limit(1).count() == 0:  # pure-singleton deletes
+        return untouched.select("node", "cluster")
+
+    # touched blocks keep ALL remaining members so candidate_pairs sees
+    # the true remaining-universe size for every cap/salt decision;
+    # pairs are then narrowed to both-sides-affected BEFORE the Arrow
+    # scoring hop (cross pairs are provably sub-threshold, see above)
+    touched_keys = (
+        rem_index.join(affected, "node", "left_semi")
+        .select("block_key")
+        .distinct()
+    )
+    touched = rem_index.join(
+        touched_keys, "block_key", "left_semi"
+    ).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        touched.select("node", "block_key"),
+        cfg.max_block_size,
+        cfg.n_salt,
+        cfg.salt_threshold,
+    )
+    pairs = pairs.join(
+        affected.withColumnRenamed("node", "node_a"), "node_a", "left_semi"
+    ).join(
+        affected.withColumnRenamed("node", "node_b"), "node_b", "left_semi"
+    )
+    keyed = touched.select("node", "key").dropDuplicates(["node"])
+    pairs = pairs.join(
+        keyed.select(F.col("node").alias("node_a"), F.col("key").alias("key_a")),
+        "node_a",
+    ).join(
+        keyed.select(F.col("node").alias("node_b"), F.col("key").alias("key_b")),
+        "node_b",
+    )
+    scored = score_pairs(
+        pairs, cfg=cfg.scoring, key_a=F.col("key_a"), key_b=F.col("key_b")
+    )
+    edges = match_edges(scored, cfg.scoring).select("node_a", "node_b")
+    sub = connected_components(edges, nodes=affected, max_iter=cfg.cc_max_iter)
+    return untouched.select("node", "cluster").unionByName(
+        sub.select("node", "cluster")
+    )

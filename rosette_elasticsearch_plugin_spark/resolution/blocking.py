@@ -131,3 +131,95 @@ def all_blocks(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def global_rank(
+    names: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Input columns + ``rank`` (0-based position in the total
+    ``order_cols`` order) — computed WITHOUT the single-partition
+    global window that ``row_number() OVER (ORDER BY …)`` plans to.
+
+    Distributed two-phase rank: range-repartition on the order columns
+    (each partition owns a contiguous key range), sort within
+    partitions, then shift per-partition ``row_number``s by the
+    cumulative partition counts (one P-row driver aggregate, P =
+    partition count — bounded, never data-scale).  The rank is the
+    position in the TOTAL order, so the result is deterministic no
+    matter where the range sampler happens to place its boundaries.
+    The range-partitioned input is pinned with ``localCheckpoint``
+    because the counts job and the rank job must see the SAME
+    boundaries (the range sampler is not seeded across jobs).
+    """
+    P = num_partitions or names.sparkSession.sparkContext.defaultParallelism
+    part = (
+        names.repartitionByRange(P, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(P):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = names.sparkSession.createDataFrame(
+        offsets, "__pid int, __off long"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "rank", (F.row_number().over(w) - F.lit(1) + F.col("__off"))
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    names: DataFrame, window: int = 4, num_partitions: int | None = None
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández-Stolfo merge/purge):
+    order the vocabulary by its ER canonical key and pair every name
+    with its ``window - 1`` successors in that order.
+
+    Complements the key-equality families: typo'd FIRST characters
+    break exact/metaphone/MinHash collisions ("aykroyd" vs "qykroyd"),
+    but sort-adjacency still catches variants that agree on the sort
+    prefix, with a pair budget that is exactly linear —
+    n·(window-1) − window·(window-1)/2 pairs, no quadratic blocks, no
+    hot keys, no salting needed.  The join is rank-equi (ranks are
+    unique integers), so the shuffle is perfectly uniform.
+
+    names: (node, key) — key is the ER canonical form (the sort key);
+    returns (node_a, node_b), node_a < node_b, each adjacent-in-window
+    pair exactly once.
+    """
+    if window < 2:
+        raise ValueError(f"window must be ≥ 2: {window}")
+    ranked = global_rank(
+        names.select("node", "key"), ["key", "node"], num_partitions
+    ).select("node", "rank")
+    left = ranked.select(
+        F.col("node").alias("__na"),
+        F.explode(
+            F.sequence(
+                F.col("rank") + F.lit(1), F.col("rank") + F.lit(window - 1)
+            )
+        ).alias("rank"),
+    )
+    right = ranked.select(F.col("node").alias("__nb"), "rank")
+    return (
+        left.join(right, "rank")
+        .select(
+            F.least("__na", "__nb").alias("node_a"),
+            F.greatest("__na", "__nb").alias("node_b"),
+        )
+    )

@@ -164,3 +164,132 @@ def test_extend_name_index_carries_keyless_names(spark):
     )
     keys = {r["node"]: r["key"] for r in idx2.collect() if r["node"] == "北京"}
     assert keys["北京"] == "POISON"
+
+
+# --- retraction (delete-incrementality, plans/incremental.retract_names)
+
+
+def test_retract_equals_full_recompute(spark):
+    """retract(prior, removed) ≡ resolve(names − removed), label for
+    label — splits included (every 6th name of the sorted vocabulary
+    deletes plenty of bridge variants and cluster minima)."""
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        retract_names,
+    )
+
+    c = corpus.generate(n_docs=160, seed=7)
+    docs, _ = corpus.to_spark(spark, c)
+    names = distinct_mention_names(docs)
+    prior = resolve_names(names)
+    removed_list = sorted(r["node"] for r in names.collect())[::6]
+    removed = spark.createDataFrame([(n,) for n in removed_list], "node string")
+
+    got = _clusters_dict(retract_names(prior, removed))
+    want = _clusters_dict(resolve_names(names.join(removed, "node", "left_anti")))
+    assert got == want
+
+
+def test_retract_splits_bridge(spark):
+    """Deleting the bridge variant of a chain-shaped component must
+    SPLIT it — the two ends only matched through the middle."""
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        retract_names,
+    )
+
+    names = spark.createDataFrame(
+        [("dan aykroyd",), ("dan aykroyd jr",), ("daniel aykroyd jr",),
+         ("matt damon",)],
+        "node string",
+    )
+    prior = resolve_names(names)
+    before = _clusters_dict(prior)
+    # chain shape precondition: all three variants one component
+    assert (
+        before["dan aykroyd"]
+        == before["dan aykroyd jr"]
+        == before["daniel aykroyd jr"]
+    )
+    removed = spark.createDataFrame([("dan aykroyd jr",)], "node string")
+    after = _clusters_dict(retract_names(prior, removed))
+    want = _clusters_dict(
+        resolve_names(names.where(F.col("node") != "dan aykroyd jr"))
+    )
+    assert after == want
+    assert "dan aykroyd jr" not in after
+    assert after["matt damon"] == "matt damon"
+
+
+def test_retract_uncaps_block_and_merges(spark):
+    """A block pushed OVER max_block_size by crowd names pairs nothing;
+    deleting crowd members shrinks it back under the cap and its
+    re-admitted pairs must MERGE the survivors — the cap-crossing path
+    of retract_names, checked against the full recompute."""
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import ERConfig
+    from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+        BlockingConfig,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        retract_names,
+    )
+
+    # every shared block of the match pair ("dan aykroyd" ~ "dan
+    # aykroid": m:TN from dan, m:AKRT from aykroyd/aykroid) is crowded
+    # over cap=4 by three names carrying BOTH tokens; their third
+    # tokens' blocks are singletons, so NOTHING pairs before the
+    # delete.  MinHash is off — its banded keys would stochastically
+    # give the near-identical pair a private block and defeat the cap.
+    crowd = ["dan aykroyd smith", "dan aykroyd jones", "dan aykroyd brown"]
+    pair = ["dan aykroyd", "dan aykroid"]
+    cfg = ERConfig(
+        blocking=BlockingConfig(use_minhash=False), max_block_size=4
+    )
+    names = spark.createDataFrame([(n,) for n in crowd + pair], "node string")
+    prior = resolve_names(names, cfg)
+    before = _clusters_dict(prior)
+    assert all(before[n] == n for n in crowd + pair)  # all capped apart
+
+    removed = spark.createDataFrame([(n,) for n in crowd[:2]], "node string")
+    after = _clusters_dict(retract_names(prior, removed, cfg))
+    want = _clusters_dict(
+        resolve_names(
+            names.join(removed, "node", "left_anti"), cfg
+        )
+    )
+    assert after == want
+    assert after["dan aykroyd"] == after["dan aykroid"]  # merged
+
+
+def test_retract_unknown_and_empty_noop(spark):
+    """Unknown names are ignored; deleting nothing returns the prior
+    state unchanged."""
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        retract_names,
+    )
+
+    names = spark.createDataFrame(
+        [("dan aykroyd",), ("daniel aykroyd",), ("matt damon",)], "node string"
+    )
+    prior = resolve_names(names)
+    ghost = spark.createDataFrame([("zzyzx nobody",)], "node string")
+    assert _clusters_dict(retract_names(prior, ghost)) == _clusters_dict(prior)
+
+
+def test_retract_with_persisted_index(spark):
+    """The persisted-index path (no blocking kernel over the prior
+    vocabulary) must agree with the re-keying path."""
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        extend_name_index,
+        retract_names,
+    )
+
+    c = corpus.generate(n_docs=80, seed=13)
+    docs, _ = corpus.to_spark(spark, c)
+    names = distinct_mention_names(docs)
+    prior = resolve_names(names)
+    index = extend_name_index(None, names)
+    removed_list = sorted(r["node"] for r in names.collect())[::5]
+    removed = spark.createDataFrame([(n,) for n in removed_list], "node string")
+
+    with_index = _clusters_dict(retract_names(prior, removed, name_index=index))
+    without = _clusters_dict(retract_names(prior, removed))
+    assert with_index == without

@@ -147,3 +147,81 @@ def test_adaptive_halving_engages_only_on_chains(spark):
     # telemetry shape: one changed-count per executed round, last is 0
     assert len(stats2["changed_per_round"]) == stats2["rounds"]
     assert stats2["changed_per_round"][-1] == 0
+
+
+# --- sorted-neighborhood blocking (resolution/blocking.py)
+
+
+def _snm_expected(names_keys, window):
+    """Brute-force reference: pairs within `window` in (key, node) order."""
+    order = [n for _k, n in sorted((k, n) for n, k in names_keys)]
+    out = set()
+    for i, a in enumerate(order):
+        for b in order[i + 1 : i + window]:
+            out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import er_key_col
+    from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = ["dan aykroyd", "dan akroyd", "aykroyd dan", "qykroyd dan",
+             "vladimir putin", "ghostbusters", "ghost busters",
+             "анна каренина", "matt damon", "mat damon"]
+    df = spark.createDataFrame([(n,) for n in names], "node string")
+    keyed = df.select("node", er_key_col(F.col("node")).alias("key"))
+    nk = [(r["node"], r["key"]) for r in keyed.collect()]
+
+    for w in (2, 4):
+        got = {
+            (r["node_a"], r["node_b"])
+            for r in sorted_neighborhood_pairs(keyed, window=w).collect()
+        }
+        assert got == _snm_expected(nk, w), f"window={w}"
+        # linear pair budget: n·(w−1) − w·(w−1)/2
+        n = len(names)
+        assert len(got) == n * (w - 1) - w * (w - 1) // 2
+
+
+def test_sorted_neighborhood_partition_invariant(spark):
+    """The distributed two-phase rank must give the same pair set at
+    any partition count (rank = position in the total order, not an
+    artifact of range boundaries)."""
+    from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(f"name {i:03d}", f"key {i % 37:03d} {i:03d}") for i in range(150)]
+    df = spark.createDataFrame(rows, "node string, key string")
+    sets = []
+    for p in (1, 3, 16):
+        got = {
+            (r["node_a"], r["node_b"])
+            for r in sorted_neighborhood_pairs(
+                df, window=5, num_partitions=p
+            ).collect()
+        }
+        sets.append(got)
+    assert sets[0] == sets[1] == sets[2]
+    assert len(sets[0]) == 150 * 4 - 5 * 4 // 2
+
+
+def test_global_rank_is_total_order_position(spark):
+    from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+        global_rank,
+    )
+
+    rows = [(f"n{i:02d}", f"k{(i * 7) % 23:02d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "node string, key string")
+    got = {
+        r["node"]: r["rank"]
+        for r in global_rank(df, ["key", "node"], num_partitions=7).collect()
+    }
+    want = {
+        n: i
+        for i, (_k, n) in enumerate(sorted((k, n) for n, k in rows))
+    }
+    assert got == want
