@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.translit import translit_lower_col
 from ..operators.entities import extract_mentions
-from ..resolution.blocking import BlockingConfig, all_blocks
+from ..resolution.blocking import (
+    BlockingConfig,
+    all_blocks,
+    sorted_neighborhood_pairs,
+)
 from ..resolution.clustering import assign_cluster_ids, connected_components
 from ..resolution.pairs import candidate_pairs
 from ..resolution.scoring import ScoringConfig, match_edges, score_pairs
@@ -38,6 +42,12 @@ class ERConfig:
     n_salt: int = 8
     salt_threshold: int = 16
     cc_max_iter: int = 25
+    # opt-in FOURTH blocking family: sorted-neighborhood window (None =
+    # off, the oracle-checked default).  A window of w adds exactly
+    # n·(w−1) linear candidate pairs in canonical-key order — recall
+    # insurance for variants whose leading-character typos break every
+    # key-equality family, at a bounded, skew-free cost
+    snm_window: int | None = None
 
 
 def er_key_col(c):
@@ -85,6 +95,13 @@ def name_match_edges(
     pairs = candidate_pairs(
         blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
     )
+    if cfg.snm_window:
+        # union the sort-adjacency pairs and re-dedupe: a variant pair
+        # usually collides in a key family too, and scoring it twice
+        # would double the Arrow hop for exactly the easy cases
+        pairs = pairs.unionByName(
+            sorted_neighborhood_pairs(keyed, cfg.snm_window)
+        ).distinct()
     # hoist the canonical key out of the scorer: join the PREcomputed
     # key back per pair side so the transliteration replace-chain runs
     # once per NAME (in `keyed`), not twice per candidate pair.  The

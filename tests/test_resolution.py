@@ -225,3 +225,35 @@ def test_global_rank_is_total_order_position(spark):
         for i, (_k, n) in enumerate(sorted((k, n) for n, k in rows))
     }
     assert got == want
+
+
+def test_snm_window_recovers_pairs_key_families_miss(spark):
+    """ERConfig.snm_window unions sort-adjacency candidates into the
+    resolve path: with only exact blocking on, 'dan aykroyd' and 'dan
+    aykroyd jr' never share a key, but they sort adjacent — the window
+    pairs them and the scorer links them.  Off by default: the same
+    config without the window keeps them apart."""
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        ERConfig,
+        resolve_names,
+    )
+
+    exact_only = BlockingConfig(use_metaphone=False, use_minhash=False)
+    names = spark.createDataFrame(
+        [("dan aykroyd",), ("dan aykroyd jr",), ("vladimir putin",)],
+        "node string",
+    )
+    off = {
+        r["node"]: r["cluster"]
+        for r in resolve_names(names, ERConfig(blocking=exact_only)).collect()
+    }
+    assert off["dan aykroyd"] != off["dan aykroyd jr"]
+
+    on = {
+        r["node"]: r["cluster"]
+        for r in resolve_names(
+            names, ERConfig(blocking=exact_only, snm_window=2)
+        ).collect()
+    }
+    assert on["dan aykroyd"] == on["dan aykroyd jr"]
+    assert on["vladimir putin"] == "vladimir putin"
