@@ -2024,6 +2024,36 @@ from ranked a join ranked b on b.r > a.r and b.r <= a.r + {_SNM_WINDOW - 1}
 SQL_ER_BLOCK_SORTED = _sql_er_block_sorted()
 
 
+# --- full resolution WITH the sorted-neighborhood family on
+# (ERConfig.snm_window): the window's adjacency pairs union into the
+# candidate set before scoring, and the oracle mirrors the union
+# inside its cpairs CTE — so the opt-in path is hash-checked end to
+# end (blocking ∪ SNM → scoring → threshold → connected components),
+# not just pytest-pinned. ----------------------------------------------------
+def q_er_resolve_snm(spark, sf_dir):
+    from .er_pipeline import ERConfig, resolve_names
+
+    names, _truth = _name_f1_fixture()
+    ndf = spark.createDataFrame([(n,) for n in names], "node string")
+    out = resolve_names(ndf, ERConfig(snm_window=_SNM_WINDOW))
+    return out.select("node", "cluster")
+
+
+def _sql_er_resolve_snm() -> str:
+    from .er_oracle import cluster_ctes
+    from .er_pipeline import ERConfig
+
+    names, _truth = _name_f1_fixture()
+    return (
+        f"with recursive "
+        f"{cluster_ctes(names, ERConfig(snm_window=_SNM_WINDOW))} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_RESOLVE_SNM = _sql_er_resolve_snm()
+
+
 # --- §2.3 search-side: fuzzy name lookup over the blocking index — the
 # batch analogue of querying the enriched/linked fields (same keys, same
 # scorer, same threshold as resolution, reused verbatim). -------------------
@@ -3307,6 +3337,7 @@ QUERIES: dict[str, Callable] = {
     # the rotated front five, inside any positional gate cap
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
+    "er_resolve_snm": q_er_resolve_snm,
     "er_span_assembly": q_er_span_assembly,
     "er_mentions": q_er_mentions,
     "er_normalize": q_er_normalize,
@@ -3383,6 +3414,7 @@ QUERIES: dict[str, Callable] = {
 ORACLES: dict[str, str] = {
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
+    "er_resolve_snm": SQL_ER_RESOLVE_SNM,
     "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize": SQL_ER_NORMALIZE,
@@ -3482,4 +3514,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 70
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 71

@@ -105,7 +105,11 @@ def cluster_ctes(
     ``cannot_link`` mirror ``resolve_names_with_overrides``'s edge
     edits: cannot-link pairs are dropped from the thresholded edges,
     then must-link pairs are unioned in (merge beats split); with both
-    absent the emitted SQL is unchanged."""
+    absent the emitted SQL is unchanged.  ``cfg.snm_window`` (the
+    opt-in sorted-neighborhood family) is mirrored too: the small
+    fixture affords the plain ``row_number()`` window the Spark side's
+    distributed two-phase rank avoids, and the adjacency pairs union
+    into the candidate set exactly like ``name_match_edges`` does."""
     p = prefix
 
     def _pair_vals(pairs):
@@ -138,12 +142,27 @@ def cluster_ctes(
     # recursive ``reach`` re-evaluates eedges every iteration — without
     # the hints DuckDB (which inlines plain CTEs per reference) re-runs
     # the whole blocks→score pipeline once per recursion round
+    snm_union = ""
+    if cfg.snm_window:
+        snm_union = f"""
+           union
+           select least(a.node, b.node) as node_a,
+                  greatest(a.node, b.node) as node_b
+           from {p}ranked a join {p}ranked b
+             on b.r > a.r and b.r <= a.r + {cfg.snm_window - 1}"""
+    ranked_cte = (
+        f"""
+{p}ranked as (select node, row_number() over (order by key, node) - 1 as r
+           from {p}names),"""
+        if cfg.snm_window
+        else ""
+    )
     return f"""{blocks_ctes(names, cfg, prefix=p)},
-{p}bsizes as (select block_key, count(*) as n from {p}blocks group by block_key),
+{p}bsizes as (select block_key, count(*) as n from {p}blocks group by block_key),{ranked_cte}
 {p}cpairs as (select distinct a.node as node_a, b.node as node_b
            from {p}blocks a join {p}blocks b using (block_key)
                          join {p}bsizes s using (block_key)
-           where s.n <= {cfg.max_block_size} and a.node < b.node),
+           where s.n <= {cfg.max_block_size} and a.node < b.node{snm_union}),
 {p}scored as (select node_a, node_b,
                   {score_sql('ka.key', 'kb.key', cfg.scoring)} as score
            from {p}cpairs join {p}names ka on ka.node = {p}cpairs.node_a
