@@ -3187,6 +3187,85 @@ def q_stream_incremental_resolve(spark, sf_dir):
 SQL_STREAM_INCREMENTAL_RESOLVE = _sql_er_incremental()
 
 
+# --- CDC continuous resolution (adds AND deletes): name-reference
+# events stream in, a refcounted liveness table decides which names
+# appear (incremental_resolve) and which vanish (retract_names), and
+# every micro-batch commits the complete state.  Because both halves
+# are batch-equivalent, the final state equals resolve_names over
+# exactly the names with positive final refcount no matter how the
+# stream interleaved the events — so the oracle is cluster_ctes over
+# the simulated-liveness name set.  The event plan exercises refcounts
+# (a name added twice survives one delete), re-adds after retraction,
+# and deletes of unknown names (clamped noise). -----------------------------
+def _cdc_event_plan() -> tuple[list[list[tuple[str, str]]], list[str]]:
+    names, _truth = _name_f1_fixture()
+    s = sorted(names)
+    batches = [
+        [("add", n) for n in s[0:90]],
+        [("add", n) for n in s[60:138]] + [("delete", n) for n in s[0:20]],
+        [("delete", n) for n in s[20:40]]
+        + [("delete", n) for n in s[60:70]]
+        + [("add", n) for n in s[5:10]]
+        + [("delete", "zzyzx unknown")],
+    ]
+    # simulate the sink's per-batch netted, zero-clamped refcounts
+    counts: dict[str, int] = {}
+    for batch in batches:
+        delta: dict[str, int] = {}
+        for op, n in batch:
+            delta[n] = delta.get(n, 0) + (1 if op == "add" else -1)
+        for n, d in delta.items():
+            counts[n] = max(0, counts.get(n, 0) + d)
+    live = sorted(n for n, c in counts.items() if c > 0)
+    return batches, live
+
+
+def q_stream_cdc_resolve(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.table_io import SnapshotTable
+    from ..streaming.ingest import stage_batch_files
+    from ..streaming.resolve import resolve_cdc_stream
+
+    batches, _live = _cdc_event_plan()
+    root = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        in_dir = os.path.join(root, "in")
+        stage_batch_files(
+            [
+                spark.createDataFrame(b, "op string, node string")
+                for b in batches
+            ],
+            in_dir,
+        )
+        q = resolve_cdc_stream(
+            spark,
+            in_dir,
+            clusters_root=os.path.join(root, "clusters"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        out = SnapshotTable(os.path.join(root, "clusters")).read(spark)
+        return out.select("node", "cluster").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _sql_stream_cdc_resolve() -> str:
+    from .er_oracle import cluster_ctes
+
+    _batches, live = _cdc_event_plan()
+    return (
+        f"with recursive {cluster_ctes(live)} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_STREAM_CDC_RESOLVE = _sql_stream_cdc_resolve()
+
+
 # --- custom stateful streaming operator (applyInPandasWithState):
 # running per-name mention counts whose state survives across
 # micro-batches.  The final state is split-invariant — for ANY batch
@@ -3338,6 +3417,7 @@ QUERIES: dict[str, Callable] = {
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
+    "stream_cdc_resolve": q_stream_cdc_resolve,
     "er_span_assembly": q_er_span_assembly,
     "er_mentions": q_er_mentions,
     "er_normalize": q_er_normalize,
@@ -3415,6 +3495,7 @@ ORACLES: dict[str, str] = {
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
+    "stream_cdc_resolve": SQL_STREAM_CDC_RESOLVE,
     "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize": SQL_ER_NORMALIZE,
@@ -3514,4 +3595,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 71
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 72

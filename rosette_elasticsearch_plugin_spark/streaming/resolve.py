@@ -43,6 +43,7 @@ from ..plans.er_pipeline import ERConfig
 from ..plans.incremental import (
     extend_name_index,
     incremental_resolve,
+    retract_names,
     stable_relabel,
 )
 from ..sources.table_io import SnapshotTable
@@ -124,6 +125,156 @@ def resolve_stream(
         # index first, clusters last: the clusters commit's stage label
         # is the batch's completion marker, and re-overwriting the index
         # on a replay is deterministic and idempotent
+        index_table.commit(
+            index.select("node", "key", "block_key"),
+            stage=stage_label,
+            metrics={"batch_id": float(batch_id)},
+            mode="overwrite",
+        )
+        table.commit(
+            clusters.select("node", "cluster"),
+            stage=stage_label,
+            metrics={"batch_id": float(batch_id)},
+            mode="overwrite",
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),  # "add" | "delete"
+        T.StructField("node", T.StringType()),
+    ]
+)
+
+COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def resolve_cdc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    clusters_root: str,
+    checkpoint_dir: str,
+    cfg: ERConfig = ERConfig(),
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous resolution over a CHANGE stream — adds AND deletes.
+
+    ``resolve_stream`` covers the append-only daily shape; this is the
+    CDC shape: upstream enrichment emits name-reference events
+    (op ∈ {add, delete}, node), e.g. one add per distinct name of an
+    ingested document and one delete per distinct name of an erased
+    one.  A refcount table (node, n) — a third SnapshotTable beside
+    clusters and the name index — tracks liveness: a name is resolved
+    while ANY source document still references it.
+
+    Per micro-batch:
+      * net the batch's events per name (one groupBy) and merge into
+        the committed counts (full outer join — vocabulary-scale state
+        maintenance, same cost class as the index commit);
+      * names whose count crosses 0 → positive fold in via
+        ``incremental_resolve`` (old×old never re-scored);
+      * names whose count crosses positive → 0 retract via
+        ``retract_names`` (only their clusters re-resolve);
+      * commit counts, index, clusters — clusters last, its
+        (run, batch) stage label is the replay-idempotence marker.
+
+    Deletes of never-added names are noise (count clamped at 0), and a
+    later re-add of a retracted name is just a new name again — its
+    blocking keys are still in the append-only index, so it is not
+    re-keyed.  Labels are min-node (the batch semantic): because
+    incremental ≡ batch and retract ≡ full-recompute label-for-label,
+    the final state equals ``resolve_names`` over exactly the names
+    with positive final refcount, REGARDLESS of how the stream chopped
+    or interleaved the events — which is what the
+    ``stream_cdc_resolve`` driver oracle checks hash-for-hash.
+    """
+    table = SnapshotTable(clusters_root)
+    index_table = SnapshotTable(clusters_root.rstrip("/") + "_index")
+    counts_table = SnapshotTable(clusters_root.rstrip("/") + "_counts")
+    run_id_cache: list[str] = []
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        run_id = checkpoint_run_id(checkpoint_dir, run_id_cache)
+        stage_label = f"cdc-resolve-{run_id}-batch-{batch_id}"
+        if table.last_snapshot_for(stage_label) is not None:
+            return  # replayed batch — state already committed
+        prior_snap = table.current_snapshot()
+        prior = (
+            table.read(spark, prior_snap.snapshot_id)
+            if prior_snap is not None
+            else spark.createDataFrame([], CLUSTERS_SCHEMA)
+        )
+        idx_snap = index_table.current_snapshot()
+        prior_index = (
+            index_table.read(spark, idx_snap.snapshot_id)
+            if idx_snap is not None
+            else None
+        )
+        cnt_snap = counts_table.current_snapshot()
+        counts = (
+            counts_table.read(spark, cnt_snap.snapshot_id)
+            if cnt_snap is not None
+            else spark.createDataFrame([], COUNTS_SCHEMA)
+        )
+
+        delta = batch_df.groupBy("node").agg(
+            F.sum(
+                F.when(F.col("op") == "add", F.lit(1)).otherwise(F.lit(-1))
+            ).alias("d")
+        )
+        merged = (
+            counts.join(delta, "node", "full_outer")
+            .select(
+                "node",
+                F.greatest(
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0)),
+                    F.lit(0),
+                ).alias("new_n"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("old_n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        appeared = merged.where(
+            (F.col("old_n") <= 0) & (F.col("new_n") > 0)
+        ).select("node")
+        vanished = merged.where(
+            (F.col("old_n") > 0) & (F.col("new_n") <= 0)
+        ).select("node")
+
+        index = extend_name_index(prior_index, appeared, cfg)
+        clusters = incremental_resolve(prior, appeared, cfg, name_index=index)
+        clusters = retract_names(clusters, vanished, cfg, name_index=index)
+
+        counts_table.commit(
+            merged.where(F.col("new_n") > 0).select(
+                "node", F.col("new_n").alias("n")
+            ),
+            stage=stage_label,
+            metrics={"batch_id": float(batch_id)},
+            mode="overwrite",
+        )
         index_table.commit(
             index.select("node", "key", "block_key"),
             stage=stage_label,

@@ -338,3 +338,64 @@ def test_windowed_append_drops_late_rows(spark, dirs):
     # tumbling alignment: epoch-hour-aligned starts exactly 2h apart
     assert got["a"][0] % 3600 == 0
     assert got["b"][0] - got["a"][0] == 7200
+
+
+def test_cdc_stream_adds_deletes_refcounts(spark, tmp_path):
+    """CDC continuous resolution: the final streamed state equals the
+    batch resolve over exactly the names with positive final refcount
+    — re-adds after retraction and a survive-one-delete refcount both
+    exercised on a tiny deterministic event log."""
+    import os
+
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        resolve_names,
+    )
+    from rosette_elasticsearch_plugin_spark.streaming.ingest import (
+        stage_batch_files,
+    )
+    from rosette_elasticsearch_plugin_spark.streaming.resolve import (
+        resolve_cdc_stream,
+    )
+
+    batches = [
+        # b1: two aykroyd variants + putin
+        [("add", "dan aykroyd"), ("add", "daniel aykroyd"),
+         ("add", "vladimir putin")],
+        # b2: second reference to putin; delete one aykroyd variant
+        [("add", "vladimir putin"), ("delete", "daniel aykroyd")],
+        # b3: putin survives one delete (refcount 2→1); the deleted
+        # aykroyd variant is re-added; unknown delete is noise
+        [("delete", "vladimir putin"), ("add", "daniel aykroyd"),
+         ("delete", "zzyzx nobody")],
+    ]
+    live = ["dan aykroyd", "daniel aykroyd", "vladimir putin"]
+
+    in_dir = os.path.join(str(tmp_path), "in")
+    stage_batch_files(
+        [spark.createDataFrame(b, "op string, node string") for b in batches],
+        in_dir,
+    )
+    q = resolve_cdc_stream(
+        spark,
+        in_dir,
+        clusters_root=os.path.join(str(tmp_path), "clusters"),
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["node"]: r["cluster"]
+        for r in SnapshotTable(os.path.join(str(tmp_path), "clusters"))
+        .read(spark)
+        .collect()
+    }
+    want = {
+        r["node"]: r["cluster"]
+        for r in resolve_names(
+            spark.createDataFrame([(n,) for n in live], "node string")
+        ).collect()
+    }
+    assert got == want
+    # the two aykroyd variants are one cluster; putin stayed live
+    assert got["dan aykroyd"] == got["daniel aykroyd"]
+    assert "vladimir putin" in got
