@@ -9,6 +9,9 @@ Five families, all designed for 100 TB inputs:
 * SimHash        — 56-bit signature per doc (JVM-side bit arithmetic);
                    near-dup = small Hamming distance within LSH buckets.
 * n-gram Jaccard — exact verification metric, exposed standalone.
+* IDF-weighted   — frequency-aware token Jaccard (rare tokens weigh
+                   more) over the same LSH candidates; the weighting
+                   that stops shared boilerplate reading as duplication.
 * embedding      — cosine near-dup over the embeddings table (see ann.py).
 
 Everything is pure column expressions over the cross-engine hash
@@ -292,6 +295,150 @@ def near_dup_pairs(
         docs, text_col, bands, rows, seed, max_bucket, restrict_to_candidates
     )
     return scored.where(F.col("jaccard") >= threshold)
+
+
+def doc_token_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token): the distinct word-token set per document — the
+    unit the IDF weighting operates on (same token universe as SimHash:
+    lowercased ``[a-z0-9]+`` runs)."""
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0))
+    )
+    return docs.select("doc_id", F.explode(toks).alias("token"))
+
+
+def doc_token_table_sql(from_expr: str, text_expr: str = "text") -> str:
+    return (
+        f"select doc_id, unnest(list_distinct("
+        f"regexp_extract_all(lower({text_expr}), '[a-z0-9]+'))) as token "
+        f"from {from_expr}"
+    )
+
+
+def idf_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, df, idf): smoothed inverse-document-frequency weights,
+    ``idf = ln((N+1)/(df+1)) + 1`` over the corpus (N = |docs|).
+
+    Rare tokens ⇒ high weight: the standard frequency-aware refinement
+    of token similarity (a shared rare surname is strong match evidence;
+    a shared stopword is none).  Scale shape: ONE groupBy over the
+    exploded token table (map-side combine), output is vocabulary-scale
+    (≪ corpus) — a broadcastable/AQE-joinable dim.  The corpus size
+    enters via a broadcast single-row aggregate, never a driver-side
+    collect."""
+    df_tab = doc_token_table(docs, text_col).groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n = docs.agg(F.count("*").cast("double").alias("__n"))
+    return df_tab.crossJoin(F.broadcast(n)).select(
+        "token",
+        "df",
+        F.round(
+            F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+        ).alias("idf"),
+    )
+
+
+def idf_weights_sql(docs_from: str, text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`idf_weights` (ln is ≤1-ulp in both
+    engines' libm; the 6dp round absorbs that before any downstream
+    sum)."""
+    tok = doc_token_table_sql(docs_from, text_expr)
+    return (
+        f"select token, cast(count(*) as bigint) as df, "
+        f"round(ln(((select count(*) from {docs_from}) + 1.0) "
+        f"/ (count(*) + 1.0)) + 1.0, 6) as idf "
+        f"from ({tok}) group by token"
+    )
+
+
+def weighted_jaccard_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 3,
+    seed: int = 42,
+    max_bucket: int = DEDUP_MAX_BUCKET,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, token_jaccard, weighted_jaccard) for every
+    LSH candidate pair: plain token-set Jaccard beside its IDF-weighted
+    form  Σ_{t∈A∩B} idf(t) / Σ_{t∈A∪B} idf(t).
+
+    Boilerplate-heavy near-dups (shared headers/footers of COMMON
+    tokens) score lower weighted than plain; pairs sharing rare content
+    score higher — the weighting a production dedup pipeline applies
+    before thresholding so template reuse does not read as duplication.
+
+    Scale shape: candidates come from the capped+salted LSH buckets
+    (never all-pairs); the pair↔token expansion is two equi-joins over
+    tokens of CANDIDATE docs only (semi-join restriction, same rationale
+    as candidate_jaccard_scores); IDF is the one corpus-wide groupBy and
+    joins in as a vocabulary-scale dim (AQE broadcasts when small).  No
+    OR-condition joins, no per-pair re-tokenization."""
+    cands = lsh_candidate_pairs(
+        docs, text_col, bands, rows, seed, max_bucket
+    ).localCheckpoint(eager=False)
+    tok = doc_token_table(docs, text_col)
+    cand_ids = (
+        cands.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    tok_c = tok.join(cand_ids, "doc_id", "left_semi")
+    ta = cands.join(
+        tok_c.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a"
+    ).select(
+        "doc_id_a", "doc_id_b", "token",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    tb = cands.join(
+        tok_c.withColumnRenamed("doc_id", "doc_id_b"), "doc_id_b"
+    ).select(
+        "doc_id_a", "doc_id_b", "token",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    pt = (
+        ta.unionByName(tb)
+        .groupBy("doc_id_a", "doc_id_b", "token")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    # IDF over the FULL corpus (a corpus statistic), not the candidates
+    w = pt.join(idf_weights(docs, text_col), "token")
+    both = (F.col("in_a") == 1) & (F.col("in_b") == 1)
+    return w.groupBy("doc_id_a", "doc_id_b").agg(
+        F.round(
+            F.sum(F.when(both, 1.0).otherwise(0.0)) / F.count("*"), 6
+        ).alias("token_jaccard"),
+        F.round(
+            F.sum(F.when(both, F.col("idf")).otherwise(0.0)) / F.sum("idf"), 6
+        ).alias("weighted_jaccard"),
+    )
+
+
+def weighted_jaccard_scores_sql(docs_from: str, text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`weighted_jaccard_scores` over an existing
+    ``cand`` CTE of (doc_id_a, doc_id_b) — compose after
+    ``_lsh_cand_ctes``-style candidate CTEs."""
+    tok = doc_token_table_sql(docs_from, text_expr)
+    idf = idf_weights_sql(docs_from, text_expr)
+    return f"""
+tok as materialized ({tok}),
+idf as materialized ({idf}),
+pt as (select doc_id_a, doc_id_b, token,
+              max(in_a) as in_a, max(in_b) as in_b from (
+         select c.doc_id_a, c.doc_id_b, t.token, 1 as in_a, 0 as in_b
+         from cand c join tok t on t.doc_id = c.doc_id_a
+         union all
+         select c.doc_id_a, c.doc_id_b, t.token, 0, 1
+         from cand c join tok t on t.doc_id = c.doc_id_b)
+       group by doc_id_a, doc_id_b, token)
+select p.doc_id_a, p.doc_id_b,
+       round(sum(case when in_a = 1 and in_b = 1 then 1.0 else 0.0 end)
+             / count(*), 6) as token_jaccard,
+       round(sum(case when in_a = 1 and in_b = 1 then i.idf else 0.0 end)
+             / sum(i.idf), 6) as weighted_jaccard
+from pt p join idf i using (token)
+group by p.doc_id_a, p.doc_id_b"""
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:

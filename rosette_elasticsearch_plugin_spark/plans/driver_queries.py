@@ -858,6 +858,42 @@ from cand join sh sa on sa.doc_id = cand.doc_id_a
 SQL_DEDUP_NGRAM_JACCARD = _sql_dedup_ngram_jaccard()
 
 
+# --- IDF-weighted token similarity: the frequency-aware refinement a
+# production dedup/linkage pipeline applies before thresholding — a
+# shared RARE token is strong duplicate evidence, a shared stopword is
+# none.  idf table = one corpus groupBy (vocabulary-scale dim);
+# weighted Jaccard = Σ idf over shared tokens / Σ idf over the union,
+# computed per LSH candidate pair via two equi-joins (never all-pairs,
+# never per-pair re-tokenization). -------------------------------------------
+def q_dedup_idf_weights(spark, sf_dir):
+    return dedup.idf_weights(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_IDF_WEIGHTS = dedup.idf_weights_sql("documents")
+
+
+def q_dedup_weighted_jaccard(spark, sf_dir):
+    return dedup.weighted_jaccard_scores(
+        _docs_with_dups(spark, sf_dir), bands=DEDUP_BANDS, rows=DEDUP_ROWS
+    )
+
+
+def _sql_dedup_weighted_jaccard() -> str:
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    return f"""
+with d as materialized ({_DOCS_WITH_DUPS_SQL}),
+sigs as (select doc_id, {sig} as sig from d),
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
+{_lsh_cand_ctes()},
+{dedup.weighted_jaccard_scores_sql("d")}
+"""
+
+
+SQL_DEDUP_WEIGHTED_JACCARD = _sql_dedup_weighted_jaccard()
+
+
 # simhash near-dup: pairs of docs whose 56-bit signatures are within a
 # small Hamming radius, candidates restricted to shared LSH band buckets
 SIMHASH_RADIUS = 12
@@ -3489,6 +3525,8 @@ QUERIES: dict[str, Callable] = {
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
     "region_customer_counts": q_region_customer_counts,
+    "dedup_idf_weights": q_dedup_idf_weights,
+    "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
 }
 
 ORACLES: dict[str, str] = {
@@ -3564,6 +3602,8 @@ ORACLES: dict[str, str] = {
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "media_features": SQL_MEDIA_FEATURES,
     "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
+    "dedup_idf_weights": SQL_DEDUP_IDF_WEIGHTS,
+    "dedup_weighted_jaccard": SQL_DEDUP_WEIGHTED_JACCARD,
 }
 
 # Registry ORDER is part of the driver contract: the round-3 gate
@@ -3595,4 +3635,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 72
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 74

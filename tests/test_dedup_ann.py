@@ -466,3 +466,59 @@ def test_ivf_udf_path_recall_at_large_nlist(spark):
     hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
     recall = hits / len(truth)
     assert recall >= 0.9, f"udf-path IVF recall@planted-top1 = {recall:.3f}"
+
+
+# --- IDF-weighted token similarity ------------------------------------------
+
+def test_idf_weights_rare_tokens_weigh_more(spark):
+    rows = [
+        (1, "the zebra"),
+        (2, "the quokka"),
+        (3, "the heron"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["token"]: r for r in dedup.idf_weights(df).collect()}
+    assert got["the"]["df"] == 3 and got["zebra"]["df"] == 1
+    # smoothed idf: ln((N+1)/(df+1)) + 1 with N=3
+    assert got["the"]["idf"] == round(math.log(4 / 4) + 1.0, 6) == 1.0
+    assert got["zebra"]["idf"] == round(math.log(4 / 2) + 1.0, 6)
+    assert got["zebra"]["idf"] > got["the"]["idf"]
+
+
+def test_weighted_jaccard_first_principles_and_boilerplate_downweighting(spark):
+    # docs 1/2 share only BOILERPLATE (corpus-wide tokens) and differ in
+    # rare ones; docs 3/4 share RARE tokens and differ in boilerplate.
+    # Same machinery as production: pairs from banded MinHash buckets.
+    rows = [
+        (1, "the of and to in zebra"),
+        (2, "the of and to in quokka"),
+        (3, "xylophone quartz nebula the of"),
+        (4, "xylophone quartz nebula and to"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r
+        for r in dedup.weighted_jaccard_scores(df, bands=12, rows=1).collect()
+    }
+    assert (1, 2) in out and (3, 4) in out
+
+    # first-principles recompute of every emitted pair from the corpus
+    toks = {d: set(t.split()) for d, t in rows}
+    n = len(rows)
+    dfreq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    idf = {t: round(math.log((n + 1) / (c + 1)) + 1.0, 6) for t, c in dfreq.items()}
+    for (a, b), r in out.items():
+        inter, union = toks[a] & toks[b], toks[a] | toks[b]
+        assert r["token_jaccard"] == round(len(inter) / len(union), 6)
+        expected_w = round(
+            sum(idf[t] for t in inter) / sum(idf[t] for t in union), 6
+        )
+        assert abs(r["weighted_jaccard"] - expected_w) <= 1e-6
+
+    # the weighting's point: shared boilerplate scores BELOW the plain
+    # Jaccard, shared rare content scores ABOVE it
+    assert out[(1, 2)]["weighted_jaccard"] < out[(1, 2)]["token_jaccard"]
+    assert out[(3, 4)]["weighted_jaccard"] > out[(3, 4)]["token_jaccard"]
