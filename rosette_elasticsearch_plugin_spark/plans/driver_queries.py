@@ -3394,6 +3394,69 @@ group by 1, 2
 """
 
 
+# --- session-window streaming aggregation: the second BUILT-IN windowed
+# surface (F.session_window) — sessions MERGE across micro-batches (an
+# event in batch N can extend or bridge sessions from earlier batches),
+# so this exercises the state store's window-merge path that tumbling
+# windows never touch.  Complete-mode final table ≡ batch sessionization
+# ≡ the gaps-and-islands SQL oracle; append-mode watermark withholding
+# is pinned in tests/test_streaming.py. --------------------------------------
+def q_stream_session_counts(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import stage_batch_files
+    from ..streaming.windowed import final_windowed_counts, session_event_counts
+
+    root = tempfile.mkdtemp(prefix="stream_session_")
+    try:
+        in_dir = os.path.join(root, "in")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # TIME-ORDERED thirds (event_id is ts-monotone in the driver
+        # corpus), not the % 3 interleave the tumbling query uses:
+        # session windows apply the late-event filter in EVERY output
+        # mode (unlike tumbling complete mode, which keeps late rows),
+        # so interleaved replay would silently drop 1/3 of the corpus.
+        # Time-ordered arrival is also the realistic stream; sessions
+        # straddling a file boundary still exercise cross-batch merge.
+        # (bounded metadata action: one max() over the staged corpus)
+        mx = events.agg(F.max("event_id")).collect()[0][0]
+        cut1, cut2 = (mx + 1) // 3, 2 * (mx + 1) // 3
+        stage_batch_files(
+            [
+                events.where(F.col("event_id") < cut1),
+                events.where(
+                    (F.col("event_id") >= cut1) & (F.col("event_id") < cut2)
+                ),
+                events.where(F.col("event_id") >= cut2),
+            ],
+            in_dir,
+        )
+        q, name = session_event_counts(
+            spark,
+            in_dir,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            gap="30 minutes",
+            watermark="30 minutes",
+            key="event_type",
+            output_mode="complete",
+        )
+        q.awaitTermination()
+        return final_windowed_counts(spark, name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _sql_stream_session_counts() -> str:
+    from ..streaming.windowed import session_counts_sql
+
+    return session_counts_sql("30 minutes", "event_type", "events")
+
+
+SQL_STREAM_SESSION_COUNTS = _sql_stream_session_counts()
+
+
 # --- §2.3 ingest-format seam: the reference's native input is JSON
 # documents (one `_source` body per index request); prove the JSON-lines
 # path end-to-end by round-tripping the driver corpus through jsonl and
@@ -3527,6 +3590,7 @@ QUERIES: dict[str, Callable] = {
     "region_customer_counts": q_region_customer_counts,
     "dedup_idf_weights": q_dedup_idf_weights,
     "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
+    "stream_session_counts": q_stream_session_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3604,6 +3668,7 @@ ORACLES: dict[str, str] = {
     "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
     "dedup_idf_weights": SQL_DEDUP_IDF_WEIGHTS,
     "dedup_weighted_jaccard": SQL_DEDUP_WEIGHTED_JACCARD,
+    "stream_session_counts": SQL_STREAM_SESSION_COUNTS,
 }
 
 # Registry ORDER is part of the driver contract: the round-3 gate
@@ -3635,4 +3700,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 74
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 75

@@ -399,3 +399,94 @@ def test_cdc_stream_adds_deletes_refcounts(spark, tmp_path):
     # the two aykroyd variants are one cluster; putin stayed live
     assert got["dan aykroyd"] == got["daniel aykroyd"]
     assert "vladimir putin" in got
+
+
+def test_session_windows_merge_across_batches(spark, dirs):
+    """The state-merge property that makes streaming sessionization
+    non-trivial: a session whose events arrive in DIFFERENT micro-batches
+    must still come out as ONE session row.
+
+    Batch 1: 'a' at 00:00 and 00:10 (one open session)
+    Batch 2: 'a' at 00:25 — 15 min after the last event, under the
+             30-min gap → EXTENDS the batch-1 session; plus 'a' at
+             03:00 — over the gap → its own session."""
+    from datetime import datetime as DT
+
+    from rosette_elasticsearch_plugin_spark.streaming.windowed import (
+        final_windowed_counts,
+        session_event_counts,
+    )
+
+    d = lambda h, m: DT(2024, 1, 1, h, m)  # noqa: E731
+    _write_event_batch(spark, dirs["in"], [(0, d(0, 0), "a"), (1, d(0, 10), "a")])
+    q, name = session_event_counts(
+        spark,
+        dirs["in"],
+        checkpoint_dir=dirs["ckpt"],
+        gap="30 minutes",
+        watermark="30 minutes",
+        output_mode="complete",
+        available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+        _write_event_batch(
+            spark, dirs["in"], [(2, d(0, 25), "a"), (3, d(3, 0), "a")]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    rows = final_windowed_counts(spark, name).collect()
+    got = {r["session_start"]: r for r in rows}
+    base = int(DT(2024, 1, 1).timestamp())
+    # ONE merged session 00:00-00:55 with all three events — not the
+    # batch-1 session plus a separate batch-2 one
+    assert len(rows) == 2
+    assert got[base]["n_events"] == 3
+    assert got[base]["session_end"] == base + 25 * 60 + 30 * 60
+    assert got[base + 3 * 3600]["n_events"] == 1
+
+
+def test_session_windows_drop_late_rows_even_in_complete_mode(spark, dirs):
+    """Session windows apply the late-event filter in EVERY output mode
+    (measured; tumbling complete mode keeps late rows — the module
+    docstring documents the asymmetry).  An event older than the
+    watermark vanishes from the complete-mode result too."""
+    from datetime import datetime as DT
+
+    from rosette_elasticsearch_plugin_spark.streaming.windowed import (
+        final_windowed_counts,
+        session_event_counts,
+    )
+
+    d = lambda h, m: DT(2024, 1, 1, h, m)  # noqa: E731
+    _write_event_batch(spark, dirs["in"], [(0, d(5, 0), "a")])
+    q, name = session_event_counts(
+        spark,
+        dirs["in"],
+        checkpoint_dir=dirs["ckpt"],
+        gap="30 minutes",
+        watermark="30 minutes",
+        output_mode="complete",
+        available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 ('b' at 05:40) lets the 04:30 watermark from batch 1
+        # take effect (watermark filters engage one batch after the
+        # data that set them — same lag the tumbling append test rides)
+        _write_event_batch(spark, dirs["in"], [(1, d(5, 40), "b")])
+        q.processAllAvailable()
+        # 01:00 is far older than the active watermark → dropped, even
+        # though the sink is complete-mode
+        _write_event_batch(spark, dirs["in"], [(2, d(1, 0), "a")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    rows = final_windowed_counts(spark, name).collect()
+    base = int(DT(2024, 1, 1).timestamp())
+    assert sum(r["n_events"] for r in rows) == 2
+    assert len(rows) == 2
+    assert base + 3600 not in {r["session_start"] for r in rows}
