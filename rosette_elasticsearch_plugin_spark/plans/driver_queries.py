@@ -3510,6 +3510,181 @@ group by r_name
 """
 
 
+# --- token blocking + meta-blocking over the fixture vocabulary ----------------
+# Token blocking is the high-recall schema-agnostic family; meta-blocking
+# (Papadakis et al., TKDE 2014) purges oversized blocks and prunes the
+# candidate graph on the common-blocks Jaccard weight — the linear-budget
+# answer to Zipfian token frequencies at corpus scale (see
+# resolution/metablocking.py).  Both are exact-oracled over the same
+# deterministic fixture vocabulary the resolution oracles use.
+# tau trades pair-completeness for pruning power (the whole point of
+# meta-blocking).  On the fixture vocabulary: tau=0.1 keeps 96% of the
+# scorer's true pairs while pruning 23% of co-occurring candidates;
+# tau=0.2 would prune 64% but drop 27% of true pairs (the casualties
+# are initialism+typo combos like "a svensson"~"aiko svesson" that
+# share a single metaphone key).  Default to the recall-biased end —
+# the downstream scorer is the precision stage.
+META_TAU = 0.1
+META_MAX_BLOCK = 50
+
+
+def _fixture_keyed(spark):
+    """(node, key) over the deterministic fixture corpus — the same
+    vocabulary `_name_f1_fixture` embeds in the oracles."""
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from .er_pipeline import er_key_col
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    return (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def q_er_block_tokens(spark, sf_dir):
+    from ..resolution.blocking import token_blocks
+
+    return token_blocks(_fixture_keyed(spark))
+
+
+def _sql_er_block_tokens() -> str:
+    from .er_oracle import _q, er_key_py
+
+    names, _truth = _name_f1_fixture()
+    uniq = sorted(set(names))
+    vals = ", ".join(
+        f"('{_q(n)}', '{_q(er_key_py(n))}')" for n in uniq
+    )
+    return f"""
+with names(node, key) as (values {vals})
+select distinct node, 't:' || tok as block_key
+from (select node, unnest(string_split(key, ' ')) as tok from names)
+where length(tok) >= 2
+"""
+
+
+SQL_ER_BLOCK_TOKENS = _sql_er_block_tokens()
+
+
+def q_er_meta_blocking(spark, sf_dir):
+    from ..resolution.blocking import all_blocks, token_blocks
+    from ..resolution.metablocking import weighted_edge_pruning
+    from .er_pipeline import ERConfig
+
+    keyed = _fixture_keyed(spark)
+    # family prefixes (x:/m:/h:/t:) are disjoint, so union all is exact
+    blocks = all_blocks(keyed, ERConfig().blocking).unionByName(
+        token_blocks(keyed)
+    )
+    return weighted_edge_pruning(blocks, META_TAU, META_MAX_BLOCK)
+
+
+def _sql_er_meta_blocking() -> str:
+    from .er_oracle import blocks_ctes
+
+    names, _truth = _name_f1_fixture()
+    return f"""
+with {blocks_ctes(names)},
+tblocks as (select distinct node, 't:' || tok as block_key
+            from (select node, unnest(string_split(key, ' ')) as tok
+                  from names)
+            where length(tok) >= 2),
+ablocks as materialized (
+  select node, block_key from blocks
+  union all select node, block_key from tblocks),
+sizes as (select block_key, count(*) as bn from ablocks group by block_key),
+purged as materialized (
+  select node, block_key from ablocks join sizes using (block_key)
+  where bn <= {META_MAX_BLOCK}),
+cbs as (select a.node as node_a, b.node as node_b,
+               cast(count(*) as bigint) as cbs
+        from purged a join purged b using (block_key)
+        where a.node < b.node group by a.node, b.node),
+nbc as (select node, cast(count(*) as bigint) as nb from purged group by node),
+w as (select c.node_a, c.node_b, c.cbs,
+             cast(c.cbs as double) / cast(na.nb + nbb.nb - c.cbs as double)
+               as js
+      from cbs c join nbc na on na.node = c.node_a
+                 join nbc nbb on nbb.node = c.node_b)
+select node_a, node_b, cbs, js from w where js >= {META_TAU}
+"""
+
+
+SQL_ER_META_BLOCKING = _sql_er_meta_blocking()
+
+
+# --- benchmark decontamination over the documents corpus ------------------------
+# The standard LLM-training-data hygiene op: remove (here: report) corpus
+# documents sharing any word n-gram with a held-out evaluation set, so
+# benchmark text never leaks into training.  The eval set is a
+# deterministic slice of the corpus (doc_id % 97 == 0) standing in for
+# the real benchmark suite.  At the 100 TB design point the eval n-gram
+# set is benchmark-sized (MBs), hence the explicit broadcast: the probe
+# is a map-side hash semi-join against every corpus partition, no
+# shuffle of the corpus-side n-grams.  All expressions are built-in
+# (split/slice/transform) — the whole plan stays in codegen.
+# Production decontamination uses 8-13-gram windows over real prose;
+# the synthetic docs are a few dozen tokens, so n=3 is the window that
+# actually exercises overlap here (171 flagged docs at sf0.01 vs 1 at
+# n=5 — the parameter scales with document length, not corpus size).
+DECON_N = 3
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    d = parallelize_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+        ).alias("toks"),
+    )
+    n = DECON_N
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("gram"),
+    )
+    eval_g = (
+        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    cand = grams.where(F.col("doc_id") % 97 != 0)
+    return (
+        cand.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_eval_grams"))
+    )
+
+
+SQL_CORPUS_DECONTAMINATE = f"""
+with toks as materialized (
+  select doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') as toks
+  from documents),
+grams as materialized (
+  select doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {DECON_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')))
+           as gram
+  from toks),
+evalg as (select distinct gram from grams where doc_id % 97 = 0)
+select g.doc_id, cast(count(distinct g.gram) as bigint) as n_eval_grams
+from grams g join evalg using (gram)
+where g.doc_id % 97 <> 0
+group by g.doc_id
+"""
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -3539,6 +3714,9 @@ QUERIES: dict[str, Callable] = {
     "er_label_queue": q_er_label_queue,
     "er_resolution_diff": q_er_resolution_diff,
     "er_cluster_confidence": q_er_cluster_confidence,
+    "er_block_tokens": q_er_block_tokens,
+    "er_meta_blocking": q_er_meta_blocking,
+    "corpus_decontaminate": q_corpus_decontaminate,
     # declared here (not with their stream/source siblings at the tail)
     # so these never-yet-driver-evidenced queries sit inside the first
     # 50 registry positions — see the rotation note below the registry
@@ -3620,6 +3798,9 @@ ORACLES: dict[str, str] = {
     "er_label_queue": SQL_ER_LABEL_QUEUE,
     "er_resolution_diff": SQL_ER_RESOLUTION_DIFF,
     "er_cluster_confidence": SQL_ER_CLUSTER_CONFIDENCE,
+    "er_block_tokens": SQL_ER_BLOCK_TOKENS,
+    "er_meta_blocking": SQL_ER_META_BLOCKING,
+    "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "ingest_json_docs": SQL_INGEST_JSON_DOCS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
@@ -3686,6 +3867,10 @@ ORACLES: dict[str, str] = {
 _FRONT = [
     "media_metadata", "media_resize", "media_frame_sample",
     "media_features", "region_customer_counts",
+    # added after the round-3 reorder, so they have no driver evidence
+    # yet — keep every never-evidenced query inside the first-50 window
+    "dedup_idf_weights", "dedup_weighted_jaccard", "stream_session_counts",
+    "er_block_tokens", "er_meta_blocking", "corpus_decontaminate",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -3700,4 +3885,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 75
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 78

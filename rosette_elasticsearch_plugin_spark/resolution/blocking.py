@@ -114,6 +114,31 @@ def minhash_blocks(
     )
 
 
+def token_blocks(names: DataFrame, min_len: int = 2) -> DataFrame:
+    """Token blocking: every whitespace token of the canonical key is a
+    block key (``t:`` family).
+
+    The classic high-recall / low-precision schema-agnostic family —
+    any shared token makes two names candidates, so it catches variants
+    the equality families miss (added middle names, reordered or
+    partially-typo'd multi-token names) at the cost of huge blocks for
+    common tokens.  It is intended to be consumed THROUGH
+    ``resolution/metablocking.py`` (block purging + weighted pair
+    pruning), never joined raw: token frequencies are Zipfian, so the
+    raw family alone would produce quadratic pairs on stop-word-like
+    tokens at corpus scale.
+
+    Tokens shorter than ``min_len`` are dropped (single letters are
+    initials/noise and would block half the vocabulary together).
+    """
+    toks = names.select(
+        "node", F.explode(F.split(F.col("key"), " ")).alias("tok")
+    ).where(F.length("tok") >= min_len)
+    return toks.select(
+        "node", F.concat(F.lit("t:"), F.col("tok")).alias("block_key")
+    ).distinct()
+
+
 def all_blocks(
     names: DataFrame, cfg: BlockingConfig = BlockingConfig()
 ) -> DataFrame:
