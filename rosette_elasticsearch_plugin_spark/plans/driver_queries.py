@@ -3616,6 +3616,40 @@ select node_a, node_b, cbs, js from w where js >= {META_TAU}
 SQL_ER_META_BLOCKING = _sql_er_meta_blocking()
 
 
+def q_er_resolve_meta(spark, sf_dir):
+    """Full resolution with meta-blocked candidate generation: token
+    family on, candidate pairs = common-blocks-Jaccard ≥ tau.  The
+    oracle is the same recursive-CTE clustering mirror with the meta
+    cpairs branch — hash equality proves the integrated path, not just
+    the standalone weight table."""
+    from ..resolution.blocking import BlockingConfig
+    from .er_pipeline import ERConfig, resolve_names
+
+    cfg = ERConfig(
+        blocking=BlockingConfig(use_tokens=True), meta_tau=META_TAU
+    )
+    keyed = _fixture_keyed(spark)
+    return resolve_names(keyed.select("node"), cfg).select("node", "cluster")
+
+
+def _sql_er_resolve_meta() -> str:
+    from ..resolution.blocking import BlockingConfig
+    from .er_oracle import cluster_ctes
+    from .er_pipeline import ERConfig
+
+    names, _truth = _name_f1_fixture()
+    cfg = ERConfig(
+        blocking=BlockingConfig(use_tokens=True), meta_tau=META_TAU
+    )
+    return (
+        f"with recursive {cluster_ctes(names, cfg)} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_RESOLVE_META = _sql_er_resolve_meta()
+
+
 # --- benchmark decontamination over the documents corpus ------------------------
 # The standard LLM-training-data hygiene op: remove (here: report) corpus
 # documents sharing any word n-gram with a held-out evaluation set, so
@@ -3633,7 +3667,11 @@ SQL_ER_META_BLOCKING = _sql_er_meta_blocking()
 DECON_N = 3
 
 
-def q_corpus_decontaminate(spark, sf_dir):
+def _word_gram_arrays(spark, sf_dir, n: int):
+    """(doc_id, grams) — word n-gram arrays per document, all built-in
+    expressions.  The ``when`` guard matters: Spark's ``sequence(1, 0)``
+    is DESCENDING, so without it a doc shorter than the window would
+    fabricate windows instead of yielding none."""
     d = parallelize_scan(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).select(
@@ -3642,18 +3680,23 @@ def q_corpus_decontaminate(spark, sf_dir):
             F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
         ).alias("toks"),
     )
-    n = DECON_N
-    grams = d.select(
+    return d.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
-                ),
-            ).otherwise(F.expr("cast(array() as array<string>)"))
-        ).alias("gram"),
+        F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+            ),
+        )
+        .otherwise(F.expr("cast(array() as array<string>)"))
+        .alias("grams"),
+    )
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    grams = _word_gram_arrays(spark, sf_dir, DECON_N).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
     eval_g = (
         grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
@@ -3682,6 +3725,46 @@ select g.doc_id, cast(count(distinct g.gram) as bigint) as n_eval_grams
 from grams g join evalg using (gram)
 where g.doc_id % 97 <> 0
 group by g.doc_id
+"""
+
+
+# --- intra-document repetition (Gopher-style quality signal) --------------------
+# Rae et al.'s Gopher data pipeline filters documents whose duplicate
+# n-gram fraction is high (boilerplate, keyword stuffing, generation
+# loops).  rep_frac = 1 − distinct/total word-3-grams per document —
+# a pure per-row array expression: no shuffle at all, the filter runs
+# at scan speed on every corpus partition independently, which is the
+# shape you want for a first-pass 100 TB quality gate.
+def q_text_repetition(spark, sf_dir):
+    g = _word_gram_arrays(spark, sf_dir, DECON_N)
+    n = F.size("grams").cast("long")
+    nd = F.size(F.array_distinct("grams")).cast("long")
+    return g.where(n > 0).select(
+        "doc_id",
+        n.alias("n_grams"),
+        (n - nd).alias("n_dup_grams"),
+        (
+            (n - nd).cast("double") / n.cast("double")
+        ).alias("rep_frac"),
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+with g as (
+  select doc_id,
+         list_transform(
+           range(1, greatest(len(toks) - {DECON_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' '))
+           as grams
+  from (select doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') as toks
+        from documents))
+select doc_id,
+       cast(len(grams) as bigint) as n_grams,
+       cast(len(grams) - len(list_distinct(grams)) as bigint) as n_dup_grams,
+       cast(len(grams) - len(list_distinct(grams)) as double)
+         / cast(len(grams) as double) as rep_frac
+from g where len(grams) > 0
 """
 
 
@@ -3717,6 +3800,8 @@ QUERIES: dict[str, Callable] = {
     "er_block_tokens": q_er_block_tokens,
     "er_meta_blocking": q_er_meta_blocking,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "text_repetition": q_text_repetition,
+    "er_resolve_meta": q_er_resolve_meta,
     # declared here (not with their stream/source siblings at the tail)
     # so these never-yet-driver-evidenced queries sit inside the first
     # 50 registry positions — see the rotation note below the registry
@@ -3801,6 +3886,8 @@ ORACLES: dict[str, str] = {
     "er_block_tokens": SQL_ER_BLOCK_TOKENS,
     "er_meta_blocking": SQL_ER_META_BLOCKING,
     "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "er_resolve_meta": SQL_ER_RESOLVE_META,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "ingest_json_docs": SQL_INGEST_JSON_DOCS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
@@ -3871,6 +3958,7 @@ _FRONT = [
     # yet — keep every never-evidenced query inside the first-50 window
     "dedup_idf_weights", "dedup_weighted_jaccard", "stream_session_counts",
     "er_block_tokens", "er_meta_blocking", "corpus_decontaminate",
+    "text_repetition", "er_resolve_meta",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -3885,4 +3973,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 78
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 80

@@ -71,6 +71,14 @@ def blocks_ctes(
         m_vals = "('\x01none', '\x01none')"
     sig = minhash_sig_sql(shingles_sql("key", bcfg.shingle_n), bcfg.params())
     band = lsh_band_keys_sql("sig", bcfg.minhash_bands, bcfg.minhash_rows)
+    token_union = ""
+    if bcfg.use_tokens:
+        # opt-in token family, mirroring blocking.token_blocks
+        token_union = f"""
+    union all
+    select node, 't:' || tok as block_key
+    from (select node, unnest(string_split(key, ' ')) as tok from {p}names)
+    where length(tok) >= {bcfg.token_min_len}"""
     return f"""
 {p}names(node, key) as (values {names_vals}),
 {p}mcodes(tok, code) as (values {m_vals}),
@@ -84,7 +92,7 @@ def blocks_ctes(
     from {p}mtoks t join {p}mcodes c using (tok) where length(t.tok) > 0
     union all
     select node, 'h:' || unnest({band}) as block_key
-    from (select node, {sig} as sig from {p}names)
+    from (select node, {sig} as sig from {p}names){token_union}
   )
 )"""
 
@@ -157,12 +165,35 @@ def cluster_ctes(
         if cfg.snm_window
         else ""
     )
-    return f"""{blocks_ctes(names, cfg, prefix=p)},
-{p}bsizes as (select block_key, count(*) as n from {p}blocks group by block_key),{ranked_cte}
+    if cfg.meta_tau is not None:
+        # meta-blocking candidate generation (resolution/metablocking.py):
+        # purge oversized blocks, weight co-occurring pairs by the
+        # common-blocks Jaccard, keep pairs at or above tau.  The purge
+        # bound reuses max_block_size, so the pair universe equals the
+        # default path's capped blocks — tau-filtering is the only delta.
+        cpairs_cte = f"""
+{p}purged as materialized (
+  select a.node, a.block_key
+  from {p}blocks a join {p}bsizes s using (block_key)
+  where s.n <= {cfg.max_block_size}),
+{p}mcbs as (select a.node as node_a, b.node as node_b, count(*) as cbs
+         from {p}purged a join {p}purged b using (block_key)
+         where a.node < b.node group by a.node, b.node),
+{p}mnb as (select node, count(*) as nb from {p}purged group by node),
+{p}cpairs as (select c.node_a, c.node_b
+           from {p}mcbs c join {p}mnb na on na.node = c.node_a
+                          join {p}mnb nbb on nbb.node = c.node_b
+           where cast(c.cbs as double)
+                   / cast(na.nb + nbb.nb - c.cbs as double)
+                 >= {cfg.meta_tau}{snm_union}),"""
+    else:
+        cpairs_cte = f"""
 {p}cpairs as (select distinct a.node as node_a, b.node as node_b
            from {p}blocks a join {p}blocks b using (block_key)
                          join {p}bsizes s using (block_key)
-           where s.n <= {cfg.max_block_size} and a.node < b.node{snm_union}),
+           where s.n <= {cfg.max_block_size} and a.node < b.node{snm_union}),"""
+    return f"""{blocks_ctes(names, cfg, prefix=p)},
+{p}bsizes as (select block_key, count(*) as n from {p}blocks group by block_key),{ranked_cte}{cpairs_cte}
 {p}scored as (select node_a, node_b,
                   {score_sql('ka.key', 'kb.key', cfg.scoring)} as score
            from {p}cpairs join {p}names ka on ka.node = {p}cpairs.node_a

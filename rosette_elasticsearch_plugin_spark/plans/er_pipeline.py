@@ -48,6 +48,15 @@ class ERConfig:
     # insurance for variants whose leading-character typos break every
     # key-equality family, at a bounded, skew-free cost
     snm_window: int | None = None
+    # opt-in meta-blocking (None = off): when set, candidate generation
+    # becomes the weighted co-occurrence graph of
+    # resolution/metablocking.py — blocks purged at max_block_size,
+    # pairs kept when their common-blocks Jaccard ≥ meta_tau.  Pair
+    # universe equals the default capped-blocks path; tau-filtering is
+    # the only delta.  Meant to be combined with
+    # blocking.use_tokens=True (the high-recall family whose Zipfian
+    # budget meta-blocking exists to control).
+    meta_tau: float | None = None
 
 
 def er_key_col(c):
@@ -92,9 +101,16 @@ def name_match_edges(
     # on the flagship at sf0.1).  At warehouse scale this is "write
     # the block table, then self-join it" — the standard shape.
     blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
-    pairs = candidate_pairs(
-        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
-    )
+    if cfg.meta_tau is not None:
+        from ..resolution.metablocking import weighted_edge_pruning
+
+        pairs = weighted_edge_pruning(
+            blocks, cfg.meta_tau, cfg.max_block_size
+        ).select("node_a", "node_b")
+    else:
+        pairs = candidate_pairs(
+            blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+        )
     if cfg.snm_window:
         # union the sort-adjacency pairs and re-dedupe: a variant pair
         # usually collides in a key family too, and scoring it twice

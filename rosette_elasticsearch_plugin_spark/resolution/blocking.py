@@ -47,6 +47,11 @@ class BlockingConfig:
     minhash_seed: int = 42
     # metaphone is keyed per whitespace token to survive token reordering
     metaphone_max_tokens: int = 4
+    # opt-in token family (``t:`` keys) — high recall, Zipfian block
+    # sizes; only sensible behind meta-blocking's purge+prune (see
+    # resolution/metablocking.py), hence off by default
+    use_tokens: bool = False
+    token_min_len: int = 2
 
     @property
     def num_perm(self) -> int:
@@ -150,6 +155,8 @@ def all_blocks(
         parts.append(metaphone_blocks(names, cfg))
     if cfg.use_minhash:
         parts.append(minhash_blocks(names, cfg))
+    if cfg.use_tokens:
+        parts.append(token_blocks(names, cfg.token_min_len))
     if not parts:
         raise ValueError("at least one blocking family must be enabled")
     out = parts[0]

@@ -133,6 +133,84 @@ def test_meta_blocking_completeness_vs_pruning(spark):
     assert pruned >= 0.20, f"pruning ratio {pruned:.2%} below bound"
 
 
+def test_meta_pairs_subset_of_default_universe(spark):
+    """The integrated meta path (ERConfig.meta_tau) only FILTERS the
+    default capped-blocks pair universe — it never invents a pair the
+    default generator wouldn't have produced from the same blocks."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        META_MAX_BLOCK,
+        META_TAU,
+        _fixture_keyed,
+    )
+    from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+        BlockingConfig,
+        all_blocks,
+    )
+    from rosette_elasticsearch_plugin_spark.resolution.pairs import (
+        candidate_pairs,
+    )
+
+    keyed = _fixture_keyed(spark)
+    blocks = all_blocks(
+        keyed, BlockingConfig(use_tokens=True)
+    ).localCheckpoint(eager=False)
+    meta = {
+        (r["node_a"], r["node_b"])
+        for r in weighted_edge_pruning(
+            blocks, META_TAU, META_MAX_BLOCK
+        ).collect()
+    }
+    default = {
+        (r["node_a"], r["node_b"])
+        for r in candidate_pairs(blocks, META_MAX_BLOCK).collect()
+    }
+    assert meta <= default
+    assert len(meta) < len(default)  # tau actually prunes something
+
+
+def test_meta_resolution_f1_above_bar(spark):
+    """End-to-end quality under the integrated meta-blocking config:
+    pairwise F1 on the fixture's planted truth stays ≥ 0.99 (the north
+    rule's bar) — the pairs tau prunes are redundant or rare enough
+    that transitivity absorbs almost all of them (measured 0.997 vs
+    1.000 for the default path)."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        META_TAU,
+        _fixture_keyed,
+        _name_f1_fixture,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        ERConfig,
+        resolve_names,
+    )
+    from rosette_elasticsearch_plugin_spark.resolution.blocking import (
+        BlockingConfig,
+    )
+
+    _names, truth = _name_f1_fixture()
+    cfg = ERConfig(
+        blocking=BlockingConfig(use_tokens=True), meta_tau=META_TAU
+    )
+    keyed = _fixture_keyed(spark)
+    cl = {
+        r["node"]: r["cluster"]
+        for r in resolve_names(keyed.select("node"), cfg).collect()
+    }
+    ms = [(e, cl.get(n, n)) for _m, e, n in truth]
+    tp = fp = fn = 0
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            same_truth = ms[i][0] == ms[j][0]
+            same_pred = ms[i][1] == ms[j][1]
+            tp += same_truth and same_pred
+            fp += (not same_truth) and same_pred
+            fn += same_truth and (not same_pred)
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    f1 = 2 * p * r / (p + r)
+    assert f1 >= 0.99, f"meta-blocked F1 {f1:.4f} below the 0.99 bar"
+
+
 def test_decontaminate_short_docs_and_eval_exclusion(spark):
     """Docs shorter than the n-gram window yield no grams (the sequence
     guard — without it Spark's descending sequence(1, 0) would fabricate
