@@ -894,6 +894,65 @@ keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
 SQL_DEDUP_WEIGHTED_JACCARD = _sql_dedup_weighted_jaccard()
 
 
+# --- meta-blocking weights over the document LSH bands -------------------------
+# The band-collision count between two docs is a similarity proxy for
+# free (P[band collision] rises with MinHash Jaccard), so the same
+# purge+weight machinery the name path uses (resolution/metablocking.py)
+# ranks near-dup candidates BEFORE any shingle comparison runs: verify
+# high-collision pairs first, or drop single-collision pairs under load.
+# Purge bound = the dedup hot-bucket cap, so the pair universe matches
+# the LSH candidate set's small-bucket branch.  (Over-cap buckets are
+# PURGED here where lsh_candidate_pairs STAR-pairs them — the weight
+# table is a ranking refinement over comparable buckets, while star
+# mode is the mega-duplicate safety net; the near-dup pipeline keeps
+# both.)
+def q_dedup_meta_pairs(spark, sf_dir):
+    from ..resolution.metablocking import meta_block_weights
+
+    keys = dedup.band_key_table(
+        _docs_with_dups(spark, sf_dir), bands=DEDUP_BANDS, rows=DEDUP_ROWS
+    )
+    blocks = keys.select(
+        F.col("doc_id").alias("node"), F.col("band_key").alias("block_key")
+    )
+    w = meta_block_weights(blocks, dedup.DEDUP_MAX_BUCKET)
+    return w.select(
+        F.col("node_a").alias("doc_id_a"),
+        F.col("node_b").alias("doc_id_b"),
+        F.col("cbs").alias("n_common_bands"),
+        F.col("js").alias("band_js"),
+    )
+
+
+def _sql_dedup_meta_pairs() -> str:
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    return f"""
+with d as materialized ({_DOCS_WITH_DUPS_SQL}),
+sigs as (select doc_id, {sig} as sig from d),
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
+bsz as (select band_key, count(*) as bn from keys group by band_key),
+purged as materialized (
+  select doc_id, band_key from keys join bsz using (band_key)
+  where bn <= {dedup.DEDUP_MAX_BUCKET} and band_key is not null),
+cbs as (select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+               cast(count(*) as bigint) as n_common_bands
+        from purged a join purged b using (band_key)
+        where a.doc_id < b.doc_id group by a.doc_id, b.doc_id),
+nbc as (select doc_id, cast(count(*) as bigint) as nb
+        from purged group by doc_id)
+select c.doc_id_a, c.doc_id_b, c.n_common_bands,
+       cast(c.n_common_bands as double)
+         / cast(na.nb + nbb.nb - c.n_common_bands as double) as band_js
+from cbs c join nbc na on na.doc_id = c.doc_id_a
+           join nbc nbb on nbb.doc_id = c.doc_id_b
+"""
+
+
+SQL_DEDUP_META_PAIRS = _sql_dedup_meta_pairs()
+
+
 # simhash near-dup: pairs of docs whose 56-bit signatures are within a
 # small Hamming radius, candidates restricted to shared LSH band buckets
 SIMHASH_RADIUS = 12
@@ -3802,6 +3861,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_repetition": q_text_repetition,
     "er_resolve_meta": q_er_resolve_meta,
+    "dedup_meta_pairs": q_dedup_meta_pairs,
     # declared here (not with their stream/source siblings at the tail)
     # so these never-yet-driver-evidenced queries sit inside the first
     # 50 registry positions — see the rotation note below the registry
@@ -3888,6 +3948,7 @@ ORACLES: dict[str, str] = {
     "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
     "text_repetition": SQL_TEXT_REPETITION,
     "er_resolve_meta": SQL_ER_RESOLVE_META,
+    "dedup_meta_pairs": SQL_DEDUP_META_PAIRS,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "ingest_json_docs": SQL_INGEST_JSON_DOCS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
@@ -3958,7 +4019,7 @@ _FRONT = [
     # yet — keep every never-evidenced query inside the first-50 window
     "dedup_idf_weights", "dedup_weighted_jaccard", "stream_session_counts",
     "er_block_tokens", "er_meta_blocking", "corpus_decontaminate",
-    "text_repetition", "er_resolve_meta",
+    "text_repetition", "er_resolve_meta", "dedup_meta_pairs",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -3973,4 +4034,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 80
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 81

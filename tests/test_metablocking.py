@@ -211,6 +211,46 @@ def test_meta_resolution_f1_above_bar(spark):
     assert f1 >= 0.99, f"meta-blocked F1 {f1:.4f} below the 0.99 bar"
 
 
+def test_dedup_meta_pairs_band_semantics(spark):
+    """Band-collision weights over the document LSH table: common-band
+    counts are bounded by the band count, planted duplicate pairs sit
+    at the maximum weight (identical text → identical signature → all
+    bands collide → js = 1.0), and every reported pair is an LSH
+    candidate."""
+    import rosette_elasticsearch_plugin_spark.plans.driver_queries as DQ
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark shuffle planning"),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        docs = DQ._docs_with_dups(spark, d)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): (
+                r["n_common_bands"],
+                r["band_js"],
+            )
+            for r in DQ.q_dedup_meta_pairs(spark, d).collect()
+        }
+        cand = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in dedup.lsh_candidate_pairs(
+                docs, bands=DQ.DEDUP_BANDS, rows=DQ.DEDUP_ROWS
+            ).collect()
+        }
+    assert all(1 <= c <= DQ.DEDUP_BANDS for c, _ in got.values())
+    assert got[(1, 2)] == (DQ.DEDUP_BANDS, 1.0)
+    assert set(got) <= cand
+
+
 def test_decontaminate_short_docs_and_eval_exclusion(spark):
     """Docs shorter than the n-gram window yield no grams (the sequence
     guard — without it Spark's descending sequence(1, 0) would fabricate
