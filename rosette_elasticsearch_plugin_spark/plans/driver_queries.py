@@ -2519,6 +2519,231 @@ from linked where score >= {cfg.scoring.threshold}
 SQL_ER_CROSS_LINK = _sql_er_cross_link()
 
 
+# One-to-one assignment over the cross-source links: clean-clean
+# linkage semantics (each A-record ↔ at most one B-record) via
+# symmetric best match — resolution/assignment.py.  Scores are rounded
+# to 6dp BEFORE ranking so tie-breaks are engine-identical. -----------------
+def q_er_one_to_one(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.assignment import one_to_one_links
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    src = keyed.withColumn(
+        "source",
+        F.when(
+            F.substring(F.md5("node"), 1, 1).isin(*"01234567"), "A"
+        ).otherwise("B"),
+    )
+    blocks = all_blocks(keyed, cfg.blocking)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    sa = src.select(
+        F.col("node").alias("node_a"),
+        F.col("key").alias("key_a"),
+        F.col("source").alias("source_a"),
+    )
+    sb = src.select(
+        F.col("node").alias("node_b"),
+        F.col("key").alias("key_b"),
+        F.col("source").alias("source_b"),
+    )
+    linked = (
+        pairs.join(sa, "node_a")
+        .join(sb, "node_b")
+        .where(F.col("source_a") != F.col("source_b"))
+        .withColumn(
+            "score", score_expr(F.col("key_a"), F.col("key_b"), cfg.scoring)
+        )
+        .where(F.col("score") >= cfg.scoring.threshold)
+    )
+    oriented = linked.select(
+        F.when(F.col("source_a") == "A", F.col("node_a"))
+        .otherwise(F.col("node_b"))
+        .alias("a_node"),
+        F.when(F.col("source_a") == "A", F.col("node_b"))
+        .otherwise(F.col("node_a"))
+        .alias("b_node"),
+        F.round("score", 6).alias("score"),
+    )
+    return one_to_one_links(oriented)
+
+
+def _sql_er_one_to_one() -> str:
+    from ..resolution.assignment import one_to_one_sql
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    halves = ", ".join(f"'{c}'" for c in "01234567")
+    inner = one_to_one_sql("oriented")
+    return f"""
+with {blocks_ctes(names)},
+src as materialized (
+  select node, key,
+         case when substring(md5(node), 1, 1) in ({halves})
+              then 'A' else 'B' end as source
+  from names),
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+linked as (select node_a, node_b,
+                  sa.source as source_a, sb.source as source_b,
+                  {score_sql('sa.key', 'sb.key', cfg.scoring)} as score
+           from cpairs join src sa on sa.node = cpairs.node_a
+                       join src sb on sb.node = cpairs.node_b
+           where sa.source <> sb.source),
+oriented as (
+  select case when source_a = 'A' then node_a else node_b end as a_node,
+         case when source_a = 'A' then node_b else node_a end as b_node,
+         round(score, 6) as score
+  from linked where score >= {cfg.scoring.threshold})
+{inner}
+"""
+
+
+SQL_ER_ONE_TO_ONE = _sql_er_one_to_one()
+
+
+# Adjusted Rand Index of the resolved clustering against planted truth
+# (resolution/evaluate.adjusted_rand): chance-corrected counterpart to
+# pairwise F1 / B³ — integer contingency aggregates, no pair blow-up. -------
+def q_er_adjusted_rand(spark, sf_dir):
+    from .. import corpus
+    from ..resolution.evaluate import adjusted_rand
+    from .er_pipeline import resolve_documents
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    _, name_clusters = resolve_documents(docs)
+    tc = (
+        truth.select("mention_id", "entity_label", "normalized")
+        .join(
+            name_clusters.withColumnRenamed("node", "normalized"),
+            "normalized",
+            "left",
+        )
+        .withColumn("cluster", F.coalesce("cluster", F.col("normalized")))
+        .select("entity_label", "cluster")
+    )
+    return adjusted_rand(tc)
+
+
+def _sql_er_adjusted_rand() -> str:
+    from ..resolution.evaluate import adjusted_rand_sql
+    from .er_oracle import cluster_ctes
+
+    names, truth = _name_f1_fixture()
+    truth_vals = ", ".join(
+        "('" + m.replace("'", "''") + "', '" + e.replace("'", "''")
+        + "', '" + n.replace("'", "''") + "')"
+        for m, e, n in truth
+    )
+    return f"""
+with recursive {cluster_ctes(names)},
+truth(mention_id, entity_label, normalized) as (values {truth_vals}),
+tc as materialized (
+  select t.entity_label,
+         coalesce(c.cluster, t.normalized) as cluster
+  from truth t left join clusters c on c.node = t.normalized),
+{adjusted_rand_sql('tc')}
+select n_pairs, sum_comb_cells, sum_comb_pred, sum_comb_truth,
+       round(ari_raw, 6) as ari
+from ari_agg
+"""
+
+
+SQL_ER_ADJUSTED_RAND = _sql_er_adjusted_rand()
+
+
+# Privacy-preserving linkage: candidate pairs are compared ONLY through
+# Bloom-filter bigram encodings (functions/bloom.py) with the Dice
+# coefficient — the PPRL setting where parties cannot exchange
+# plaintext names.  Blocking still runs on the data owner's side; the
+# comparison step consumes nothing but (node id, encoding). ----------------
+BLOOM_DICE_TAU = 0.8
+
+
+def q_er_bloom_link(spark, sf_dir):
+    from .. import corpus
+    from ..functions.bloom import bloom_positions_col, dice_col
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    # the "encoding party" view: node id + Bloom positions, no plaintext
+    enc = keyed.select(
+        "node", bloom_positions_col(F.col("key")).alias("bloom")
+    )
+    blocks = all_blocks(keyed, cfg.blocking)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    ea = enc.select(
+        F.col("node").alias("node_a"), F.col("bloom").alias("bloom_a")
+    )
+    eb = enc.select(
+        F.col("node").alias("node_b"), F.col("bloom").alias("bloom_b")
+    )
+    return (
+        pairs.join(ea, "node_a")
+        .join(eb, "node_b")
+        .withColumn("dice", dice_col(F.col("bloom_a"), F.col("bloom_b")))
+        .where(F.col("dice") >= BLOOM_DICE_TAU)
+        .select("node_a", "node_b", "dice")
+    )
+
+
+def _sql_er_bloom_link() -> str:
+    from ..functions.bloom import bloom_positions_sql, dice_sql
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with {blocks_ctes(names)},
+enc as materialized (
+  select node, {bloom_positions_sql('key')} as bloom from names),
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+diced as (select node_a, node_b,
+                 {dice_sql('ea.bloom', 'eb.bloom')} as dice
+          from cpairs join enc ea on ea.node = cpairs.node_a
+                      join enc eb on eb.node = cpairs.node_b)
+select node_a, node_b, dice from diced where dice >= {BLOOM_DICE_TAU}
+"""
+
+
+SQL_ER_BLOOM_LINK = _sql_er_bloom_link()
+
+
 # Match explainability: per-feature breakdown for every candidate pair
 # of the fixture universe — jw / lev / token-jaccard / coverage plus the
 # contradiction and expansion gates beside the final score.  The Spark
@@ -3850,6 +4075,9 @@ QUERIES: dict[str, Callable] = {
     "er_blocking_recall": q_er_blocking_recall,
     "er_bcubed": q_er_bcubed,
     "er_cross_link": q_er_cross_link,
+    "er_one_to_one": q_er_one_to_one,
+    "er_adjusted_rand": q_er_adjusted_rand,
+    "er_bloom_link": q_er_bloom_link,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -3937,6 +4165,9 @@ ORACLES: dict[str, str] = {
     "er_blocking_recall": SQL_ER_BLOCKING_RECALL,
     "er_bcubed": SQL_ER_BCUBED,
     "er_cross_link": SQL_ER_CROSS_LINK,
+    "er_one_to_one": SQL_ER_ONE_TO_ONE,
+    "er_adjusted_rand": SQL_ER_ADJUSTED_RAND,
+    "er_bloom_link": SQL_ER_BLOOM_LINK,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4020,6 +4251,7 @@ _FRONT = [
     "dedup_idf_weights", "dedup_weighted_jaccard", "stream_session_counts",
     "er_block_tokens", "er_meta_blocking", "corpus_decontaminate",
     "text_repetition", "er_resolve_meta", "dedup_meta_pairs",
+    "er_one_to_one", "er_adjusted_rand", "er_bloom_link",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -4034,4 +4266,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 81
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 84

@@ -27,6 +27,80 @@ def predicted_pairs(assignments: DataFrame, id_col: str = "mention_id",
             .select("mention_id_a", "mention_id_b"))
 
 
+def adjusted_rand(tc: DataFrame) -> DataFrame:
+    """Adjusted Rand Index between predicted clusters and truth labels.
+
+    tc: one row per mention with (entity_label, cluster).  ARI
+    chance-corrects pairwise agreement (Hubert & Arabie 1985):
+        ARI = (idx - exp) / (max - exp)
+    with idx = Σ_ij C(n_ij,2), a = Σ_i C(a_i,2), b = Σ_j C(b_j,2),
+    exp = a·b / C(n,2), max = (a+b)/2.  Complements pairwise F1 (which
+    ignores true negatives) and B³ (which is not chance-corrected).
+
+    Everything up to the final division is an integer aggregate over
+    three contingency groupBys (cells, cluster sizes, label sizes) —
+    deterministic across engines, so the oracle hash-matches exactly.
+    At scale these are three map-side-combinable aggregations over the
+    mention table; no pair enumeration ever happens.
+    """
+    # n·(n−1)/2 in pure long arithmetic (shift, not float divide) so
+    # counts beyond 2^26 can't lose exactness through a double
+    comb2 = lambda c: F.shiftright(c.cast("long") * (c - 1), 1)  # noqa: E731
+    cells = tc.groupBy("cluster", "entity_label").agg(
+        F.count("*").alias("n_ij")
+    )
+    idx = cells.agg(F.sum(comb2(F.col("n_ij"))).alias("idx"))
+    a = (
+        tc.groupBy("cluster")
+        .agg(F.count("*").alias("n_i"))
+        .agg(F.sum(comb2(F.col("n_i"))).alias("a"))
+    )
+    b = (
+        tc.groupBy("entity_label")
+        .agg(F.count("*").alias("n_j"))
+        .agg(F.sum(comb2(F.col("n_j"))).alias("b"))
+    )
+    n = tc.agg(comb2(F.count("*")).alias("n2"))
+    j = idx.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b)).crossJoin(
+        F.broadcast(n)
+    )
+    exp = F.col("a") * F.col("b") / F.col("n2")
+    mx = (F.col("a") + F.col("b")) / F.lit(2.0)
+    ari = F.when(
+        F.abs(mx - exp) < F.lit(1e-12), F.lit(1.0)
+    ).otherwise((F.col("idx") - exp) / (mx - exp))
+    return j.select(
+        F.col("n2").alias("n_pairs"),
+        F.col("idx").alias("sum_comb_cells"),
+        F.col("a").alias("sum_comb_pred"),
+        F.col("b").alias("sum_comb_truth"),
+        F.round(ari, 6).alias("ari"),
+    )
+
+
+def adjusted_rand_sql(tc_from: str) -> str:
+    """DuckDB mirror of adjusted_rand over a (entity_label, cluster)
+    relation/CTE named ``tc_from``."""
+    return f"""
+cells as (select cluster, entity_label, count(*) as n_ij
+          from {tc_from} group by cluster, entity_label),
+idx as (select cast(sum(n_ij * (n_ij - 1) // 2) as bigint) as idx from cells),
+pa as (select cast(sum(n_i * (n_i - 1) // 2) as bigint) as a
+       from (select count(*) as n_i from {tc_from} group by cluster)),
+pb as (select cast(sum(n_j * (n_j - 1) // 2) as bigint) as b
+       from (select count(*) as n_j from {tc_from} group by entity_label)),
+nn as (select cast(count(*) * (count(*) - 1) // 2 as bigint) as n2
+       from {tc_from}),
+ari_agg as (
+  select n2 as n_pairs, idx as sum_comb_cells, a as sum_comb_pred,
+         b as sum_comb_truth,
+         case when abs((a + b) / 2.0 - a * b / n2) < 1e-12 then 1.0
+              else (idx - a * b / n2) / ((a + b) / 2.0 - a * b / n2)
+         end as ari_raw
+  from idx, pa, pb, nn)
+"""
+
+
 def pairwise_f1(labeled: DataFrame, predicted: DataFrame,
                 by_block: bool = True) -> DataFrame:
     """Join labeled pairs with predictions; compute P/R/F1 (per block_key).
