@@ -228,3 +228,112 @@ def fingerprint_sql(expr: str) -> str:
         f"list_transform({toks}, t -> {h} % {FP_MOD})), "
         f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) end"
     )
+
+
+# --- character-bigram language model quality score ---------------------------
+# A corpus-trained character LM is the classic cheap fluency filter for
+# LLM training-data pipelines (a KenLM-perplexity stand-in that needs no
+# external artifacts): train bigram counts over the corpus itself, then
+# score each document by its average per-bigram log2 probability
+# (Laplace-smoothed).  Gibberish, encoding noise, and wrong-charset docs
+# score far below fluent text.
+#
+# Scale shape: training is ONE map-side-combinable groupBy over exploded
+# bigrams (model size is ~alphabet², a broadcastable dim no matter the
+# corpus size); scoring is a broadcast join + one groupBy(doc_id).
+# Per-gram log-probs are rounded to 6dp and per-doc sums run in integer
+# micro-units, so both engines aggregate exactly the same values.
+
+def char_lm_model(docs, text_col: str = "text"):
+    """(gram, cnt, logp) — Laplace-smoothed bigram log2-probabilities."""
+    from .hashing import shingles_col
+
+    g = docs.where(F.col(text_col).isNotNull()).select(
+        F.explode(shingles_col(F.lower(F.col(text_col)), 2)).alias("gram")
+    )
+    counts = g.groupBy("gram").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count("*").cast("double").alias("vocab"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "gram",
+        "cnt",
+        F.round(
+            F.log2((F.col("cnt") + 1.0) / (F.col("total") + F.col("vocab"))),
+            6,
+        ).alias("logp"),
+        F.round(
+            F.log2(1.0 / (F.col("total") + F.col("vocab"))), 6
+        ).alias("logp_oov"),
+    )
+
+
+def char_lm_score(docs, model, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """(doc_id, n_bigrams, avg_logp2, ppl) per document.
+
+    Unseen grams (scoring a corpus the model wasn't trained on) fall
+    back to the model's out-of-vocabulary log-prob, carried on every
+    model row so no second lookup table is needed.
+    """
+    from .hashing import shingles_col
+
+    g = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            shingles_col(F.lower(F.col(text_col)), 2)
+        ).alias("gram"),
+    )
+    oov = model.agg(F.max("logp_oov").alias("logp_oov"))
+    scored = (
+        g.join(F.broadcast(model.select("gram", "logp")), "gram", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            F.coalesce("logp", "logp_oov").alias("lp"),
+        )
+    )
+    # integer micro-unit sum: engine-order-independent, hash-exact
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.round(F.col("lp") * 1e6).cast("long")).alias("sum_u"),
+    )
+    avg = F.round(F.col("sum_u") / F.col("n_bigrams") / 1e6, 6)
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        avg.alias("avg_logp2"),
+        F.round(F.pow(F.lit(2.0), -avg), 6).alias("ppl"),
+    )
+
+
+def char_lm_score_sql(docs_from: str, id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB mirror of char_lm_model + char_lm_score over one corpus."""
+    from .hashing import shingles_sql
+
+    grams = shingles_sql(f"lower({text_col})", 2)
+    return f"""
+with g as (
+  select {id_col}, unnest({grams}) as gram
+  from {docs_from} where {text_col} is not null),
+counts as (select gram, count(*) as cnt from g group by gram),
+tot as (select cast(sum(cnt) as double) as total,
+               cast(count(*) as double) as vocab from counts),
+model as (select gram,
+                 round(log2((cnt + 1.0) / (total + vocab)), 6) as logp,
+                 round(log2(1.0 / (total + vocab)), 6) as logp_oov
+          from counts, tot),
+scored as (select g.{id_col}, coalesce(m.logp, m2.logp_oov) as lp
+           from g left join model m using (gram)
+                  cross join (select max(logp_oov) as logp_oov
+                              from model) m2),
+agg as (select {id_col}, cast(count(*) as bigint) as n_bigrams,
+               sum(cast(round(lp * 1e6) as bigint)) as sum_u
+        from scored group by {id_col})
+select {id_col}, n_bigrams,
+       round(sum_u / n_bigrams / 1e6, 6) as avg_logp2,
+       round(pow(2.0, -(round(sum_u / n_bigrams / 1e6, 6))), 6) as ppl
+from agg
+"""

@@ -1512,6 +1512,30 @@ SQL_ROS_ENTITIES_SENTIMENT = _sql_ros_entities_sentiment()
 
 
 # --- text analysis -------------------------------------------------------------
+def q_text_char_lm(spark, sf_dir):
+    """Corpus-trained character-bigram LM fluency score per document
+    (functions/textstats.char_lm_model/char_lm_score) — the KenLM-style
+    quality filter of an LLM-data pipeline, self-trained so it needs no
+    external artifacts."""
+    from ..functions.textstats import char_lm_model, char_lm_score
+
+    docs = _docs(spark, sf_dir)
+    model = char_lm_model(docs).localCheckpoint(eager=False)
+    return char_lm_score(docs, model)
+
+
+SQL_TEXT_CHAR_LM = None  # assigned below (needs textstats import)
+
+
+def _sql_text_char_lm() -> str:
+    from ..functions.textstats import char_lm_score_sql
+
+    return char_lm_score_sql("documents")
+
+
+SQL_TEXT_CHAR_LM = _sql_text_char_lm()
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TS.quality_score_col(F.col("text")).alias("quality")
@@ -2742,6 +2766,119 @@ select node_a, node_b, dice from diced where dice >= {BLOOM_DICE_TAU}
 
 
 SQL_ER_BLOOM_LINK = _sql_er_bloom_link()
+
+
+# Fellegi-Sunter probabilistic linkage (resolution/fs.py): m/u
+# agreement probabilities estimated from the labeled fixture pairs,
+# then per-pair log-likelihood-ratio weights.  Two query surfaces: the
+# estimated parameter row, and the scored pairs. ----------------------------
+def _fs_spark_parts(spark):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from ..resolution.fs import fs_features, fs_params
+    from ..resolution.pairs import candidate_pairs
+    from .er_pipeline import ERConfig, er_key_col
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    feats = fs_features(pairs, keyed, blocks)
+    lab = truth.select(
+        F.col("normalized").alias("node"), "entity_label"
+    ).distinct()
+    la = lab.select(
+        F.col("node").alias("node_a"), F.col("entity_label").alias("ea")
+    )
+    lb = lab.select(
+        F.col("node").alias("node_b"), F.col("entity_label").alias("eb")
+    )
+    labeled = (
+        pairs.join(la, "node_a")
+        .join(lb, "node_b")
+        .select(
+            "node_a", "node_b", (F.col("ea") == F.col("eb")).alias("is_match")
+        )
+    )
+    params = fs_params(feats, labeled)
+    return feats, params
+
+
+def q_er_fs_params(spark, sf_dir):
+    from ..resolution.fs import FS_FEATURES
+
+    _feats, params = _fs_spark_parts(spark)
+    cols = [F.col("n_match"), F.col("n_non")]
+    for f in FS_FEATURES:
+        cols.append(F.round("m_" + f, 6).alias("m_" + f))
+        cols.append(F.round("u_" + f, 6).alias("u_" + f))
+    return params.select(*cols)
+
+
+def q_er_fs_scored(spark, sf_dir):
+    from ..resolution.fs import fs_weight
+
+    feats, params = _fs_spark_parts(spark)
+    return fs_weight(feats, params)
+
+
+def _fs_sql_prefix() -> str:
+    from ..resolution.fs import fs_features_sql, fs_params_sql
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, truth = _name_f1_fixture()
+    ntruth = sorted({(n, e) for _m, e, n in truth})
+    truth_vals = ", ".join(
+        "('" + n.replace("'", "''") + "', '" + e.replace("'", "''") + "')"
+        for n, e in ntruth
+    )
+    feats = fs_features_sql("cpairs", "names", "blocks").strip().rstrip()
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{feats},
+ntruth(node, entity_label) as (values {truth_vals}),
+labeled as (select f.node_a, f.node_b, f.f_exact, f.f_phon, f.f_jac,
+                   f.f_lev, (ta.entity_label = tb.entity_label) as is_match
+            from feats f join ntruth ta on ta.node = f.node_a
+                         join ntruth tb on tb.node = f.node_b),
+{fs_params_sql('labeled')}
+"""
+
+
+def _sql_er_fs_params() -> str:
+    from ..resolution.fs import FS_FEATURES
+
+    cols = ["n_match", "n_non"]
+    for f in FS_FEATURES:
+        cols.append(f"round(m_{f}, 6) as m_{f}")
+        cols.append(f"round(u_{f}, 6) as u_{f}")
+    return _fs_sql_prefix() + "select " + ", ".join(cols) + " from params"
+
+
+def _sql_er_fs_scored() -> str:
+    from ..resolution.fs import fs_weight_sql
+
+    return _fs_sql_prefix() + fs_weight_sql()
+
+
+SQL_ER_FS_PARAMS = _sql_er_fs_params()
+SQL_ER_FS_SCORED = _sql_er_fs_scored()
 
 
 # Match explainability: per-feature breakdown for every candidate pair
@@ -4078,6 +4215,9 @@ QUERIES: dict[str, Callable] = {
     "er_one_to_one": q_er_one_to_one,
     "er_adjusted_rand": q_er_adjusted_rand,
     "er_bloom_link": q_er_bloom_link,
+    "er_fs_params": q_er_fs_params,
+    "er_fs_scored": q_er_fs_scored,
+    "text_char_lm": q_text_char_lm,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4168,6 +4308,9 @@ ORACLES: dict[str, str] = {
     "er_one_to_one": SQL_ER_ONE_TO_ONE,
     "er_adjusted_rand": SQL_ER_ADJUSTED_RAND,
     "er_bloom_link": SQL_ER_BLOOM_LINK,
+    "er_fs_params": SQL_ER_FS_PARAMS,
+    "er_fs_scored": SQL_ER_FS_SCORED,
+    "text_char_lm": SQL_TEXT_CHAR_LM,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4252,6 +4395,7 @@ _FRONT = [
     "er_block_tokens", "er_meta_blocking", "corpus_decontaminate",
     "text_repetition", "er_resolve_meta", "dedup_meta_pairs",
     "er_one_to_one", "er_adjusted_rand", "er_bloom_link",
+    "er_fs_params", "er_fs_scored", "text_char_lm",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -4266,4 +4410,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 84
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 87

@@ -1,0 +1,122 @@
+"""Fellegi-Sunter weight estimation (resolution/fs.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def fs_parts(spark):
+    from rosette_elasticsearch_plugin_spark.resolution.fs import (
+        fs_features,
+        fs_params,
+        fs_weight,
+    )
+
+    keyed = spark.createDataFrame(
+        [
+            ("anna berg", "anna berg"),
+            ("ana berg", "ana berg"),
+            ("anna berg ", "anna berg"),  # same key, different node
+            ("karl voss", "karl voss"),
+            ("karla voz", "karla voz"),
+        ],
+        ["node", "key"],
+    )
+    blocks = spark.createDataFrame(
+        [
+            ("anna berg", "m:ANBR"),
+            ("ana berg", "m:ANBR"),
+            ("anna berg ", "m:ANBR"),
+            ("karl voss", "m:KRLF"),
+            ("karla voz", "m:KRLF"),
+        ],
+        ["node", "block_key"],
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("ana berg", "anna berg"),
+            ("anna berg", "anna berg "),
+            ("karl voss", "karla voz"),
+            ("anna berg", "karl voss"),
+        ],
+        ["node_a", "node_b"],
+    )
+    labeled = spark.createDataFrame(
+        [
+            ("ana berg", "anna berg", True),
+            ("anna berg", "anna berg ", True),
+            ("karl voss", "karla voz", False),
+            ("anna berg", "karl voss", False),
+        ],
+        ["node_a", "node_b", "is_match"],
+    )
+    feats = fs_features(pairs, keyed, blocks)
+    params = fs_params(feats, labeled)
+    return feats, params, fs_weight(feats, params)
+
+
+def test_fs_features_flags(fs_parts):
+    feats, _, _ = fs_parts
+    rows = {(r.node_a, r.node_b): r for r in feats.collect()}
+    exact = rows[("anna berg", "anna berg ")]
+    assert exact.f_exact and exact.f_phon and exact.f_jac and exact.f_lev
+    typo = rows[("ana berg", "anna berg")]
+    # jaccard: {ana,berg} vs {anna,berg} -> 1/3 < 0.5, so f_jac is off
+    assert not typo.f_exact and typo.f_phon and typo.f_lev
+    assert not typo.f_jac
+    cross = rows[("anna berg", "karl voss")]
+    assert not cross.f_exact and not cross.f_jac
+
+
+def test_fs_params_laplace_bounds(fs_parts):
+    from rosette_elasticsearch_plugin_spark.resolution.fs import FS_FEATURES
+
+    _, params, _ = fs_parts
+    row = params.collect()[0]
+    assert row.n_match == 2 and row.n_non == 2
+    for f in FS_FEATURES:
+        for p in (row["m_" + f], row["u_" + f]):
+            assert 0.0 < p < 1.0
+
+
+def test_fs_weight_orders_matches_above_nonmatches(fs_parts):
+    _, _, weighted = fs_parts
+    w = {(r.node_a, r.node_b): r.fs_weight for r in weighted.collect()}
+    assert w[("anna berg", "anna berg ")] > w[("anna berg", "karl voss")]
+    assert w[("ana berg", "anna berg")] > w[("anna berg", "karl voss")]
+
+
+def test_fs_weight_agreement_monotone(spark):
+    """Flipping any single feature from disagree to agree raises the
+    weight whenever m > u for that feature (true on the fixture)."""
+    from rosette_elasticsearch_plugin_spark.resolution.fs import (
+        FS_FEATURES,
+        fs_weight,
+    )
+
+    base = {f: False for f in FS_FEATURES}
+    rows = [("x", "y%d" % i, *[(j <= i) for j in range(4)]) for i in range(5)]
+    feats = spark.createDataFrame(
+        rows, ["node_a", "node_b", *FS_FEATURES]
+    )
+    params = spark.createDataFrame(
+        [(10, 100, 0.9, 0.1, 0.8, 0.2, 0.7, 0.1, 0.6, 0.05)],
+        [
+            "n_match",
+            "n_non",
+            "m_f_exact",
+            "u_f_exact",
+            "m_f_phon",
+            "u_f_phon",
+            "m_f_jac",
+            "u_f_jac",
+            "m_f_lev",
+            "u_f_lev",
+        ],
+    )
+    got = {
+        r.node_b: r.fs_weight for r in fs_weight(feats, params).collect()
+    }
+    ordered = [got["y%d" % i] for i in range(5)]
+    assert ordered == sorted(ordered)
+    assert ordered[0] < 0 < ordered[-1]
