@@ -2881,6 +2881,64 @@ SQL_ER_FS_PARAMS = _sql_er_fs_params()
 SQL_ER_FS_SCORED = _sql_er_fs_scored()
 
 
+# Weak-link cluster repair (resolution/clustering.cluster_repair):
+# nodes whose best incident match score stays below tau_repair are
+# split out and the strong subgraph is re-clustered — the audit step
+# that keeps one noisy bridge edge from absorbing a whole entity. ----------
+REPAIR_TAU = 0.8
+
+
+def q_er_cluster_repair(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.clustering import cluster_repair
+    from .er_pipeline import ERConfig, name_match_edges
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    names, edges = name_match_edges(distinct_mention_names(docs), cfg)
+    return cluster_repair(names, edges, REPAIR_TAU, max_iter=cfg.cc_max_iter)
+
+
+def _sql_er_cluster_repair() -> str:
+    from .er_oracle import cluster_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    tau = cfg.scoring.threshold
+    return f"""
+with recursive {cluster_ctes(names)},
+strength as (select node, max(score) as s from (
+    select node_a as node, score from scored where score >= {tau}
+    union all
+    select node_b as node, score from scored where score >= {tau})
+  group by node),
+strong as (select node from strength where s >= {REPAIR_TAU}),
+redges as materialized (
+  select node_a, node_b from medges
+  where node_a in (select node from strong)
+    and node_b in (select node from strong)),
+reedges as materialized (
+  select node_a as u, node_b as v from redges
+  union all select node_b as u, node_a as v from redges),
+rreach(u, v) as (select u, v from reedges
+                 union
+                 select r.u, e.v from rreach r join reedges e on r.v = e.u),
+rclusters as (select n.node,
+                     least(n.node, coalesce(min(r.v), n.node)) as cluster
+              from names n left join rreach r on r.u = n.node
+              group by n.node)
+select c.node, c.cluster as cluster_before, rc.cluster as cluster_after,
+       (c.cluster <> rc.cluster) as moved
+from clusters c join rclusters rc using (node)
+"""
+
+
+SQL_ER_CLUSTER_REPAIR = _sql_er_cluster_repair()
+
+
 # Match explainability: per-feature breakdown for every candidate pair
 # of the fixture universe — jw / lev / token-jaccard / coverage plus the
 # contradiction and expansion gates beside the final score.  The Spark
@@ -4218,6 +4276,7 @@ QUERIES: dict[str, Callable] = {
     "er_fs_params": q_er_fs_params,
     "er_fs_scored": q_er_fs_scored,
     "text_char_lm": q_text_char_lm,
+    "er_cluster_repair": q_er_cluster_repair,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4311,6 +4370,7 @@ ORACLES: dict[str, str] = {
     "er_fs_params": SQL_ER_FS_PARAMS,
     "er_fs_scored": SQL_ER_FS_SCORED,
     "text_char_lm": SQL_TEXT_CHAR_LM,
+    "er_cluster_repair": SQL_ER_CLUSTER_REPAIR,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4396,6 +4456,7 @@ _FRONT = [
     "text_repetition", "er_resolve_meta", "dedup_meta_pairs",
     "er_one_to_one", "er_adjusted_rand", "er_bloom_link",
     "er_fs_params", "er_fs_scored", "text_char_lm",
+    "er_cluster_repair",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -4410,4 +4471,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 87
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 88

@@ -167,3 +167,58 @@ def assign_cluster_ids(
         name_clusters.withColumnRenamed("node", name_col), name_col, "left"
     )
     return joined.withColumn("cluster", F.coalesce("cluster", F.col(name_col)))
+
+
+def cluster_repair(
+    names: DataFrame,
+    edges: DataFrame,
+    tau_repair: float,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Weak-link cluster repair: re-cluster after dropping nodes whose
+    strongest incident edge is below ``tau_repair``.
+
+    Transitive closure merges everything a chain of barely-over-
+    threshold edges connects; one noisy bridge absorbs a whole entity.
+    The standard post-processing is to audit each node's attachment
+    strength (max incident match score) and split out nodes that never
+    scored a confident match — they keep their own singleton cluster,
+    and the remaining subgraph is re-clustered so components severed by
+    the removal genuinely separate.
+
+    Returns (node, cluster_before, cluster_after, moved).
+
+    Scale shape: strength is one map-side-combinable aggregate over the
+    edge list (union of both endpoints); the re-clustering runs the
+    same hash-min CC on the filtered edges — strictly fewer edges than
+    the first pass.  Nothing touches the corpus.
+    """
+    edges = edges.select("node_a", "node_b", "score").localCheckpoint(
+        eager=False
+    )
+    before = connected_components(edges, nodes=names, max_iter=max_iter)
+    strength = (
+        edges.select(F.col("node_a").alias("node"), "score")
+        .unionByName(edges.select(F.col("node_b").alias("node"), "score"))
+        .groupBy("node")
+        .agg(F.max("score").alias("s"))
+    )
+    strong = strength.where(F.col("s") >= tau_repair).select("node")
+    sedges = edges.join(
+        strong.withColumnRenamed("node", "node_a"), "node_a", "left_semi"
+    ).join(strong.withColumnRenamed("node", "node_b"), "node_b", "left_semi")
+    after = connected_components(
+        sedges, nodes=names, max_iter=max_iter
+    ).withColumnRenamed("cluster", "cluster_after")
+    return (
+        before.withColumnRenamed("cluster", "cluster_before")
+        .join(after, "node")
+        .select(
+            "node",
+            "cluster_before",
+            "cluster_after",
+            (F.col("cluster_before") != F.col("cluster_after")).alias(
+                "moved"
+            ),
+        )
+    )

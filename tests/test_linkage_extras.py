@@ -200,3 +200,61 @@ def test_adjusted_rand_matches_sklearn_formula(spark):
     # exp=1.6, max=4 -> ari=(2-1.6)/(4-1.6)=1/6
     assert row.n_pairs == 10
     assert row.ari == pytest.approx(1 / 6, abs=1e-6)
+
+
+# ------------------------------------------------------------ cluster repair
+def test_cluster_repair_splits_weak_bridge(spark):
+    """A chain a-b-c where b attaches weakly: repair splits b out and
+    a/c separate (the bridge was b), while a strong pair stays merged."""
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        cluster_repair,
+    )
+
+    names = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",)], ["node"]
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0.72),  # weak: b's best is 0.72 < 0.8
+            ("b", "c", 0.71),
+            ("x", "y", 0.95),  # strong pair survives
+        ],
+        ["node_a", "node_b", "score"],
+    )
+    got = {
+        r.node: r for r in cluster_repair(names, edges, 0.8).collect()
+    }
+    # before: {a,b,c} one cluster, {x,y} one cluster
+    assert got["a"].cluster_before == got["c"].cluster_before == "a"
+    # after: a and c both had ONLY weak edges -> all three singletons
+    assert got["a"].cluster_after == "a"
+    assert got["b"].cluster_after == "b"
+    assert got["c"].cluster_after == "c"
+    assert got["b"].moved and got["c"].moved
+    assert got["x"].cluster_after == got["y"].cluster_after == "x"
+    assert not got["x"].moved
+
+
+def test_cluster_repair_keeps_strong_core(spark):
+    """Removing a weak satellite must not split the strong core."""
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        cluster_repair,
+    )
+
+    names = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("w",)], ["node"]
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),
+            ("b", "c", 0.85),
+            ("c", "w", 0.71),  # w weakly attached to the strong core
+        ],
+        ["node_a", "node_b", "score"],
+    )
+    got = {
+        r.node: r for r in cluster_repair(names, edges, 0.8).collect()
+    }
+    assert got["a"].cluster_after == got["b"].cluster_after == "a"
+    assert got["c"].cluster_after == "a"
+    assert got["w"].cluster_after == "w" and got["w"].moved
