@@ -196,6 +196,17 @@ def run_bench() -> None:
             t0 = time.time()
             _force(thunk())
             trials.setdefault(name, []).append(round(time.time() - t0, 3))
+    # adaptive retry: if a query's best and worst trials disagree by
+    # >2× the whole measurement window likely sat in one of this VM's
+    # noisy-neighbor episodes (identical code measures bimodally, e.g.
+    # 4.3 s / 13.5 s back-to-back) — one extra trial per such query
+    # recovers the capacity number without inflating the steady case.
+    queries_now = _headline_queries(spark, SF_DIR, cc_stats)
+    for name, ts in trials.items():
+        if len(ts) >= 2 and max(ts) > 2 * min(ts):
+            t0 = time.time()
+            _force(queries_now[name]())
+            ts.append(round(time.time() - t0, 3))
     timings = {name: min(ts) for name, ts in trials.items()}
     total = round(sum(timings.values()), 3)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()

@@ -1233,6 +1233,123 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {ANN_K}
 SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
 
 
+# Recall report: both approximate ANN paths audited against the exact
+# brute-force top-k in one query — the acceptance gate a production
+# index rollout runs before switching query traffic.  recall@k =
+# |approx ∩ brute| / |brute| over the shared query set. --------------------
+def q_ann_recall(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    brute = (
+        ann.brute_topk(e, k=ANN_K, n_queries=ANN_QUERIES)
+        .select("query_id", "neighbor_id")
+        # truth feeds both hit joins and the denominator aggregate
+        .localCheckpoint(eager=False)
+    )
+    lsh = ann.lsh_topk(e, k=ANN_K).where(
+        F.col("query_id") < ANN_QUERIES
+    ).select("query_id", "neighbor_id")
+    ivf = ann.ivf_topk(e, k=ANN_K, n_queries=ANN_QUERIES).select(
+        "query_id", "neighbor_id"
+    )
+    nt = brute.agg(F.count("*").cast("long").alias("n_truth"))
+    out = None
+    for meth, df in (("ivf", ivf), ("lsh", lsh)):
+        hits = brute.join(df, ["query_id", "neighbor_id"]).agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        row = hits.crossJoin(F.broadcast(nt)).select(
+            F.lit(meth).alias("method"),
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_ann_recall() -> str:
+    """Self-contained mirror: the brute / banded-LSH / IVF rankings are
+    restated with prefixed CTE names (the per-path builders each emit a
+    full statement and share names like ``vecs``/``scored``)."""
+    tables = ann.banded_hyperplanes()
+    keys = ann.band_keys_sql("embedding", tables)
+    h = H.h56_sql("cast(vec_id as varchar)")
+    bcos = ann.cosine_sql("q.v", "c.v")
+    lcos = ann.cosine_sql("va.v", "vb.v")
+    ccos = ann.cosine_sql("v.v", "c.cv")
+    icos = ann.cosine_sql("q.v", "n.v")
+    return f"""
+with vecs as (select vec_id as vid, embedding as v from embeddings),
+bscored as (select q.vid as query_id, c.vid as neighbor_id,
+                   {bcos} as cosine
+            from vecs q join vecs c on q.vid <> c.vid
+            where q.vid < {ANN_QUERIES}),
+btop as (select query_id, neighbor_id from (
+           select query_id, neighbor_id,
+                  row_number() over (partition by query_id
+                       order by cosine desc, neighbor_id asc) as rank
+           from bscored) where rank <= {ANN_K}),
+keyed as (select vec_id as node, unnest({keys}) as block_key
+          from embeddings),
+sizes as (select block_key, count(*) as n from keyed group by block_key),
+cand as (select distinct node_a, node_b from (
+         select a.node as node_a, b.node as node_b
+         from keyed a join keyed b using (block_key)
+                      join sizes s using (block_key)
+         where s.n <= {ann.ANN_MAX_BUCKET} and a.node < b.node)),
+lsym as (select node_a, node_b from cand
+         union all select node_b, node_a from cand),
+lscored as (select node_a as query_id, node_b as neighbor_id,
+                   {lcos} as cosine
+            from lsym join vecs va on va.vid = lsym.node_a
+                      join vecs vb on vb.vid = lsym.node_b),
+ltop as (select query_id, neighbor_id from (
+           select query_id, neighbor_id,
+                  row_number() over (partition by query_id
+                       order by cosine desc, neighbor_id asc) as rank
+           from lscored) where rank <= {ANN_K}
+         and query_id < {ANN_QUERIES}),
+cent as (select vec_id as cid, embedding::double[] as cv from embeddings
+         order by {h} asc, vec_id asc limit {ann.IVF_NLIST}),
+cscored as (select v.vid, c.cid,
+            row_number() over (partition by v.vid
+                 order by {ccos} desc, c.cid asc) as rn
+            from vecs v cross join cent c),
+asg as (select vid, cid as cell from cscored where rn = 1),
+probes as (select vid as query_id, cid as cell from cscored
+           where vid < {ANN_QUERIES} and rn <= {ann.IVF_NPROBE}),
+iscored as (select p.query_id, a.vid as neighbor_id, {icos} as cosine
+            from probes p join asg a on p.cell = a.cell
+                 join vecs q on q.vid = p.query_id
+                 join vecs n on n.vid = a.vid
+            where p.query_id <> a.vid),
+itop as (select query_id, neighbor_id from (
+           select query_id, neighbor_id,
+                  row_number() over (partition by query_id
+                       order by cosine desc, neighbor_id asc) as rank
+           from iscored) where rank <= {ANN_K}),
+nt as (select cast(count(*) as bigint) as n_truth from btop)
+select 'ivf' as method, n_truth,
+       (select cast(count(*) as bigint) from btop join itop
+        using (query_id, neighbor_id)) as n_hit,
+       round((select count(*) from btop join itop
+              using (query_id, neighbor_id)) * 1.0 / n_truth, 6) as recall
+from nt
+union all
+select 'lsh' as method, n_truth,
+       (select cast(count(*) as bigint) from btop join ltop
+        using (query_id, neighbor_id)) as n_hit,
+       round((select count(*) from btop join ltop
+              using (query_id, neighbor_id)) * 1.0 / n_truth, 6) as recall
+from nt
+"""
+
+
+SQL_ANN_RECALL = _sql_ann_recall()
+
+
 # --- P6 full projection: entity rows with head mention, count, offsets,
 # conditional translation (flattened so the value-hash compare is exact) --------
 _ENT_DOCS = [
@@ -4277,6 +4394,7 @@ QUERIES: dict[str, Callable] = {
     "er_fs_scored": q_er_fs_scored,
     "text_char_lm": q_text_char_lm,
     "er_cluster_repair": q_er_cluster_repair,
+    "ann_recall": q_ann_recall,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4371,6 +4489,7 @@ ORACLES: dict[str, str] = {
     "er_fs_scored": SQL_ER_FS_SCORED,
     "text_char_lm": SQL_TEXT_CHAR_LM,
     "er_cluster_repair": SQL_ER_CLUSTER_REPAIR,
+    "ann_recall": SQL_ANN_RECALL,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4456,7 +4575,7 @@ _FRONT = [
     "text_repetition", "er_resolve_meta", "dedup_meta_pairs",
     "er_one_to_one", "er_adjusted_rand", "er_bloom_link",
     "er_fs_params", "er_fs_scored", "text_char_lm",
-    "er_cluster_repair",
+    "er_cluster_repair", "ann_recall",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -4471,4 +4590,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 88
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 89
