@@ -456,3 +456,140 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_hamming_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- incremental near-duplicate detection ------------------------------------
+# The dedup analogue of plans/incremental.py: the banded-MinHash index
+# (doc_id, band_key) is PERSISTED between batches; a new batch runs the
+# shingle→MinHash→band kernels over its OWN documents only, and
+# candidate pairs are generated from the delta keys joined against the
+# full index — old×old buckets are never re-paired.  Verification
+# shingles only the documents appearing in some new candidate pair.
+#
+# Equivalence contract (proved by the full-recompute oracle): with
+# MONOTONE doc ids (every new id sorts after every prior id — the shape
+# of any append-only ingest key), the prior batch's verified pairs plus
+# this function's output equal the full-corpus near_dup_pairs result
+# exactly.  Monotonicity is what keeps over-cap star buckets stable:
+# the min-id representative of a bucket never changes when ids only
+# grow, so prior star pairs stay valid.  (A new doc CAN become the rep
+# of an all-new bucket — handled below.)
+
+def extend_band_index(
+    prior_index: DataFrame | None,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, band_key) over prior ∪ new docs; kernels on new only."""
+    delta = band_key_table(new_docs, text_col, bands, rows, seed)
+    if prior_index is None:
+        return delta
+    return prior_index.select("doc_id", "band_key").unionByName(delta)
+
+
+def incremental_near_dup_pairs(
+    docs: DataFrame,
+    prior_index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = DEDUP_MAX_BUCKET,
+) -> DataFrame:
+    """Verified near-dup pairs involving ≥1 new document.
+
+    docs: the full corpus (consulted only to shingle the candidate
+    docs at verification time — in production, a point lookup by id).
+    prior_index: committed (doc_id, band_key) table of prior batches.
+    """
+    # one shared delta feeds both the index union and the pair joins
+    # (band_key_table checkpoints lazily, so the MinHash kernel runs
+    # once however many consumers read it)
+    delta = band_key_table(new_docs, text_col, bands, rows, seed)
+    index = (
+        prior_index.select("doc_id", "band_key")
+        .unionByName(delta)
+        .localCheckpoint(eager=False)
+    )
+    sizes = index.groupBy("band_key").agg(F.count("*").alias("__n"))
+    small_keys = delta.join(sizes, "band_key").where(
+        F.col("__n") <= max_bucket
+    )
+    # small buckets: delta members × full bucket (both orders collapse
+    # under the a<b normalization; new×new pairs arise from delta×delta)
+    small = (
+        small_keys.select("band_key", F.col("doc_id").alias("d"))
+        .join(index.withColumnRenamed("doc_id", "o"), "band_key")
+        .where(F.col("d") != F.col("o"))
+        .select(
+            F.least("d", "o").alias("doc_id_a"),
+            F.greatest("d", "o").alias("doc_id_b"),
+        )
+    )
+    # over-cap buckets: star to the FULL bucket's min-id rep.  Pairs
+    # touching the delta: (rep, m) for new members m, plus — when the
+    # rep itself is new (an all-new bucket under monotone ids) — the
+    # rep against every member.
+    reps = index.groupBy("band_key").agg(F.min("doc_id").alias("rep"))
+    hot = sizes.where(F.col("__n") > max_bucket).join(reps, "band_key")
+    star_new_member = (
+        delta.join(hot, "band_key")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.least("doc_id", "rep").alias("doc_id_a"),
+            F.greatest("doc_id", "rep").alias("doc_id_b"),
+        )
+    )
+    new_ids = new_docs.select("doc_id").distinct()
+    star_new_rep = (
+        hot.join(
+            new_ids.withColumnRenamed("doc_id", "rep"), "rep", "left_semi"
+        )
+        .join(index.withColumnRenamed("doc_id", "m"), "band_key")
+        .where(F.col("m") != F.col("rep"))
+        .select(
+            F.least("m", "rep").alias("doc_id_a"),
+            F.greatest("m", "rep").alias("doc_id_b"),
+        )
+    )
+    cands = (
+        small.unionByName(star_new_member)
+        .unionByName(star_new_rep)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # candidate-restricted verification (the incremental path is BUILT
+    # for the regime where candidates ≪ corpus, so always restrict)
+    cand_ids = (
+        cands.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", token_shingles_col(F.col(text_col)).alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
+    j = cands.join(
+        sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
+            "__sh", "sh_a"
+        ),
+        "doc_id_a",
+    ).join(
+        sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+            "__sh", "sh_b"
+        ),
+        "doc_id_b",
+    )
+    return j.select(
+        "doc_id_a",
+        "doc_id_b",
+        ngram_jaccard_from_arrays_col(F.col("sh_a"), F.col("sh_b")).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)

@@ -734,6 +734,38 @@ select doc_id_a, doc_id_b, jaccard from scored where jaccard >= 0.8
 SQL_DEDUP_NEAR_MINHASH = _sql_dedup_near_minhash()
 
 
+# Incremental near-dup detection (dedup.incremental_near_dup_pairs):
+# the banded-MinHash index persists between batches; batch 2 (the
+# re-crawled +1M-id copies — monotone ids, the append-only ingest
+# shape) runs kernels over its own docs only and pairs its delta keys
+# against the full index.  prior-batch pairs ∪ incremental pairs must
+# equal the FULL-corpus recompute — the oracle is literally
+# SQL_DEDUP_NEAR_MINHASH, so hash-equality proves incremental ≡ batch.
+# (Caveat, documented in dedup.py: a bucket crossing the hot-bucket cap
+# between batches would leave prior all-pairs beside full-run star
+# pairs — verified-true pairs, a superset, same as er_retract's
+# cap-crossing note; the cap is 1000 and fixture buckets are ≤ dozens.)
+def q_dedup_incremental(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir).localCheckpoint(eager=False)
+    batch1 = d.where(F.col("doc_id") < 1000000)
+    batch2 = d.where(F.col("doc_id") >= 1000000)
+    prior_pairs = dedup.near_dup_pairs(
+        batch1, bands=DEDUP_BANDS, rows=DEDUP_ROWS, threshold=0.8
+    )
+    prior_index = dedup.extend_band_index(
+        None, batch1, bands=DEDUP_BANDS, rows=DEDUP_ROWS
+    )
+    inc = dedup.incremental_near_dup_pairs(
+        d, prior_index, batch2,
+        bands=DEDUP_BANDS, rows=DEDUP_ROWS, threshold=0.8,
+    )
+    # old×old (prior) and ≥1-new (incremental) pair spaces are disjoint
+    return prior_pairs.unionByName(inc)
+
+
+SQL_DEDUP_INCREMENTAL = SQL_DEDUP_NEAR_MINHASH
+
+
 # --- canonical-document selection: the step a training-data pipeline
 # runs AFTER near-dup detection — group near-dups transitively
 # (connected components over the verified pair edges) and keep ONE
@@ -4395,6 +4427,7 @@ QUERIES: dict[str, Callable] = {
     "text_char_lm": q_text_char_lm,
     "er_cluster_repair": q_er_cluster_repair,
     "ann_recall": q_ann_recall,
+    "dedup_incremental": q_dedup_incremental,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4490,6 +4523,7 @@ ORACLES: dict[str, str] = {
     "text_char_lm": SQL_TEXT_CHAR_LM,
     "er_cluster_repair": SQL_ER_CLUSTER_REPAIR,
     "ann_recall": SQL_ANN_RECALL,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4575,7 +4609,7 @@ _FRONT = [
     "text_repetition", "er_resolve_meta", "dedup_meta_pairs",
     "er_one_to_one", "er_adjusted_rand", "er_bloom_link",
     "er_fs_params", "er_fs_scored", "text_char_lm",
-    "er_cluster_repair", "ann_recall",
+    "er_cluster_repair", "ann_recall", "dedup_incremental",
 ]
 _BACK = [
     "er_resume_pipeline", "er_incremental", "er_incremental_indexed",
@@ -4590,4 +4624,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 89
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 90
