@@ -766,6 +766,86 @@ def q_dedup_incremental(spark, sf_dir):
 SQL_DEDUP_INCREMENTAL = SQL_DEDUP_NEAR_MINHASH
 
 
+# MinHash estimator audit: for every LSH candidate pair, the signature-
+# agreement estimate of Jaccard (fraction of equal slots — the unbiased
+# MinHash estimator) beside the exact shingle Jaccard and the absolute
+# error.  The table that justifies the (bands, rows) budget: estimator
+# variance shrinks as 1/num_perm, and this query measures it on the
+# corpus instead of assuming it. ---------------------------------------------
+def q_dedup_minhash_est(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir).localCheckpoint(eager=False)
+    scored = dedup.candidate_jaccard_scores(
+        d, bands=DEDUP_BANDS, rows=DEDUP_ROWS
+    )
+    sigs = dedup.minhash_signatures(
+        d, num_perm=DEDUP_BANDS * DEDUP_ROWS
+    ).localCheckpoint(eager=False)
+    j = scored.join(
+        sigs.select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("minhash_sig").alias("sig_a"),
+        ),
+        "doc_id_a",
+    ).join(
+        sigs.select(
+            F.col("doc_id").alias("doc_id_b"),
+            F.col("minhash_sig").alias("sig_b"),
+        ),
+        "doc_id_b",
+    )
+    n_perm = DEDUP_BANDS * DEDUP_ROWS
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = F.round(agree.cast("double") / n_perm, 6)
+    jac = F.round(F.col("jaccard"), 6)
+    return j.select(
+        "doc_id_a",
+        "doc_id_b",
+        est.alias("est_jaccard"),
+        jac.alias("jaccard"),
+        F.round(F.abs(est - jac), 6).alias("abs_err"),
+    )
+
+
+def _sql_dedup_minhash_est() -> str:
+    n_perm = DEDUP_BANDS * DEDUP_ROWS
+    params = H.minhash_params(n_perm)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    jac = dedup.ngram_jaccard_from_arrays_sql("sa.sh", "sb.sh")
+    agree = (
+        f"list_sum(list_transform(generate_series(1, {n_perm}), "
+        f"i -> case when ga.sig[i] = gb.sig[i] then 1 else 0 end))"
+    )
+    return f"""
+with d as materialized ({_DOCS_WITH_DUPS_SQL}),
+sigs as materialized (select doc_id, {sig} as sig from d),
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
+{_lsh_cand_ctes()},
+sh as materialized (select doc_id, {dedup.token_shingles_sql('text')} as sh from d),
+scored as (select doc_id_a, doc_id_b, {jac} as jaccard
+           from cand join sh sa on sa.doc_id = cand.doc_id_a
+                     join sh sb on sb.doc_id = cand.doc_id_b)
+select s.doc_id_a, s.doc_id_b,
+       round({agree} / {n_perm}.0, 6) as est_jaccard,
+       round(s.jaccard, 6) as jaccard,
+       round(abs(round({agree} / {n_perm}.0, 6) - round(s.jaccard, 6)), 6)
+         as abs_err
+from scored s join sigs ga on ga.doc_id = s.doc_id_a
+              join sigs gb on gb.doc_id = s.doc_id_b
+"""
+
+
+SQL_DEDUP_MINHASH_EST = _sql_dedup_minhash_est()
+
+
 # --- canonical-document selection: the step a training-data pipeline
 # runs AFTER near-dup detection — group near-dups transitively
 # (connected components over the verified pair edges) and keep ONE
@@ -2464,6 +2544,100 @@ def q_er_blocking_recall(spark, sf_dir):
             6,
         ),
     )
+
+
+# Per-family blocking recall: pairs-completeness split by blocking
+# family (x: exact key, m: Double Metaphone, h: MinHash band) — the
+# diagnostic that says which family is earning its shuffle and which
+# true pairs only one family catches, before any threshold tuning. --------
+def q_er_block_family_recall(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from .er_pipeline import ERConfig, er_key_col
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    names = distinct_mention_names(docs).localCheckpoint(eager=False)
+    keyed = names.select("node", er_key_col(F.col("node")).alias("key"))
+    blocks = all_blocks(keyed, ERConfig().blocking).localCheckpoint(
+        eager=False
+    )
+    tn = truth.select("entity_label", "normalized").distinct()
+    a, b = tn.alias("a"), tn.alias("b")
+    tpairs = (
+        a.join(
+            b,
+            (F.col("a.entity_label") == F.col("b.entity_label"))
+            & (F.col("a.normalized") < F.col("b.normalized")),
+        )
+        .select(
+            F.col("a.normalized").alias("node_a"),
+            F.col("b.normalized").alias("node_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ba = blocks.select(F.col("node").alias("node_a"), "block_key")
+    bb = blocks.select(F.col("node").alias("node_b"), "block_key")
+    fam = (
+        tpairs.join(ba, "node_a")
+        .join(bb, ["node_b", "block_key"])
+        .select(
+            "node_a",
+            "node_b",
+            F.substring("block_key", 1, 1).alias("family"),
+        )
+        .distinct()
+    )
+    nt = tpairs.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    return (
+        fam.groupBy("family")
+        .agg(F.count("*").cast("long").alias("n_blocked_pairs"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "family",
+            "n_true_pairs",
+            "n_blocked_pairs",
+            F.round(
+                F.col("n_blocked_pairs")
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                6,
+            ).alias("pairs_completeness"),
+        )
+    )
+
+
+def _sql_er_block_family_recall() -> str:
+    from .er_oracle import blocks_ctes
+
+    names, truth = _name_f1_fixture()
+    tn = sorted({(e, n) for _m, e, n in truth})
+    tn_vals = ", ".join(
+        "('" + e.replace("'", "''") + "', '" + n.replace("'", "''") + "')"
+        for e, n in tn
+    )
+    return f"""
+with {blocks_ctes(names)},
+tn(entity_label, normalized) as (values {tn_vals}),
+tpairs as materialized (select distinct a.normalized as node_a, b.normalized as node_b
+           from tn a join tn b
+           on a.entity_label = b.entity_label and a.normalized < b.normalized),
+fam as (select distinct p.node_a, p.node_b,
+                        substring(ba.block_key, 1, 1) as family
+        from tpairs p join blocks ba on ba.node = p.node_a
+                      join blocks bb on bb.node = p.node_b
+                                    and bb.block_key = ba.block_key),
+nt as (select cast(count(*) as bigint) as n_true_pairs from tpairs)
+select family, n_true_pairs,
+       cast(count(*) as bigint) as n_blocked_pairs,
+       round(count(*) / greatest(n_true_pairs, 1), 6) as pairs_completeness
+from fam cross join nt
+group by family, n_true_pairs
+"""
+
+
+SQL_ER_BLOCK_FAMILY_RECALL = _sql_er_block_family_recall()
 
 
 def _sql_er_blocking_recall() -> str:
@@ -4428,6 +4602,8 @@ QUERIES: dict[str, Callable] = {
     "er_cluster_repair": q_er_cluster_repair,
     "ann_recall": q_ann_recall,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_minhash_est": q_dedup_minhash_est,
+    "er_block_family_recall": q_er_block_family_recall,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4524,6 +4700,8 @@ ORACLES: dict[str, str] = {
     "er_cluster_repair": SQL_ER_CLUSTER_REPAIR,
     "ann_recall": SQL_ANN_RECALL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_minhash_est": SQL_DEDUP_MINHASH_EST,
+    "er_block_family_recall": SQL_ER_BLOCK_FAMILY_RECALL,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4636,4 +4814,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 90
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 92
