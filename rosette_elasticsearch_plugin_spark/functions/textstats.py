@@ -337,3 +337,72 @@ select {id_col}, n_bigrams,
        round(pow(2.0, -(round(sum_u / n_bigrams / 1e6, 6))), 6) as ppl
 from agg
 """
+
+
+# --- character-entropy quality signal ----------------------------------------
+# Shannon entropy of a document's character distribution: near-zero for
+# degenerate repetition ("aaaa…"), ~4.1 bits for fluent English, higher
+# for uniform noise — the third cheap quality axis beside the LM score
+# (fluency) and the repetition fraction (structure).  One explode + one
+# groupBy per doc; per-character terms are quantized to integer
+# nano-units before the per-doc sum, so both engines aggregate exactly
+# the same values.
+
+def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_chars, entropy_bits) per non-empty document."""
+    from pyspark.sql import functions as F
+
+    src = docs.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("__t"),
+    )
+    chars = src.select(
+        id_col,
+        F.length("__t").alias("__n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__t")),
+                lambda i: F.col("__t").substr(i, F.lit(1)),
+            )
+        ).alias("__c"),
+    )
+    counts = chars.groupBy(id_col, "__n", "__c").agg(
+        F.count("*").alias("__cnt")
+    )
+    # -p·log2(p) per character, quantized to nano-units (exact sum)
+    p = F.col("__cnt").cast("double") / F.col("__n").cast("double")
+    term = F.round(-p * F.log2(p) * 1e9).cast("long")
+    agg = counts.groupBy(id_col, "__n").agg(F.sum(term).alias("__sum"))
+    return agg.select(
+        id_col,
+        F.col("__n").cast("long").alias("n_chars"),
+        F.round(F.col("__sum") / 1e9, 6).alias("entropy_bits"),
+    )
+
+
+def char_entropy_sql(docs_from: str, id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB mirror of char_entropy."""
+    return f"""
+with src as (
+  select {id_col}, lower({text_col}) as t
+  from {docs_from}
+  where {text_col} is not null and length({text_col}) > 0),
+chars as (
+  select {id_col}, length(t) as n,
+         unnest(list_transform(generate_series(1, length(t)),
+                               i -> t[i])) as c
+  from src),
+counts as (select {id_col}, n, c, count(*) as cnt
+           from chars group by {id_col}, n, c),
+agg as (select {id_col}, n,
+               sum(cast(round(-(cnt / cast(n as double))
+                   * log2(cnt / cast(n as double)) * 1e9) as bigint))
+                 as s
+        from counts group by {id_col}, n)
+select {id_col}, cast(n as bigint) as n_chars,
+       round(s / 1e9, 6) as entropy_bits
+from agg
+"""

@@ -1765,6 +1765,64 @@ def _sql_text_char_lm() -> str:
 SQL_TEXT_CHAR_LM = _sql_text_char_lm()
 
 
+def q_text_entropy(spark, sf_dir):
+    """Per-document character-entropy quality signal
+    (functions/textstats.char_entropy)."""
+    from ..functions.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def _sql_text_entropy() -> str:
+    from ..functions.textstats import char_entropy_sql
+
+    return char_entropy_sql("documents")
+
+
+SQL_TEXT_ENTROPY = _sql_text_entropy()
+
+
+def q_corpus_lang_profile(spark, sf_dir):
+    """Corpus profile: document count, corpus share, and mean length by
+    (lang, source) — the first table a pipeline owner reads before
+    setting per-language sampling rates (see sample_stratified).  Pure
+    map-side-combinable aggregates; the total rides a broadcast row."""
+    d = _docs(spark, sf_dir)
+    tot = d.agg(F.count("*").cast("double").alias("__tot"))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("n_docs") / F.col("__tot"), 6).alias("share"),
+            F.round(
+                F.col("total_chars")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+SQL_CORPUS_LANG_PROFILE = """
+with tot as (select cast(count(*) as double) as t from documents)
+select lang, source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       round(count(*) / t, 6) as share,
+       round(sum(n_chars) / cast(count(*) as double), 6) as avg_chars
+from documents cross join tot
+group by lang, source, t
+"""
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TS.quality_score_col(F.col("text")).alias("quality")
@@ -4604,6 +4662,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_minhash_est": q_dedup_minhash_est,
     "er_block_family_recall": q_er_block_family_recall,
+    "text_entropy": q_text_entropy,
+    "corpus_lang_profile": q_corpus_lang_profile,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4702,6 +4762,8 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_minhash_est": SQL_DEDUP_MINHASH_EST,
     "er_block_family_recall": SQL_ER_BLOCK_FAMILY_RECALL,
+    "text_entropy": SQL_TEXT_ENTROPY,
+    "corpus_lang_profile": SQL_CORPUS_LANG_PROFILE,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4814,4 +4876,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 92
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 94
