@@ -56,3 +56,45 @@ def test_char_lm_null_text_excluded(spark):
     rows = [("a", "hello world"), ("b", None)]
     got, _ = _score(spark, rows)
     assert "b" not in got and "a" in got
+
+
+def test_char_entropy_bounds(spark):
+    from rosette_elasticsearch_plugin_spark.functions.textstats import (
+        char_entropy,
+    )
+
+    rows = [
+        ("uniform", "abcdefgh"),       # 8 distinct chars -> exactly 3 bits
+        ("degenerate", "aaaaaaaa"),    # one char -> 0 bits
+        ("fluent", "the quick brown fox jumps over the lazy dog"),
+        ("empty", ""),                 # excluded
+        ("null", None),                # excluded
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert got["uniform"].entropy_bits == 3.0
+    assert got["degenerate"].entropy_bits == 0.0
+    assert 3.0 < got["fluent"].entropy_bits < 5.0
+    assert "empty" not in got and "null" not in got
+
+
+def test_char_entropy_sql_mirror(spark, duck):
+    from rosette_elasticsearch_plugin_spark.functions.textstats import (
+        char_entropy,
+        char_entropy_sql,
+    )
+
+    rows = [(1, "hello world"), (2, "aAbB xyz !!"), (3, "mississippi")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_bits)
+        for r in char_entropy(docs).collect()
+    }
+    vals = ", ".join("(%d, '%s')" % r for r in rows)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            char_entropy_sql(f"(values {vals}) d(doc_id, text)")
+        ).fetchall()
+    }
+    assert got == want
