@@ -4083,6 +4083,66 @@ def q_stream_incremental_resolve(spark, sf_dir):
 SQL_STREAM_INCREMENTAL_RESOLVE = _sql_er_incremental()
 
 
+# Streaming exact dedup (streaming/dedup.dedup_stream): the dup-seeded
+# corpus streams in as three micro-batches; the keeper state merges
+# per batch with associative sum/min, so the final snapshot equals the
+# batch exact_dedup over the full corpus for ANY split — the oracle is
+# the batch query's SQL over the same dup-seeded input. --------------------
+def q_stream_exact_dedup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.table_io import SnapshotTable
+    from ..streaming.dedup import dedup_stream
+    from ..streaming.ingest import stage_batch_files
+
+    d = _docs_with_dups(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.lit("xx").alias("lang"),
+        F.lit("stream").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        in_dir = os.path.join(root, "in")
+        # splits chosen so the +1M duplicate ids land in a LATER batch
+        # than their originals AND one batch straddles both — the merge
+        # must be split-agnostic either way
+        stage_batch_files(
+            [
+                d.where(F.col("doc_id") < 200),
+                d.where(
+                    (F.col("doc_id") >= 200) & (F.col("doc_id") < 1000200)
+                ),
+                d.where(F.col("doc_id") >= 1000200),
+            ],
+            in_dir,
+        )
+        q = dedup_stream(
+            spark,
+            in_dir,
+            keepers_root=os.path.join(root, "keepers"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        out = SnapshotTable(os.path.join(root, "keepers")).read(spark)
+        return out.select(
+            "text_md5", "n_docs", "keeper_doc_id"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_EXACT_DEDUP = f"""
+with d as ({_DOCS_WITH_DUPS_SQL})
+select md5(text) as text_md5, cast(count(*) as bigint) as n_docs,
+       min(doc_id) as keeper_doc_id
+from d group by md5(text)
+"""
+
+
 # --- CDC continuous resolution (adds AND deletes): name-reference
 # events stream in, a refcounted liveness table decides which names
 # appear (incremental_resolve) and which vanish (retract_names), and
@@ -4664,6 +4724,7 @@ QUERIES: dict[str, Callable] = {
     "er_block_family_recall": q_er_block_family_recall,
     "text_entropy": q_text_entropy,
     "corpus_lang_profile": q_corpus_lang_profile,
+    "stream_exact_dedup": q_stream_exact_dedup,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4764,6 +4825,7 @@ ORACLES: dict[str, str] = {
     "er_block_family_recall": SQL_ER_BLOCK_FAMILY_RECALL,
     "text_entropy": SQL_TEXT_ENTROPY,
     "corpus_lang_profile": SQL_CORPUS_LANG_PROFILE,
+    "stream_exact_dedup": SQL_STREAM_EXACT_DEDUP,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4876,4 +4938,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 94
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 95

@@ -1,0 +1,105 @@
+"""Structured-Streaming exact deduplication — cross-batch keep-first.
+
+The streaming face of ``operators/dedup.exact_dedup``: each micro-batch
+of documents is hashed (md5 of text), reduced within the batch, and
+MERGED into the committed keeper state
+
+    (text_md5, n_docs, keeper_doc_id)
+
+with ``n_docs`` summed and ``keeper_doc_id`` min-merged.  Both merge
+operators are associative and commutative, so the final state equals
+the batch ``exact_dedup`` over the full corpus for ANY micro-batch
+split — which makes the whole stream DuckDB-oracle-checkable with the
+batch query's SQL (``stream_exact_dedup`` vs ``dedup_exact``), with no
+ordering assumption at all.
+
+Commit discipline is the shared SnapshotTable pattern
+(streaming/resolve.py): full-state overwrite per batch keyed by
+(run id, batch id), so readers always see one atomic complete keeper
+table and a replayed batch is a no-op.  At the 10^12-doc design point
+the per-batch work is one map-side-combinable aggregate over the delta
+plus a hash-keyed merge join against vocabulary-scale state — the
+"have I seen this content before" gate every training-data ingest
+runs in front of the expensive enrichment stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..sources.table_io import SnapshotTable
+from .ingest import checkpoint_run_id
+
+KEEPERS_SCHEMA = T.StructType(
+    [
+        T.StructField("text_md5", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("keeper_doc_id", T.LongType()),
+    ]
+)
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    keepers_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    text_col: str = "text",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Start the streaming exact-dedup query; returns the StreamingQuery.
+
+    keepers_root: SnapshotTable holding the complete keeper state;
+    every micro-batch commits the next full state snapshot.
+    """
+    from .ingest import flat_docs_schema
+
+    table = SnapshotTable(keepers_root)
+    run_id_cache: list[str] = []
+
+    stream = (
+        spark.readStream.schema(schema or flat_docs_schema())
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = checkpoint_run_id(checkpoint_dir, run_id_cache)
+        stage_label = f"dedup-{run_id}-batch-{batch_id}"
+        if table.last_snapshot_for(stage_label) is not None:
+            return  # replayed batch — state already committed
+        delta = batch_df.groupBy(
+            F.md5(F.col(text_col)).alias("text_md5")
+        ).agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        snap = table.current_snapshot()
+        if snap is not None:
+            prior = table.read(spark, snap.snapshot_id)
+            merged = (
+                prior.unionByName(delta)
+                .groupBy("text_md5")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.min("keeper_doc_id").alias("keeper_doc_id"),
+                )
+            )
+        else:
+            merged = delta
+        table.commit(
+            merged.select("text_md5", "n_docs", "keeper_doc_id"),
+            stage=stage_label,
+            metrics={"batch_id": float(batch_id)},
+            mode="overwrite",
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

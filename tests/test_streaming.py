@@ -490,3 +490,66 @@ def test_session_windows_drop_late_rows_even_in_complete_mode(spark, dirs):
     assert sum(r["n_events"] for r in rows) == 2
     assert len(rows) == 2
     assert base + 3600 not in {r["session_start"] for r in rows}
+
+
+def test_dedup_stream_split_invariant_and_replay(spark, dirs):
+    """Streaming exact dedup: the final keeper state equals the batch
+    exact_dedup over the full input for an adversarial split (dup
+    before its original, dups within one batch), and a restart on the
+    drained checkpoint commits nothing new."""
+    import os
+
+    from rosette_elasticsearch_plugin_spark.operators.dedup import exact_dedup
+    from rosette_elasticsearch_plugin_spark.sources.table_io import (
+        SnapshotTable,
+    )
+    from rosette_elasticsearch_plugin_spark.streaming.dedup import dedup_stream
+    from rosette_elasticsearch_plugin_spark.streaming.ingest import (
+        flat_docs_schema,
+        stage_batch_files,
+    )
+
+    rows = [
+        # (doc_id, text): 10/2 duplicate 1, 11 duplicates 3; the copy
+        # with the SMALLER id (2) arrives in a LATER batch than id 10 —
+        # min-merge must still pick 1 as keeper of that group
+        (10, "alpha beta gamma"),
+        (3, "delta epsilon"),
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (11, "delta epsilon"),
+        (5, "unique text"),
+    ]
+
+    def df(sl):
+        return spark.createDataFrame(
+            [(i, t, "en", "t", len(t)) for i, t in sl], flat_docs_schema()
+        )
+
+    os.makedirs(dirs["in"], exist_ok=True)
+    stage_batch_files([df(rows[:2]), df(rows[2:4]), df(rows[4:])], dirs["in"])
+
+    def run():
+        q = dedup_stream(
+            spark,
+            dirs["in"],
+            keepers_root=os.path.join(dirs["table"], "keepers"),
+            checkpoint_dir=os.path.join(dirs["table"], "ckpt_dedup"),
+        )
+        q.awaitTermination()
+        return SnapshotTable(os.path.join(dirs["table"], "keepers"))
+
+    table = run()
+    got = {
+        r.text_md5: (r.n_docs, r.keeper_doc_id)
+        for r in table.read(spark).collect()
+    }
+    want = {
+        r.text_md5: (r.n_docs, r.keeper_doc_id)
+        for r in exact_dedup(df(rows)).collect()
+    }
+    assert got == want
+    assert 1 in {k for _n, k in got.values()}  # min id won the group
+    n = len(table.history())
+    table2 = run()
+    assert len(table2.history()) == n
