@@ -675,3 +675,164 @@ def lsh_topk(
         )
     )
     return _topk_window(scored, k)
+
+
+# --- Lloyd k-means over the embeddings table ---------------------------------
+# The clustering counterpart of the IVF quantizer: ivf_fit SAMPLES k
+# corpus vectors as fixed cells; k-means ITERATES — argmax-cosine
+# assignment, then element-wise mean centroid updates — which is the
+# standard way both a better quantizer (k-means-IVF) and a topic/embed
+# clustering are built.  Fully distributed: each iteration is one
+# broadcast cross join (n×k cosine, k is small) plus one map-side-
+# combinable groupBy(cid, dim) for the update; centroids live in a
+# k-row DataFrame, never on the driver.
+#
+# Exact cross-engine mirror: assignment uses the shared round-6 cosine
+# (ties -> smallest cid); centroid means are computed over embedding
+# components QUANTIZED to integer micro-units (exact long sums in any
+# aggregation order), then re-rounded to 6dp — so a 3-iteration run is
+# value-identical between Spark and DuckDB and the whole iterative
+# algorithm is hash-checkable (SQL mirror unrolls the iterations as
+# CTE rounds).
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_init(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cv) seed centroids: the k corpus vectors ranked first by
+    h56(vec_id) — the same deterministic hash sample as ivf_fit, kept
+    as a DataFrame (no driver action)."""
+    from ..functions.hashing import h56_col
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            h56_col(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "cid")
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def _kmeans_assign_once(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vid, cid): round-6 cosine argmax, ties to the smallest cid."""
+    from pyspark.sql import Window
+
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vid", "cid", cosine_col(F.col("v"), F.col("cv")).alias("__cos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("__cos"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vid", "cid")
+    )
+
+
+def _kmeans_update(v: DataFrame, asg: DataFrame, cent: DataFrame) -> DataFrame:
+    """Quantized element-wise mean per cell; empty cells keep their
+    previous centroid (the standard Lloyd convention)."""
+    dims = (
+        asg.join(v, "vid")
+        .select("cid", F.posexplode("v").alias("pos", "val"))
+        .select(
+            "cid",
+            "pos",
+            F.round(F.col("val") * 1e6).cast("long").alias("q"),
+        )
+    )
+    sums = dims.groupBy("cid", "pos").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    new = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", F.round(F.col("s") / F.col("n") / 1e6, 6).alias("val")))),
+            lambda x: x["val"],
+        ).alias("cv")
+    )
+    kept = cent.join(new.select("cid"), "cid", "left_anti")
+    return new.unionByName(kept)
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) after ``iters`` Lloyd rounds."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=False)
+    cent = kmeans_init(embeddings, k, id_col, vec_col)
+    asg = None
+    for _ in range(iters):
+        # sever the growing loop lineage each round
+        cent = cent.localCheckpoint(eager=True)
+        asg = _kmeans_assign_once(v, cent)
+        cent = _kmeans_update(v, asg, cent)
+    return asg.select(
+        F.col("vid").alias(id_col), F.col("cid").alias("cluster")
+    )
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror: the Lloyd iterations unrolled as CTE rounds."""
+    from ..functions.hashing import h56_sql
+
+    h = h56_sql(f"cast({id_col} as varchar)")
+    cos = cosine_sql("v.v", "c.cv")
+    parts = [
+        f"v as (select {id_col} as vid, {vec_col}::double[] as v"
+        f" from {table})",
+        f"c0 as (select {id_col} as cid, {vec_col}::double[] as cv"
+        f" from {table} order by {h}, {id_col} limit {k})",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""a{t} as (select vid, cid from (
+      select v.vid, c.cid,
+             row_number() over (partition by v.vid
+                  order by {cos} desc, c.cid) as rn
+      from v cross join {prev} c) where rn = 1)"""
+        )
+        parts.append(
+            # parallel unnest zips the value and position lists row-wise
+            # (DuckDB's generate_series can't lateral-join on a column)
+            f"""s{t} as (
+      select cid, pos, sum(cast(round(val * 1e6) as bigint)) as s,
+             count(*) as n
+      from (select a.cid, unnest(v.v) as val,
+                   unnest(range(1, len(v.v) + 1)) as pos
+            from a{t} a join v on v.vid = a.vid)
+      group by cid, pos)"""
+        )
+        parts.append(
+            f"""c{t} as (select cid, list(round(s / n / 1e6, 6) order by pos) as cv
+      from s{t} group by cid
+      union all
+      select cid, cv from {prev}
+      where cid not in (select cid from s{t}))"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"with {body}\n"
+        f"select vid as {id_col}, cid as cluster from a{iters}"
+    )

@@ -1462,6 +1462,18 @@ from nt
 SQL_ANN_RECALL = _sql_ann_recall()
 
 
+# Distributed Lloyd k-means over the embeddings table (ann.kmeans_*):
+# deterministic hash-sampled init, round-6 cosine argmax assignment,
+# quantized-mean centroid updates — an ITERATIVE algorithm whose three
+# unrolled rounds are value-identical between engines, so the oracle
+# hash-checks the whole loop, not just one pass. ----------------------------
+def q_embed_kmeans(spark, sf_dir):
+    return ann.kmeans_assignments(_emb(spark, sf_dir))
+
+
+SQL_EMBED_KMEANS = ann.kmeans_sql("embeddings")
+
+
 # --- P6 full projection: entity rows with head mention, count, offsets,
 # conditional translation (flattened so the value-hash compare is exact) --------
 _ENT_DOCS = [
@@ -4725,6 +4737,7 @@ QUERIES: dict[str, Callable] = {
     "text_entropy": q_text_entropy,
     "corpus_lang_profile": q_corpus_lang_profile,
     "stream_exact_dedup": q_stream_exact_dedup,
+    "embed_kmeans": q_embed_kmeans,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4826,6 +4839,7 @@ ORACLES: dict[str, str] = {
     "text_entropy": SQL_TEXT_ENTROPY,
     "corpus_lang_profile": SQL_CORPUS_LANG_PROFILE,
     "stream_exact_dedup": SQL_STREAM_EXACT_DEDUP,
+    "embed_kmeans": SQL_EMBED_KMEANS,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4938,4 +4952,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 95
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 96

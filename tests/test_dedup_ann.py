@@ -522,3 +522,49 @@ def test_weighted_jaccard_first_principles_and_boilerplate_downweighting(spark):
     # Jaccard, shared rare content scores ABOVE it
     assert out[(1, 2)]["weighted_jaccard"] < out[(1, 2)]["token_jaccard"]
     assert out[(3, 4)]["weighted_jaccard"] > out[(3, 4)]["token_jaccard"]
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """k=2 Lloyd on two well-separated blobs recovers the partition
+    exactly, regardless of which seed vectors the hash sample picks."""
+    import random
+
+    from rosette_elasticsearch_plugin_spark.operators.ann import (
+        kmeans_assignments,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        base = [5.0, 0.0, 0.0] if blob == 0 else [0.0, 5.0, 0.0]
+        rows.append(
+            (i, [x + rng.uniform(-0.3, 0.3) for x in base], blob)
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assignments(df, k=2, iters=3).collect()
+    }
+    assert len(got) == 40
+    by_label = {0: set(), 1: set()}
+    for i, _v, lab in rows:
+        by_label[lab].add(got[i])
+    # each blob maps to exactly one cluster, and they differ
+    assert len(by_label[0]) == 1 and len(by_label[1]) == 1
+    assert by_label[0] != by_label[1]
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """A seed whose cell empties out must survive as a centroid (the
+    Lloyd convention) — the run must not crash or drop to k-1 cells."""
+    from rosette_elasticsearch_plugin_spark.operators.ann import (
+        kmeans_assignments,
+    )
+
+    # 6 near-identical vectors: most seeds win nothing after round 1
+    rows = [(i, [1.0, 1.0 + i * 1e-4]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = kmeans_assignments(df, k=4, iters=3).collect()
+    assert len(got) == 6
+    assert len({r.cluster for r in got}) >= 1
