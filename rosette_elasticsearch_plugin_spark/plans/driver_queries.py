@@ -3274,6 +3274,40 @@ SQL_ER_FS_PARAMS = _sql_er_fs_params()
 SQL_ER_FS_SCORED = _sql_er_fs_scored()
 
 
+# Unsupervised Fellegi-Sunter: EM over the agreement patterns alone —
+# no labels anywhere in the plan (resolution/fs.fs_em_params).  The
+# oracle unrolls the EM rounds as CTEs, hash-checking the full
+# iterative estimation like embed_kmeans does for Lloyd. -------------------
+def q_er_fs_em(spark, sf_dir):
+    from ..resolution.fs import fs_em_params
+
+    feats, _params = _fs_spark_parts(spark)
+    return fs_em_params(feats)
+
+
+def _sql_er_fs_em() -> str:
+    from ..resolution.fs import fs_em_sql, fs_features_sql
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    feats = fs_features_sql("cpairs", "names", "blocks").strip()
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{feats},
+{fs_em_sql('feats')}
+"""
+
+
+SQL_ER_FS_EM = _sql_er_fs_em()
+
+
 # Weak-link cluster repair (resolution/clustering.cluster_repair):
 # nodes whose best incident match score stays below tau_repair are
 # split out and the strong subgraph is re-clustered — the audit step
@@ -4738,6 +4772,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_lang_profile": q_corpus_lang_profile,
     "stream_exact_dedup": q_stream_exact_dedup,
     "embed_kmeans": q_embed_kmeans,
+    "er_fs_em": q_er_fs_em,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4840,6 +4875,7 @@ ORACLES: dict[str, str] = {
     "corpus_lang_profile": SQL_CORPUS_LANG_PROFILE,
     "stream_exact_dedup": SQL_STREAM_EXACT_DEDUP,
     "embed_kmeans": SQL_EMBED_KMEANS,
+    "er_fs_em": SQL_ER_FS_EM,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4952,4 +4988,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 96
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 97

@@ -211,3 +211,134 @@ def fs_weight_sql() -> str:
         f" round(({total}) / 1e6, 6) as fs_weight"
         f" from feats cross join params"
     )
+
+
+# --- unsupervised estimation: EM over the agreement patterns -----------------
+# fs_params needs labels; production linkage usually has none.  The
+# standard answer (Winkler's EM for the FS model, the core of
+# Splink-style linkers) estimates λ (match prevalence) and every
+# m_k/u_k from the candidate pairs' agreement patterns alone:
+#
+#   E-step:  p_i = λ·Π_k(γ_ik ? m_k : 1−m_k)
+#                 / (λ·Π m-terms + (1−λ)·Π u-terms)
+#   M-step:  m_k = Σ p_i·γ_ik / Σ p_i        (u_k symmetric with 1−p)
+#            λ   = Σ p_i / N
+#
+# Determinism across engines: per-pair posteriors are QUANTIZED to
+# integer nano-units before any aggregation (p_q = round(p·1e9) — exact
+# long sums in any order; Σ(1−p)_q is exactly N·1e9 − Σp_q), and the
+# re-estimated scalars are rounded to 6dp per round, so the unrolled
+# iteration is value-identical between Spark and the SQL mirror.  Each
+# round is one broadcast of a single parameter row + one combinable
+# aggregate — the 10^12-pair shape (at that N switch the quantization
+# to 1e6 units to stay inside int64).
+
+FS_EM_INIT = (0.1, 0.9, 0.1)  # λ, m_k, u_k starting values
+
+
+def fs_em_params(features: DataFrame, rounds: int = 2) -> DataFrame:
+    """Single-row (n_pairs, lam, m_*, u_*) after ``rounds`` EM rounds."""
+    spark = features.sparkSession
+    lam0, m0, u0 = FS_EM_INIT
+    cols = ["lam"]
+    vals = [lam0]
+    for f in FS_FEATURES:
+        cols += ["m_" + f, "u_" + f]
+        vals += [m0, u0]
+    params = spark.createDataFrame([tuple(vals)], cols)
+    for _ in range(rounds):
+        j = features.crossJoin(F.broadcast(params))
+        wm = F.col("lam")
+        wu = F.lit(1.0) - F.col("lam")
+        for f in FS_FEATURES:
+            wm = wm * F.when(F.col(f), F.col("m_" + f)).otherwise(
+                1 - F.col("m_" + f)
+            )
+            wu = wu * F.when(F.col(f), F.col("u_" + f)).otherwise(
+                1 - F.col("u_" + f)
+            )
+        pq = F.round(wm / (wm + wu) * 1e9).cast("long")
+        e = j.select(*FS_FEATURES, pq.alias("pq"))
+        aggs = [
+            F.sum("pq").alias("S"),
+            F.count("*").cast("long").alias("N"),
+        ]
+        for f in FS_FEATURES:
+            aggs.append(
+                F.sum(F.when(F.col(f), F.col("pq")).otherwise(0)).alias(
+                    "A_" + f
+                )
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col(f), F.lit(10**9) - F.col("pq")).otherwise(0)
+                ).alias("B_" + f)
+            )
+        g = e.agg(*aggs)
+        sel = [
+            F.col("N"),
+            F.round(F.col("S") / (F.col("N") * 1e9), 6).alias("lam"),
+        ]
+        for f in FS_FEATURES:
+            sel.append(
+                F.round(
+                    (F.col("A_" + f) + 5e8) / (F.col("S") + 1e9), 6
+                ).alias("m_" + f)
+            )
+            sel.append(
+                F.round(
+                    (F.col("B_" + f) + 5e8)
+                    / ((F.col("N") * F.lit(10**9) - F.col("S")) + 1e9),
+                    6,
+                ).alias("u_" + f)
+            )
+        params = g.select(*sel).withColumnRenamed("N", "n_pairs")
+    return params.select(
+        "n_pairs",
+        "lam",
+        *[x for f in FS_FEATURES for x in ("m_" + f, "u_" + f)],
+    )
+
+
+def fs_em_sql(feats_from: str, rounds: int = 2) -> str:
+    """Mirror: EM rounds unrolled as CTE pairs e{t}/p{t}."""
+    lam0, m0, u0 = FS_EM_INIT
+    init_cols = [f"cast({lam0} as double) as lam"]
+    for f in FS_FEATURES:
+        init_cols.append(f"cast({m0} as double) as m_{f}")
+        init_cols.append(f"cast({u0} as double) as u_{f}")
+    parts = [f"p0 as (select {', '.join(init_cols)})"]
+    for t in range(1, rounds + 1):
+        wm = ["lam"]
+        wu = ["(1.0 - lam)"]
+        for f in FS_FEATURES:
+            wm.append(f"(case when {f} then m_{f} else 1 - m_{f} end)")
+            wu.append(f"(case when {f} then u_{f} else 1 - u_{f} end)")
+        wm_e = " * ".join(wm)
+        wu_e = " * ".join(wu)
+        flist = ", ".join(FS_FEATURES)
+        parts.append(
+            f"""e{t} as (select {flist},
+      cast(round(({wm_e}) / (({wm_e}) + ({wu_e})) * 1e9) as bigint) as pq
+      from {feats_from} cross join p{t - 1})"""
+        )
+        sel = [
+            "cast(count(*) as bigint) as n_pairs",
+            "round(sum(pq) / (count(*) * 1e9), 6) as lam",
+        ]
+        for f in FS_FEATURES:
+            sel.append(
+                f"round((sum(case when {f} then pq else 0 end) + 5e8)"
+                f" / (sum(pq) + 1e9), 6) as m_{f}"
+            )
+            sel.append(
+                f"round((sum(case when {f} then 1000000000 - pq else 0 end)"
+                f" + 5e8) / ((count(*) * cast(1000000000 as bigint)"
+                f" - sum(pq)) + 1e9), 6) as u_{f}"
+            )
+        parts.append(f"p{t} as (select {', '.join(sel)} from e{t})")
+    cols = ", ".join(
+        ["n_pairs", "lam"]
+        + [x for f in FS_FEATURES for x in (f"m_{f}", f"u_{f}")]
+    )
+    return ",\n".join(parts) + f"\nselect {cols} from p{rounds}"

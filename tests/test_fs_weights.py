@@ -120,3 +120,31 @@ def test_fs_weight_agreement_monotone(spark):
     ordered = [got["y%d" % i] for i in range(5)]
     assert ordered == sorted(ordered)
     assert ordered[0] < 0 < ordered[-1]
+
+
+def test_fs_em_separates_discriminative_features(spark):
+    """Unsupervised EM on a mixture of clear matches and clear
+    non-matches recovers m >> u for the informative features and a
+    plausible prevalence, with no labels anywhere."""
+    from rosette_elasticsearch_plugin_spark.resolution.fs import (
+        FS_FEATURES,
+        fs_em_params,
+    )
+
+    rows = []
+    # 20 "match-like" patterns (all features agree)
+    for i in range(20):
+        rows.append(("m%d" % i, "x%d" % i, True, True, True, True))
+    # 180 "non-match" patterns (only phon agrees — the blocking artifact)
+    for i in range(180):
+        rows.append(("n%d" % i, "y%d" % i, False, True, False, False))
+    feats = spark.createDataFrame(
+        rows, ["node_a", "node_b", *FS_FEATURES]
+    )
+    row = fs_em_params(feats, rounds=2).collect()[0]
+    assert row.n_pairs == 200
+    assert 0.0 < row.lam < 1.0
+    for f in ("f_exact", "f_jac", "f_lev"):
+        assert row["m_" + f] > row["u_" + f], f
+    # the match class EM found should be ~10% of pairs
+    assert 0.02 < row.lam < 0.4
