@@ -3308,6 +3308,56 @@ cpairs as (select distinct a.node as node_a, b.node as node_b
 SQL_ER_FS_EM = _sql_er_fs_em()
 
 
+# The full unsupervised linkage loop, end to end: features → EM
+# parameter estimation (no labels) → log-likelihood-ratio weights →
+# the classical three-way FS decision (link / review / non_link). ----------
+def q_er_fs_em_scored(spark, sf_dir):
+    from ..resolution.fs import fs_decision_col, fs_em_params, fs_weight
+
+    feats, _ = _fs_spark_parts(spark)
+    em = fs_em_params(feats).drop("n_pairs")
+    w = fs_weight(feats, em)
+    return w.withColumn("decision", fs_decision_col(F.col("fs_weight")))
+
+
+def _sql_er_fs_em_scored() -> str:
+    from ..resolution.fs import (
+        fs_decision_sql,
+        fs_em_sql,
+        fs_features_sql,
+    )
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    feats = fs_features_sql("cpairs", "names", "blocks").strip()
+    # fs_em_sql ends with its own select — keep only its CTE list and
+    # read the final-round params from the last p{t} CTE
+    em_body = fs_em_sql("feats")
+    em_ctes = em_body.rsplit("\nselect ", 1)[0]
+    from ..resolution.fs import fs_weight_sql
+
+    inner = fs_weight_sql("p2")
+    dec = fs_decision_sql("fs_weight")
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{feats},
+{em_ctes}
+select node_a, node_b, f_exact, f_phon, f_jac, f_lev, fs_weight,
+       {dec} as decision
+from ({inner})
+"""
+
+
+SQL_ER_FS_EM_SCORED = _sql_er_fs_em_scored()
+
+
 # Weak-link cluster repair (resolution/clustering.cluster_repair):
 # nodes whose best incident match score stays below tau_repair are
 # split out and the strong subgraph is re-clustered — the audit step
@@ -4773,6 +4823,7 @@ QUERIES: dict[str, Callable] = {
     "stream_exact_dedup": q_stream_exact_dedup,
     "embed_kmeans": q_embed_kmeans,
     "er_fs_em": q_er_fs_em,
+    "er_fs_em_scored": q_er_fs_em_scored,
     "er_score_explain": q_er_score_explain,
     "er_threshold_sweep": q_er_threshold_sweep,
     "er_override_resolve": q_er_override_resolve,
@@ -4876,6 +4927,7 @@ ORACLES: dict[str, str] = {
     "stream_exact_dedup": SQL_STREAM_EXACT_DEDUP,
     "embed_kmeans": SQL_EMBED_KMEANS,
     "er_fs_em": SQL_ER_FS_EM,
+    "er_fs_em_scored": SQL_ER_FS_EM_SCORED,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
     "er_threshold_sweep": SQL_ER_THRESHOLD_SWEEP,
     "er_override_resolve": SQL_ER_OVERRIDE_RESOLVE,
@@ -4988,4 +5040,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 97
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 98

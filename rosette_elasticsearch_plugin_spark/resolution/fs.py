@@ -194,8 +194,8 @@ def fs_params_sql(labeled_join: str) -> str:
     return f"params as (select {', '.join(cols)} from {labeled_join})"
 
 
-def fs_weight_sql() -> str:
-    """SELECT body computing fs_weight from ``feats cross join params``."""
+def fs_weight_sql(params_cte: str = "params") -> str:
+    """SELECT body computing fs_weight from ``feats cross join <params>``."""
     terms = []
     for f in FS_FEATURES:
         terms.append(
@@ -209,7 +209,28 @@ def fs_weight_sql() -> str:
     return (
         f"select node_a, node_b, {feats},"
         f" round(({total}) / 1e6, 6) as fs_weight"
-        f" from feats cross join params"
+        f" from feats cross join {params_cte}"
+    )
+
+
+# Fellegi-Sunter three-way decision thresholds (in log2-ratio bits):
+# W ≥ upper → link, W ≤ lower → non-link, between → clerical review.
+FS_UPPER, FS_LOWER = 4.0, 0.0
+
+
+def fs_decision_col(w: Column) -> Column:
+    return (
+        F.when(w >= FS_UPPER, F.lit("link"))
+        .when(w <= FS_LOWER, F.lit("non_link"))
+        .otherwise(F.lit("review"))
+    )
+
+
+def fs_decision_sql(w: str) -> str:
+    return (
+        f"case when {w} >= {FS_UPPER} then 'link' "
+        f"when {w} <= {FS_LOWER} then 'non_link' "
+        f"else 'review' end"
     )
 
 
