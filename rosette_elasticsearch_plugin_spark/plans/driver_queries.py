@@ -4239,6 +4239,63 @@ from d group by md5(text)
 """
 
 
+# Streaming NEAR-dup (streaming/dedup.near_dedup_stream): the band
+# index extends per micro-batch (old docs never re-signed), candidates
+# come from delta×index, and the committed pair state after the last
+# batch hash-equals the batch near_dup_pairs over the whole corpus —
+# the oracle is SQL_DEDUP_NEAR_MINHASH verbatim.  Batch splits are
+# monotone in doc_id (append-only ingest), the regime the incremental
+# equivalence contract requires. -------------------------------------------
+def q_stream_near_dedup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.table_io import SnapshotTable
+    from ..streaming.dedup import near_dedup_stream
+    from ..streaming.ingest import stage_batch_files
+
+    d = _docs_with_dups(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.lit("xx").alias("lang"),
+        F.lit("stream").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_neardup_")
+    try:
+        in_dir = os.path.join(root, "in")
+        stage_batch_files(
+            [
+                d.where(F.col("doc_id") < 200),
+                d.where(
+                    (F.col("doc_id") >= 200) & (F.col("doc_id") < 1000200)
+                ),
+                d.where(F.col("doc_id") >= 1000200),
+            ],
+            in_dir,
+        )
+        q = near_dedup_stream(
+            spark,
+            in_dir,
+            state_root=os.path.join(root, "state"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            bands=DEDUP_BANDS,
+            rows=DEDUP_ROWS,
+            threshold=0.8,
+        )
+        q.awaitTermination()
+        out = SnapshotTable(os.path.join(root, "state", "pairs")).read(spark)
+        return out.select(
+            "doc_id_a", "doc_id_b", "jaccard"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_NEAR_DEDUP = SQL_DEDUP_NEAR_MINHASH
+
+
 # --- CDC continuous resolution (adds AND deletes): name-reference
 # events stream in, a refcounted liveness table decides which names
 # appear (incremental_resolve) and which vanish (retract_names), and
@@ -4821,6 +4878,7 @@ QUERIES: dict[str, Callable] = {
     "text_entropy": q_text_entropy,
     "corpus_lang_profile": q_corpus_lang_profile,
     "stream_exact_dedup": q_stream_exact_dedup,
+    "stream_near_dedup": q_stream_near_dedup,
     "embed_kmeans": q_embed_kmeans,
     "er_fs_em": q_er_fs_em,
     "er_fs_em_scored": q_er_fs_em_scored,
@@ -4925,6 +4983,7 @@ ORACLES: dict[str, str] = {
     "text_entropy": SQL_TEXT_ENTROPY,
     "corpus_lang_profile": SQL_CORPUS_LANG_PROFILE,
     "stream_exact_dedup": SQL_STREAM_EXACT_DEDUP,
+    "stream_near_dedup": SQL_STREAM_NEAR_DEDUP,
     "embed_kmeans": SQL_EMBED_KMEANS,
     "er_fs_em": SQL_ER_FS_EM,
     "er_fs_em_scored": SQL_ER_FS_EM_SCORED,
@@ -5040,4 +5099,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 98
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 99
