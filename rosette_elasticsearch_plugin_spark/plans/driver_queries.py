@@ -1835,6 +1835,35 @@ group by lang, source, t
 """
 
 
+def q_text_length_histogram(spark, sf_dir):
+    """Power-of-two document-length histogram — the size profile that
+    drives chunking and maxRecordsPerBatch choices.  floor(log2(n)) is
+    exact on both engines for the integer lengths involved."""
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
+    bucket = F.floor(F.log2(F.length("text"))).cast("long")
+    return (
+        d.select(bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "log2_bucket",
+            F.pow(F.lit(2.0), F.col("log2_bucket"))
+            .cast("long")
+            .alias("min_chars"),
+            "n_docs",
+        )
+    )
+
+
+SQL_TEXT_LENGTH_HISTOGRAM = """
+select cast(floor(log2(length(text))) as bigint) as log2_bucket,
+       cast(pow(2.0, floor(log2(length(text)))) as bigint) as min_chars,
+       cast(count(*) as bigint) as n_docs
+from documents where length(text) > 0
+group by 1, 2
+"""
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TS.quality_score_col(F.col("text")).alias("quality")
@@ -4296,6 +4325,53 @@ def q_stream_near_dedup(spark, sf_dir):
 SQL_STREAM_NEAR_DEDUP = SQL_DEDUP_NEAR_MINHASH
 
 
+# Near-dup GROUP size distribution: connected components over the
+# verified pair edges, then a size histogram — the shape report that
+# says whether duplication is pairwise drift (sizes 2-3) or template
+# explosions (mega-groups), which picks the dedup strategy. ----------------
+def q_dedup_group_sizes(spark, sf_dir):
+    from ..resolution.clustering import connected_components
+
+    pairs = dedup.near_dup_pairs(
+        _docs_with_dups(spark, sf_dir),
+        bands=DEDUP_BANDS, rows=DEDUP_ROWS, threshold=0.8,
+    ).select(
+        F.col("doc_id_a").cast("string").alias("node_a"),
+        F.col("doc_id_b").cast("string").alias("node_b"),
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        sizes.groupBy("n_members")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .select("n_members", "n_groups")
+    )
+
+
+SQL_DEDUP_GROUP_SIZES = f"""
+with recursive pairs as materialized (
+  select cast(doc_id_a as varchar) as node_a,
+         cast(doc_id_b as varchar) as node_b
+  from ({SQL_DEDUP_NEAR_MINHASH})),
+eedges as materialized (select node_a as u, node_b as v from pairs
+          union all select node_b as u, node_a as v from pairs),
+reach as (select u, v from eedges
+          union
+          select r.u, e.v from reach r join eedges e on r.v = e.u),
+nodes as (select distinct u as node from eedges),
+clusters as (select n.node,
+                    least(n.node, coalesce(min(r.v), n.node)) as cluster
+             from nodes n left join reach r on r.u = n.node
+             group by n.node),
+sizes as (select cluster, cast(count(*) as bigint) as n_members
+          from clusters group by cluster)
+select n_members, cast(count(*) as bigint) as n_groups
+from sizes group by n_members
+"""
+
+
 # --- CDC continuous resolution (adds AND deletes): name-reference
 # events stream in, a refcounted liveness table decides which names
 # appear (incremental_resolve) and which vanish (retract_names), and
@@ -4879,6 +4955,8 @@ QUERIES: dict[str, Callable] = {
     "corpus_lang_profile": q_corpus_lang_profile,
     "stream_exact_dedup": q_stream_exact_dedup,
     "stream_near_dedup": q_stream_near_dedup,
+    "dedup_group_sizes": q_dedup_group_sizes,
+    "text_length_histogram": q_text_length_histogram,
     "embed_kmeans": q_embed_kmeans,
     "er_fs_em": q_er_fs_em,
     "er_fs_em_scored": q_er_fs_em_scored,
@@ -4984,6 +5062,8 @@ ORACLES: dict[str, str] = {
     "corpus_lang_profile": SQL_CORPUS_LANG_PROFILE,
     "stream_exact_dedup": SQL_STREAM_EXACT_DEDUP,
     "stream_near_dedup": SQL_STREAM_NEAR_DEDUP,
+    "dedup_group_sizes": SQL_DEDUP_GROUP_SIZES,
+    "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "embed_kmeans": SQL_EMBED_KMEANS,
     "er_fs_em": SQL_ER_FS_EM,
     "er_fs_em_scored": SQL_ER_FS_EM_SCORED,
@@ -5099,4 +5179,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 99
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 101
