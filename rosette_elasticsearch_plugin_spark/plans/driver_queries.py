@@ -4917,6 +4917,173 @@ from g where len(grams) > 0
 """
 
 
+# --- soft TF-IDF: IDF-weighted cosine over the ER candidate pairs ---------------
+# Cohen/Ravikumar/Fienberg's best-in-class name measure beside
+# Jaro-Winkler; micro-unit quantization makes both engines' sums exact
+# (resolution/scoring.tfidf_cosine_scores).
+def q_er_tfidf_cosine(spark, sf_dir):
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from ..resolution.scoring import tfidf_cosine_scores
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    keyed = _fixture_keyed(spark)
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    return tfidf_cosine_scores(pairs, keyed)
+
+
+def _sql_er_tfidf_cosine() -> str:
+    from ..resolution.scoring import tfidf_cosine_sql
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{tfidf_cosine_sql('cpairs', 'names')}
+"""
+
+
+SQL_ER_TFIDF_COSINE = _sql_er_tfidf_cosine()
+
+
+# --- rarest-token (canopy-surrogate) blocking over the fixture names ------------
+def q_er_block_rare_token(spark, sf_dir):
+    from ..resolution.blocking import rare_token_blocks
+
+    return rare_token_blocks(_fixture_keyed(spark))
+
+
+def _sql_er_block_rare_token() -> str:
+    from .er_oracle import _q, er_key_py
+
+    names, _truth = _name_f1_fixture()
+    uniq = sorted(set(names))
+    vals = ", ".join(f"('{_q(n)}', '{_q(er_key_py(n))}')" for n in uniq)
+    return f"""
+with names(node, key) as (values {vals}),
+toks as (select distinct node, tok
+         from (select node, unnest(string_split(key, ' ')) as tok
+               from names)
+         where length(tok) >= 2),
+freq as (select tok, cast(count(*) as bigint) as df from toks group by tok),
+ranked as (select node, tok,
+                  row_number() over (partition by node
+                                     order by df asc, tok asc) as rn
+           from toks join freq using (tok))
+select node, 'r:' || tok as block_key from ranked where rn = 1
+"""
+
+
+SQL_ER_BLOCK_RARE_TOKEN = _sql_er_block_rare_token()
+
+
+# --- cross-document boilerplate n-grams (CCNet/RefinedWeb-style) -----------------
+# The cross-corpus sibling of text_repetition: a document whose word
+# n-grams mostly ALSO occur in many other documents is template/
+# boilerplate text, not content — production pipelines drop or strip
+# such docs before near-dup hashing so shared headers don't read as
+# duplication.  Per-doc DISTINCT grams are joined to the corpus-wide
+# gram document-frequency dim; boiler_frac is the share of the doc's
+# distinct grams seen in ≥ BOILER_K documents.
+#
+# Scale shape: the df dim is one map-side-combinable groupBy over the
+# distinct (doc, gram) table; the back-join is gram-keyed (AQE handles
+# the Zipfian hot grams); the per-doc aggregate is combinable.  No
+# window, no collect, no all-pairs anywhere.
+BOILER_K = 3
+NGRAM_TOPK = 20
+
+
+def _doc_gram_df(spark, sf_dir):
+    """distinct (doc_id, gram) pairs + the gram document-frequency dim."""
+    grams = (
+        _word_gram_arrays(spark, sf_dir, DECON_N)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    dfv = grams.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    return grams, dfv
+
+
+def q_dedup_common_ngrams(spark, sf_dir):
+    grams, dfv = _doc_gram_df(spark, sf_dir)
+    boiler = F.sum(
+        F.when(F.col("df") >= BOILER_K, 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(dfv, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            boiler.alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+_SQL_DOC_GRAMS = f"""
+toks as materialized (
+  select doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') as toks
+  from documents),
+grams as materialized (
+  select distinct doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {DECON_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')))
+           as gram
+  from toks),
+dfv as (select gram, cast(count(*) as bigint) as df
+        from grams group by gram)"""
+
+SQL_DEDUP_COMMON_NGRAMS = f"""
+with {_SQL_DOC_GRAMS}
+select g.doc_id,
+       cast(count(*) as bigint) as n_grams,
+       cast(sum(case when df >= {BOILER_K} then 1 else 0 end) as bigint)
+         as n_boiler,
+       round(cast(sum(case when df >= {BOILER_K} then 1 else 0 end) as double)
+             / cast(count(*) as double), 6) as boiler_frac
+from grams g join dfv using (gram)
+group by g.doc_id
+"""
+
+
+# --- corpus-wide top-K n-grams by document frequency (boilerplate audit) --------
+# The profiling surface behind BOILER_K: which grams ARE the
+# boilerplate.  Deterministic top-K via (df desc, gram asc) — ties at
+# the boundary break identically in both engines.  TakeOrdered keeps
+# the driver result K-bounded at any corpus size.
+def q_corpus_ngram_topk(spark, sf_dir):
+    _grams, dfv = _doc_gram_df(spark, sf_dir)
+    return dfv.orderBy(F.col("df").desc(), "gram").limit(NGRAM_TOPK)
+
+
+SQL_CORPUS_NGRAM_TOPK = f"""
+with {_SQL_DOC_GRAMS}
+select gram, df from dfv order by df desc, gram limit {NGRAM_TOPK}
+"""
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -4924,6 +5091,10 @@ QUERIES: dict[str, Callable] = {
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
     "stream_cdc_resolve": q_stream_cdc_resolve,
+    "er_tfidf_cosine": q_er_tfidf_cosine,
+    "er_block_rare_token": q_er_block_rare_token,
+    "dedup_common_ngrams": q_dedup_common_ngrams,
+    "corpus_ngram_topk": q_corpus_ngram_topk,
     "er_span_assembly": q_er_span_assembly,
     "er_mentions": q_er_mentions,
     "er_normalize": q_er_normalize,
@@ -5031,6 +5202,10 @@ ORACLES: dict[str, str] = {
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
     "stream_cdc_resolve": SQL_STREAM_CDC_RESOLVE,
+    "er_tfidf_cosine": SQL_ER_TFIDF_COSINE,
+    "er_block_rare_token": SQL_ER_BLOCK_RARE_TOKEN,
+    "dedup_common_ngrams": SQL_DEDUP_COMMON_NGRAMS,
+    "corpus_ngram_topk": SQL_CORPUS_NGRAM_TOPK,
     "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize": SQL_ER_NORMALIZE,
@@ -5179,4 +5354,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 101
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 105

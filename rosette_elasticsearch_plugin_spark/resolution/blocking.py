@@ -144,6 +144,47 @@ def token_blocks(names: DataFrame, min_len: int = 2) -> DataFrame:
     ).distinct()
 
 
+def rare_token_blocks(names: DataFrame, min_len: int = 2) -> DataFrame:
+    """Rarest-token blocking (``r:`` family) — the distributed surrogate
+    for canopy clustering's cheap-distance pass (McCallum/Nigam/Ungar,
+    KDD 2000).
+
+    Each name gets exactly ONE key: the token of its canonical form with
+    the LOWEST corpus frequency (ties broken lexicographically).  Rare
+    tokens are the discriminative ones (a shared rare surname is strong
+    evidence; a shared given name is weak), so this family yields small,
+    high-precision blocks at a guaranteed one-key-per-name budget —
+    where plain token blocking emits every token and relies on
+    meta-blocking to tame the Zipfian blocks, rarest-token keeps the
+    candidate count linear BY CONSTRUCTION.
+
+    Scale shape: one groupBy over the exploded token table for the
+    frequency dim (vocabulary-scale, AQE-broadcastable back-join), then
+    one combinable ``min(struct(df, tok))`` aggregate per node — no
+    window function, no skewed shuffle: the output blocks are the
+    SMALLEST blocks the token universe admits.
+    """
+    toks = (
+        names.select(
+            "node", F.explode(F.split(F.col("key"), " ")).alias("tok")
+        )
+        .where(F.length("tok") >= min_len)
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    # min over (df, tok) structs = argmin by frequency with a
+    # deterministic lexicographic tie-break, as a plain combinable agg
+    return (
+        toks.join(freq, "tok")
+        .groupBy("node")
+        .agg(F.min(F.struct("df", "tok")).alias("m"))
+        .select(
+            "node",
+            F.concat(F.lit("r:"), F.col("m.tok")).alias("block_key"),
+        )
+    )
+
+
 def all_blocks(
     names: DataFrame, cfg: BlockingConfig = BlockingConfig()
 ) -> DataFrame:

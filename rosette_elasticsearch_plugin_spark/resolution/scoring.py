@@ -625,3 +625,137 @@ def score_sql(a: str, b: str, cfg: ScoringConfig = ScoringConfig()) -> str:
         f"then greatest({gated}, {cfg.expansion_floor}) "
         f"else {gated} end, 6)"
     )
+
+
+# --- IDF-weighted cosine (soft TF-IDF) over candidate pairs --------------------
+# Cohen/Ravikumar/Fienberg (IIWeb 2003) rank TF-IDF cosine among the
+# strongest name-matching measures: a shared rare token carries the
+# score, a shared common token barely moves it.  Names are short, so
+# tf is binary and the vector is just the token set weighted by
+# smoothed corpus IDF.
+#
+# Cross-engine exactness: per-token weights are quantized to integer
+# MICRO-UNITS immediately after the ln() (the only libm call), so the
+# numerator Σ w_a·w_b and the per-name Σ w² are exact long sums in any
+# partition/aggregation order; the final round-6 absorbs the ≤1-ulp
+# sqrt/division difference between the engines.
+IDF_MICRO = 1_000_000
+
+
+def name_token_idf(names: DataFrame) -> DataFrame:
+    """(node, tok, w) — binary-tf token table with smoothed-IDF weights
+    ``w = round((ln((N+1)/(df+1)) + 1) * 1e6)`` in integer micro-units.
+
+    Scale shape: one map-side-combinable groupBy for the df dim
+    (vocabulary-scale), the corpus size via a broadcast single-row
+    aggregate — no collect, no window."""
+    toks = (
+        names.select(
+            "node", F.explode(F.split(F.col("key"), " ")).alias("tok")
+        )
+        .where(F.length("tok") > 0)
+        .distinct()
+    )
+    n = names.agg(F.count("*").cast("double").alias("__n"))
+    df_tab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    return (
+        toks.join(df_tab, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "node",
+            "tok",
+            F.round(
+                (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                * IDF_MICRO
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+
+
+def tfidf_cosine_scores(pairs: DataFrame, names: DataFrame) -> DataFrame:
+    """(node_a, node_b, n_shared, cos) for every candidate pair:
+    IDF-weighted cosine  Σ_{t∈A∩B} w_t² / (‖w_A‖·‖w_B‖)  with binary tf.
+
+    Pairs with no shared token score 0.0 (kept, not dropped — the
+    decision layer wants the explicit zero).  Scale shape: the
+    pair↔token expansion is two equi-joins over tokens of CANDIDATE
+    names only; norms are one combinable groupBy over the weight table;
+    every sum is exact long arithmetic (see IDF_MICRO note above)."""
+    wtab = name_token_idf(names)
+    sq = wtab.groupBy("node").agg(
+        F.sum(F.col("w") * F.col("w")).alias("sq")
+    )
+    wa = wtab.select(
+        F.col("node").alias("node_a"), "tok", F.col("w").alias("wa")
+    )
+    wb = wtab.select(
+        F.col("node").alias("node_b"), "tok", F.col("w").alias("wb")
+    )
+    shared = (
+        pairs.join(wa, "node_a")
+        .join(wb, ["node_b", "tok"])
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("num"),
+        )
+    )
+    sqa = sq.select(F.col("node").alias("node_a"), F.col("sq").alias("sq_a"))
+    sqb = sq.select(F.col("node").alias("node_b"), F.col("sq").alias("sq_b"))
+    return (
+        pairs.join(shared, ["node_a", "node_b"], "left")
+        .join(sqa, "node_a")
+        .join(sqb, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("num").cast("double"), F.lit(0.0))
+                / (
+                    F.sqrt(F.col("sq_a").cast("double"))
+                    * F.sqrt(F.col("sq_b").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
+def tfidf_cosine_sql(
+    cpairs: str, names: str, micro: int = IDF_MICRO
+) -> str:
+    """DuckDB mirror of :func:`tfidf_cosine_scores` — same micro-unit
+    quantization, so the long sums are value-identical and round-6
+    absorbs the sqrt ulp.  ``cpairs``/``names`` are CTE names with
+    columns (node_a, node_b) / (node, key)."""
+    return f"""
+ntoks as (select distinct node, tok
+          from (select node, unnest(string_split(key, ' ')) as tok
+                from {names})
+          where length(tok) > 0),
+ndf as (select tok, cast(count(*) as bigint) as df from ntoks group by tok),
+nw as (select node, tok,
+              cast(round((ln(((select count(*) from {names}) + 1.0)
+                          / (df + 1.0)) + 1.0) * {micro}) as bigint) as w
+       from ntoks join ndf using (tok)),
+nsq as (select node, sum(w * w) as sq from nw group by node),
+nshared as (select p.node_a, p.node_b,
+                   cast(count(*) as bigint) as n_shared,
+                   sum(wa.w * wb.w) as num
+            from {cpairs} p
+            join nw wa on wa.node = p.node_a
+            join nw wb on wb.node = p.node_b and wb.tok = wa.tok
+            group by p.node_a, p.node_b)
+select p.node_a, p.node_b,
+       coalesce(s.n_shared, cast(0 as bigint)) as n_shared,
+       round(coalesce(cast(s.num as double), 0.0)
+             / (sqrt(cast(a.sq as double)) * sqrt(cast(b.sq as double))),
+             6) as cos
+from {cpairs} p
+left join nshared s on s.node_a = p.node_a and s.node_b = p.node_b
+join nsq a on a.node = p.node_a
+join nsq b on b.node = p.node_b
+"""
