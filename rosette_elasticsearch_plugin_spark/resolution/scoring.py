@@ -724,15 +724,13 @@ def tfidf_cosine_scores(pairs: DataFrame, names: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_cosine_sql(
-    cpairs: str, names: str, micro: int = IDF_MICRO
+def tfidf_cosine_ctes(
+    cpairs: str, names: str, micro: int = IDF_MICRO, out: str = "tfscores"
 ) -> str:
-    """DuckDB mirror of :func:`tfidf_cosine_scores` — same micro-unit
-    quantization, so the long sums are value-identical and round-6
-    absorbs the sqrt ulp.  ``cpairs``/``names`` are CTE names with
-    columns (node_a, node_b) / (node, key)."""
-    return f"""
-ntoks as (select distinct node, tok
+    """CTE chain ending in ``{out}(node_a, node_b, n_shared, cos)`` —
+    the composable form of :func:`tfidf_cosine_sql`, so downstream
+    mirrors (e.g. TF-IDF-edge clustering) can keep building on it."""
+    return f"""ntoks as (select distinct node, tok
           from (select node, unnest(string_split(key, ' ')) as tok
                 from {names})
           where length(tok) > 0),
@@ -748,8 +746,8 @@ nshared as (select p.node_a, p.node_b,
             from {cpairs} p
             join nw wa on wa.node = p.node_a
             join nw wb on wb.node = p.node_b and wb.tok = wa.tok
-            group by p.node_a, p.node_b)
-select p.node_a, p.node_b,
+            group by p.node_a, p.node_b),
+{out} as (select p.node_a, p.node_b,
        coalesce(s.n_shared, cast(0 as bigint)) as n_shared,
        round(coalesce(cast(s.num as double), 0.0)
              / (sqrt(cast(a.sq as double)) * sqrt(cast(b.sq as double))),
@@ -757,5 +755,17 @@ select p.node_a, p.node_b,
 from {cpairs} p
 left join nshared s on s.node_a = p.node_a and s.node_b = p.node_b
 join nsq a on a.node = p.node_a
-join nsq b on b.node = p.node_b
-"""
+join nsq b on b.node = p.node_b)"""
+
+
+def tfidf_cosine_sql(
+    cpairs: str, names: str, micro: int = IDF_MICRO
+) -> str:
+    """DuckDB mirror of :func:`tfidf_cosine_scores` — same micro-unit
+    quantization, so the long sums are value-identical and round-6
+    absorbs the sqrt ulp.  ``cpairs``/``names`` are CTE names with
+    columns (node_a, node_b) / (node, key)."""
+    return (
+        tfidf_cosine_ctes(cpairs, names, micro)
+        + "\nselect node_a, node_b, n_shared, cos from tfscores"
+    )

@@ -176,3 +176,60 @@ def test_ngram_topk_deterministic_ties(spark, boiler_dir):
     # ranking is (df desc, gram asc) throughout
     ks = [(-r["df"], r["gram"]) for r in rows]
     assert ks == sorted(ks)
+
+
+# --- TF-IDF-edge resolution + per-family budget -----------------------------------
+
+
+def test_tfidf_resolve_links_token_permutations_only(spark):
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        connected_components,
+    )
+    from rosette_elasticsearch_plugin_spark.resolution.scoring import (
+        tfidf_cosine_scores,
+    )
+
+    # same token set (reordered) → cos 1.0 → linked; a typo'd variant
+    # shares only the common token → below tau → NOT linked (the
+    # structural recall ceiling documented at TFIDF_TAU)
+    names = _names(
+        spark,
+        [
+            ("dan aykroyd", "dan aykroyd"),
+            ("aykroyd dan", "aykroyd dan"),
+            ("dan aykroid", "dan aykroid"),
+        ],
+    )
+    pairs = _pairs(
+        spark,
+        [("aykroyd dan", "dan aykroyd"), ("dan aykroid", "dan aykroyd")],
+    )
+    edges = (
+        tfidf_cosine_scores(pairs, names)
+        .where(F.col("cos") >= 0.7)
+        .select("node_a", "node_b")
+    )
+    cl = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            edges, nodes=names.select("node")
+        ).collect()
+    }
+    assert cl["dan aykroyd"] == cl["aykroyd dan"]
+    assert cl["dan aykroid"] != cl["dan aykroyd"]
+
+
+def test_block_budget_rare_family_is_linear(spark):
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        q_er_block_budget,
+    )
+
+    out = {
+        r["family"]: r
+        for r in q_er_block_budget(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(out) == {"x", "m", "h", "t", "r"}
+    # rarest-token emits exactly one key per name …
+    assert out["r"]["n_keys"] == out["x"]["n_keys"]  # x: is also 1/name
+    # … so its pair budget is a strict subset of raw token blocking's
+    assert out["r"]["n_pairs"] < out["t"]["n_pairs"]
