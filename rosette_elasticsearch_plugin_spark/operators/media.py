@@ -181,6 +181,96 @@ def media_feature_col(sha_col: Column, dim: int = 8) -> Column:
     return F.array(*comps)
 
 
+def media_phash_col(sha_col: Column, bits: int = 8) -> Column:
+    """Sign-quantized perceptual hash over the decoded feature bytes:
+    bit i is set iff feature byte i >= 128 (equivalently, the i-th
+    ``media_feature_col`` component >= 0).  Stands in for a DCT pHash —
+    the real kernel would emit the same integer column from pixel data —
+    while the banding / Hamming-verify plumbing downstream
+    (`media_near_pairs`) is the production shape.  At scale you would
+    widen to 64 bits and 4 bands; the stored sha bounds this stub to 8.
+    """
+    if bits > 8:
+        raise ValueError(f"bits must be <= 8 (16 stored sha hex chars): {bits}")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        byte = F.conv(F.substring(sha_col, 2 * i + 1, 2), 16, 10).cast("long")
+        out = out + F.when(byte >= 128, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def media_phash_sql(sha_expr: str, bits: int = 8) -> str:
+    if bits > 8:
+        raise ValueError(f"bits must be <= 8 (16 stored sha hex chars): {bits}")
+    terms = [
+        f"case when cast(concat('0x', substring({sha_expr}, {2 * i + 1}, 2)) "
+        f"as bigint) >= 128 then {1 << i} else 0 end"
+        for i in range(bits)
+    ]
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def media_near_pairs(
+    phashed: DataFrame,
+    bits: int = 8,
+    bands: int = 2,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: banded LSH self-join over
+    the phash, exact Hamming verify — never all-pairs.
+
+    Pigeonhole recall guarantee: with ``bands`` equal-width bit bands,
+    a pair at Hamming distance <= bands-1 leaves at least one band
+    untouched, so the banded join finds EVERY pair within
+    ``max_hamming`` <= bands-1 — the DuckDB oracle exploits this by
+    checking the bucketed plan against brute-force all-pairs SQL.
+    Input: (media_ref, phash); output (ref_a, ref_b, hamming), one row
+    per unordered pair of distinct refs.  Cost is per-bucket quadratic
+    only; at web scale widen bits/bands (64/4) so buckets stay small —
+    the same budget lever as the MinHash band family."""
+    if bits % bands:
+        raise ValueError(f"bands must divide bits: {bits} % {bands}")
+    w = bits // bands
+    nodes = phashed.select("media_ref", "phash").distinct()
+    banded = nodes.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("phash"), b * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_ref", "phash", "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def media_feature_sql(sha_expr: str, dim: int = 8) -> str:
     if dim > 8:
         raise ValueError(f"dim must be <= 8 (16 stored sha hex chars): {dim}")

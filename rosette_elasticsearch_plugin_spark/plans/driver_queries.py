@@ -4098,6 +4098,67 @@ from f cross join generate_series(1, 8) g(i)
 SQL_MEDIA_FEATURES = _sql_media_features()
 
 
+def q_media_phash(spark, sf_dir):
+    """Perceptual hash per media span: sign-quantized feature bits.
+
+    The image analogue of ``doc_fingerprint`` — at scale the pHash
+    column is what a multimodal training pipeline deduplicates on."""
+    from ..operators.media import decode_media, media_phash_col
+
+    meta = decode_media(flat_to_spans(_docs(spark, sf_dir)))
+    return meta.select(
+        "doc_id", "media_ref", media_phash_col(F.col("sha")).alias("phash")
+    )
+
+
+def _sql_media_phash() -> str:
+    from ..operators.media import media_phash_sql
+
+    return (
+        f"with m as ({SQL_MEDIA_METADATA}) "
+        f"select doc_id, media_ref, {media_phash_sql('sha')} as phash from m"
+    )
+
+
+SQL_MEDIA_PHASH = _sql_media_phash()
+
+
+def q_media_dedup_pairs(spark, sf_dir):
+    """Perceptual near-dup media pairs via banded phash LSH + Hamming
+    verify.  The oracle is brute-force all-pairs SQL: with 2 bands over
+    8 bits and max_hamming=1, the pigeonhole guarantee makes the
+    bucketed plan's result set EXACTLY the brute-force set, so the hash
+    match proves the LSH shortcut lossless (same proof shape as
+    dedup_near_minhash's verification-join oracle)."""
+    from ..operators.media import (
+        decode_media,
+        media_near_pairs,
+        media_phash_col,
+    )
+
+    meta = decode_media(flat_to_spans(_docs(spark, sf_dir)))
+    ph = meta.select(
+        "media_ref", media_phash_col(F.col("sha")).alias("phash")
+    )
+    return media_near_pairs(ph, bits=8, bands=2, max_hamming=1)
+
+
+def _sql_media_dedup_pairs() -> str:
+    from ..operators.media import media_phash_sql
+
+    return f"""
+with m as ({SQL_MEDIA_METADATA}),
+p as (select distinct media_ref, {media_phash_sql("sha")} as phash from m)
+select a.media_ref as ref_a, b.media_ref as ref_b,
+       cast(bit_count(xor(a.phash, b.phash)) as bigint) as hamming
+from p a join p b on a.media_ref < b.media_ref
+where bit_count(xor(a.phash, b.phash)) <= 1
+"""
+
+
+SQL_MEDIA_DEDUP_PAIRS = _sql_media_dedup_pairs()
+
+
 # --- §2.5 streaming ingest: the SAME batch stages run per micro-batch
 # (readStream → foreachBatch → snapshot commits), so the stream's final
 # table must hash-match the batch oracle — streaming/batch parity is a
@@ -5249,6 +5310,8 @@ QUERIES: dict[str, Callable] = {
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "er_resolve_tfidf": q_er_resolve_tfidf,
     "er_block_budget": q_er_block_budget,
+    "media_phash": q_media_phash,
+    "media_dedup_pairs": q_media_dedup_pairs,
     "er_span_assembly": q_er_span_assembly,
     "er_mentions": q_er_mentions,
     "er_normalize": q_er_normalize,
@@ -5362,6 +5425,8 @@ ORACLES: dict[str, str] = {
     "corpus_ngram_topk": SQL_CORPUS_NGRAM_TOPK,
     "er_resolve_tfidf": SQL_ER_RESOLVE_TFIDF,
     "er_block_budget": SQL_ER_BLOCK_BUDGET,
+    "media_phash": SQL_MEDIA_PHASH,
+    "media_dedup_pairs": SQL_MEDIA_DEDUP_PAIRS,
     "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize": SQL_ER_NORMALIZE,
@@ -5510,4 +5575,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 107
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 109
