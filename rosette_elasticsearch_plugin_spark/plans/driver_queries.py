@@ -3232,13 +3232,13 @@ def _fs_spark_parts(spark):
         )
     )
     params = fs_params(feats, labeled)
-    return feats, params
+    return feats, params, keyed
 
 
 def q_er_fs_params(spark, sf_dir):
     from ..resolution.fs import FS_FEATURES
 
-    _feats, params = _fs_spark_parts(spark)
+    _feats, params, _keyed = _fs_spark_parts(spark)
     cols = [F.col("n_match"), F.col("n_non")]
     for f in FS_FEATURES:
         cols.append(F.round("m_" + f, 6).alias("m_" + f))
@@ -3249,7 +3249,7 @@ def q_er_fs_params(spark, sf_dir):
 def q_er_fs_scored(spark, sf_dir):
     from ..resolution.fs import fs_weight
 
-    feats, params = _fs_spark_parts(spark)
+    feats, params, _keyed = _fs_spark_parts(spark)
     return fs_weight(feats, params)
 
 
@@ -3303,6 +3303,26 @@ SQL_ER_FS_PARAMS = _sql_er_fs_params()
 SQL_ER_FS_SCORED = _sql_er_fs_scored()
 
 
+def q_er_fs_tf(spark, sf_dir):
+    """Splink-style term-frequency-adjusted FS weights: agreement on a
+    key shared by many vocabulary entries is discounted by
+    log2(u_exact / tf_v); rare-key agreement is boosted.  The tf table
+    is one combinable groupBy broadcast beside the parameter row."""
+    from ..resolution.fs import fs_weight_tf
+
+    feats, params, keyed = _fs_spark_parts(spark)
+    return fs_weight_tf(feats, params, keyed)
+
+
+def _sql_er_fs_tf() -> str:
+    from ..resolution.fs import fs_weight_tf_sql
+
+    return _fs_sql_prefix() + fs_weight_tf_sql()
+
+
+SQL_ER_FS_TF = _sql_er_fs_tf()
+
+
 # Unsupervised Fellegi-Sunter: EM over the agreement patterns alone —
 # no labels anywhere in the plan (resolution/fs.fs_em_params).  The
 # oracle unrolls the EM rounds as CTEs, hash-checking the full
@@ -3310,7 +3330,7 @@ SQL_ER_FS_SCORED = _sql_er_fs_scored()
 def q_er_fs_em(spark, sf_dir):
     from ..resolution.fs import fs_em_params
 
-    feats, _params = _fs_spark_parts(spark)
+    feats, _params, _keyed = _fs_spark_parts(spark)
     return fs_em_params(feats)
 
 
@@ -3343,7 +3363,7 @@ SQL_ER_FS_EM = _sql_er_fs_em()
 def q_er_fs_em_scored(spark, sf_dir):
     from ..resolution.fs import fs_decision_col, fs_em_params, fs_weight
 
-    feats, _ = _fs_spark_parts(spark)
+    feats, _, _keyed = _fs_spark_parts(spark)
     em = fs_em_params(feats).drop("n_pairs")
     w = fs_weight(feats, em)
     return w.withColumn("decision", fs_decision_col(F.col("fs_weight")))
@@ -5312,6 +5332,7 @@ QUERIES: dict[str, Callable] = {
     "er_block_budget": q_er_block_budget,
     "media_phash": q_media_phash,
     "media_dedup_pairs": q_media_dedup_pairs,
+    "er_fs_tf": q_er_fs_tf,
     "er_span_assembly": q_er_span_assembly,
     "er_mentions": q_er_mentions,
     "er_normalize": q_er_normalize,
@@ -5427,6 +5448,7 @@ ORACLES: dict[str, str] = {
     "er_block_budget": SQL_ER_BLOCK_BUDGET,
     "media_phash": SQL_MEDIA_PHASH,
     "media_dedup_pairs": SQL_MEDIA_DEDUP_PAIRS,
+    "er_fs_tf": SQL_ER_FS_TF,
     "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize": SQL_ER_NORMALIZE,
@@ -5575,4 +5597,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 109
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 110

@@ -213,6 +213,93 @@ def fs_weight_sql(params_cte: str = "params") -> str:
     )
 
 
+def fs_weight_tf(
+    features: DataFrame, params: DataFrame, keyed: DataFrame
+) -> DataFrame:
+    """Splink-style term-frequency adjustment on the exact-key feature.
+
+    The average u_f_exact treats agreement on ANY key value as equal
+    evidence, but agreeing on a key shared by many vocabulary entries
+    ("john smith") is far weaker evidence than agreeing on a rare one.
+    Per Splink's tf_adjustments: for an agreeing pair on value v, the
+    Bayes factor m/u is corrected by u / tf_v (tf_v = n_v / N over the
+    keyed vocabulary), i.e. an additive log2(u_f_exact / tf_v) term —
+    common values are discounted, rare values boosted; non-agreeing
+    pairs keep the plain weight.
+
+    Scale shape: tf is one combinable groupBy over the vocabulary plus
+    a single-row total, both broadcast; the correction adds NO shuffle
+    on top of fs_weight's.  Terms are quantized to integer micro-units
+    like the base weight, so the output is hash-checkable.
+    Output: (node_a, node_b, f_exact, fs_weight, tf_weight)."""
+    ka = keyed.select(
+        F.col("node").alias("node_a"), F.col("key").alias("key_a")
+    )
+    tf = keyed.groupBy("key").agg(F.count("*").alias("n_key"))
+    tot = keyed.agg(F.count("*").cast("double").alias("n_tot"))
+    out = (
+        features.join(ka, "node_a")
+        .join(
+            F.broadcast(tf.withColumnRenamed("key", "key_a")),
+            "key_a",
+            "left",
+        )
+        .crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(tot))
+    )
+    total = F.lit(0).cast("long")
+    for f in FS_FEATURES:
+        m, u = F.col("m_" + f), F.col("u_" + f)
+        term = F.when(F.col(f), _quant_log2(m / u)).otherwise(
+            _quant_log2((1 - m) / (1 - u))
+        )
+        total = total + term
+    adj = F.when(
+        F.col("f_exact"),
+        _quant_log2(
+            F.col("u_f_exact") / (F.col("n_key") / F.col("n_tot"))
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select(
+        "node_a",
+        "node_b",
+        "f_exact",
+        F.round(total / 1e6, 6).alias("fs_weight"),
+        F.round((total + adj) / 1e6, 6).alias("tf_weight"),
+    )
+
+
+def fs_weight_tf_sql(
+    names_from: str = "names", params_cte: str = "params"
+) -> str:
+    """SELECT body mirroring fs_weight_tf from ``feats``/names/params."""
+    terms = []
+    for f in FS_FEATURES:
+        terms.append(
+            f"case when {f} then cast(round(log2(m_{f} / u_{f}) * 1e6)"
+            f" as bigint)"
+            f" else cast(round(log2((1 - m_{f}) / (1 - u_{f})) * 1e6)"
+            f" as bigint) end"
+        )
+    total = " + ".join(terms)
+    adj = (
+        "case when f_exact then cast(round(log2(u_f_exact /"
+        " (tf.n_key / tot.n_tot)) * 1e6) as bigint)"
+        " else cast(0 as bigint) end"
+    )
+    return f"""
+, tf as (select key, count(*) as n_key from {names_from} group by key),
+tot as (select cast(count(*) as double) as n_tot from {names_from})
+select f.node_a, f.node_b, f.f_exact,
+       round(({total}) / 1e6, 6) as fs_weight,
+       round((({total}) + ({adj})) / 1e6, 6) as tf_weight
+from feats f
+     join {names_from} ka on ka.node = f.node_a
+     left join tf on tf.key = ka.key
+     cross join {params_cte} cross join tot
+"""
+
+
 # Fellegi-Sunter three-way decision thresholds (in log2-ratio bits):
 # W ≥ upper → link, W ≤ lower → non-link, between → clerical review.
 FS_UPPER, FS_LOWER = 4.0, 0.0

@@ -148,3 +148,65 @@ def test_fs_em_separates_discriminative_features(spark):
         assert row["m_" + f] > row["u_" + f], f
     # the match class EM found should be ~10% of pairs
     assert 0.02 < row.lam < 0.4
+
+
+def test_fs_weight_tf_rare_beats_common(spark):
+    """Splink-style TF adjustment: two pairs with IDENTICAL agreement
+    vectors get the same base weight, but the one agreeing on a rare
+    key outscores the one agreeing on a vocabulary-hot key; non-exact
+    pairs are untouched (tf_weight == fs_weight)."""
+    from rosette_elasticsearch_plugin_spark.resolution.fs import (
+        fs_features,
+        fs_params,
+        fs_weight_tf,
+    )
+
+    # 4 nodes share the hot key, 2 the rare key, 2 disagree entirely
+    keyed = spark.createDataFrame(
+        [
+            ("john smith", "john smith"),
+            ("john  smith", "john smith"),
+            ("jon smith sr", "john smith"),
+            ("mr john smith", "john smith"),
+            ("xerxes q", "xerxes q"),
+            ("xerxes q.", "xerxes q"),
+            ("ada byron", "ada byron"),
+            ("alan turing", "alan turing"),
+        ],
+        ["node", "key"],
+    )
+    blocks = keyed.select("node", F.lit("m:X").alias("block_key"))
+    pairs = spark.createDataFrame(
+        [
+            ("john smith", "john  smith"),  # exact on hot key
+            ("xerxes q", "xerxes q."),      # exact on rare key
+            ("ada byron", "alan turing"),   # no agreement
+        ],
+        ["node_a", "node_b"],
+    )
+    labeled = spark.createDataFrame(
+        [
+            ("john smith", "john  smith", True),
+            ("xerxes q", "xerxes q.", True),
+            ("ada byron", "alan turing", False),
+        ],
+        ["node_a", "node_b", "is_match"],
+    )
+    feats = fs_features(pairs, keyed, blocks)
+    params = fs_params(feats, labeled)
+    out = {
+        (r.node_a, r.node_b): r
+        for r in fs_weight_tf(feats, params, keyed).collect()
+    }
+    hot = out[("john smith", "john  smith")]
+    rare = out[("xerxes q", "xerxes q.")]
+    non = out[("ada byron", "alan turing")]
+    assert hot.f_exact and rare.f_exact and not non.f_exact
+    # identical agreement vector -> identical base weight
+    assert hot.fs_weight == rare.fs_weight
+    # rare key boosted above common key: log2(u/(2/8)) > log2(u/(4/8))
+    assert rare.tf_weight > hot.tf_weight
+    # exact adjustment delta is log2(tf_hot / tf_rare) = log2(2) = 1 bit
+    assert abs((rare.tf_weight - hot.tf_weight) - 1.0) < 1e-5
+    # non-agreeing pair untouched
+    assert non.tf_weight == non.fs_weight
