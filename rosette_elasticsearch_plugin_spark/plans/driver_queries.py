@@ -4179,6 +4179,77 @@ where bit_count(xor(a.phash, b.phash)) <= 1
 SQL_MEDIA_DEDUP_PAIRS = _sql_media_dedup_pairs()
 
 
+def q_media_doc_matches(spark, sf_dir):
+    """Cross-modal document linkage: doc pairs connected by at least
+    one perceptually near-duplicate media span — the interleaved-payload
+    analogue of text near-dup (a scraped page re-hosting another's
+    images links to it even when the text differs).  Built entirely on
+    the bucketed media_near_pairs plan; the ref→doc back-join is
+    key-equi and the final rollup combinable."""
+    from ..operators.media import (
+        decode_media,
+        media_near_pairs,
+        media_phash_col,
+    )
+
+    meta = decode_media(flat_to_spans(_docs(spark, sf_dir)))
+    ph = meta.select(
+        "media_ref", media_phash_col(F.col("sha")).alias("phash")
+    )
+    pairs = media_near_pairs(ph, bits=8, bands=2, max_hamming=1)
+    refs = meta.select("doc_id", "media_ref").distinct()
+    ra = refs.select(
+        F.col("doc_id").alias("da"), F.col("media_ref").alias("ref_a")
+    )
+    rb = refs.select(
+        F.col("doc_id").alias("db"), F.col("media_ref").alias("ref_b")
+    )
+    return (
+        pairs.join(ra, "ref_a")
+        .join(rb, "ref_b")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+        )
+    )
+
+
+SQL_MEDIA_DOC_MATCHES = f"""
+with m as ({SQL_MEDIA_METADATA}),
+p as (select distinct media_ref, phash
+      from (select media_ref, {{phash}} as phash from m)),
+prs as (select a.media_ref as ref_a, b.media_ref as ref_b,
+               cast(bit_count(xor(a.phash, b.phash)) as bigint) as hamming
+        from p a join p b on a.media_ref < b.media_ref
+        where bit_count(xor(a.phash, b.phash)) <= 1),
+refs as (select distinct doc_id, media_ref from m)
+select least(ra.doc_id, rb.doc_id) as doc_a,
+       greatest(ra.doc_id, rb.doc_id) as doc_b,
+       cast(count(*) as bigint) as n_links,
+       cast(min(hamming) as bigint) as min_hamming
+from prs join refs ra on ra.media_ref = prs.ref_a
+         join refs rb on rb.media_ref = prs.ref_b
+where ra.doc_id <> rb.doc_id
+group by 1, 2
+"""
+
+
+def _sql_media_doc_matches() -> str:
+    from ..operators.media import media_phash_sql
+
+    return SQL_MEDIA_DOC_MATCHES.format(phash=media_phash_sql("sha"))
+
+
+SQL_MEDIA_DOC_MATCHES = _sql_media_doc_matches()
+
+
 # --- §2.5 streaming ingest: the SAME batch stages run per micro-batch
 # (readStream → foreachBatch → snapshot commits), so the stream's final
 # table must hash-match the batch oracle — streaming/batch parity is a
@@ -5333,6 +5404,7 @@ QUERIES: dict[str, Callable] = {
     "media_phash": q_media_phash,
     "media_dedup_pairs": q_media_dedup_pairs,
     "er_fs_tf": q_er_fs_tf,
+    "media_doc_matches": q_media_doc_matches,
     "er_span_assembly": q_er_span_assembly,
     "er_mentions": q_er_mentions,
     "er_normalize": q_er_normalize,
@@ -5449,6 +5521,7 @@ ORACLES: dict[str, str] = {
     "media_phash": SQL_MEDIA_PHASH,
     "media_dedup_pairs": SQL_MEDIA_DEDUP_PAIRS,
     "er_fs_tf": SQL_ER_FS_TF,
+    "media_doc_matches": SQL_MEDIA_DOC_MATCHES,
     "er_span_assembly": SQL_ER_SPAN_ASSEMBLY,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize": SQL_ER_NORMALIZE,
@@ -5597,4 +5670,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 110
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 111
