@@ -46,6 +46,28 @@ _TYPES = ["PERSON", "ORGANIZATION", "LOCATION", "PRODUCT"]
 _FILLER = ("the report said that ", "according to sources ", "yesterday ",
            "in other news ", "analysts noted ", "meanwhile ", "officials stated ")
 
+# Opt-in nickname families (n_nickname_families > 0): formal given name
+# + a surname DISJOINT from _LAST (so they never interact with the
+# default families' initials/typo variants), with diminutive surface
+# variants from functions/aliases.NICKNAMES.  A fixed table, no rng
+# draws — appending them never perturbs the default families.
+NICKNAME_FAMILIES: list[tuple[str, str, str, list[str]]] = [
+    ("NCK0000", "William Whitfield", "PERSON",
+     ["Bill Whitfield", "Billy Whitfield"]),
+    ("NCK0001", "Robert Oduya", "PERSON", ["Bob Oduya", "Bobby Oduya"]),
+    ("NCK0002", "Elizabeth Marchetti", "PERSON",
+     ["Liz Marchetti", "Beth Marchetti"]),
+    ("NCK0003", "Margaret Sandoval", "PERSON",
+     ["Peggy Sandoval", "Meg Sandoval"]),
+    ("NCK0004", "Richard Krejci", "PERSON",
+     ["Dick Krejci", "Rick Krejci"]),
+    ("NCK0005", "Katherine Tanabe", "PERSON",
+     ["Kate Tanabe", "Kathy Tanabe"]),
+    ("NCK0006", "Edward Olofsson", "PERSON",
+     ["Ted Olofsson", "Ned Olofsson"]),
+    ("NCK0007", "James Duarte", "PERSON", ["Jim Duarte", "Jimmy Duarte"]),
+]
+
 
 def _typo(rng: random.Random, s: str) -> str:
     """One deterministic char-level perturbation, restricted to mid-token
@@ -75,9 +97,17 @@ class SyntheticCorpus:
     families: list[tuple[str, str, str, list[str]]]
 
 
-def make_families(n_extra: int = 40, seed: int = 42):
+def make_families(n_extra: int = 40, seed: int = 42,
+                  n_nickname_families: int = 0):
     rng = random.Random(seed)
     fams = list(FIXTURE_FAMILIES)
+    if n_nickname_families:
+        if n_nickname_families > len(NICKNAME_FAMILIES):
+            raise ValueError(
+                f"n_nickname_families={n_nickname_families} exceeds the "
+                f"{len(NICKNAME_FAMILIES)} fixed nickname families"
+            )
+        fams += NICKNAME_FAMILIES[:n_nickname_families]
     # (first-initial, last) must be unique across families, else the
     # initials variant ("K. Svensson") is genuinely ambiguous and no
     # resolver can hit F1≥0.99 on planted truth
@@ -112,9 +142,10 @@ def make_families(n_extra: int = 40, seed: int = 42):
 def generate(
     n_docs: int = 120, seed: int = 42, n_extra_families: int = 40,
     mentions_per_doc: tuple[int, int] = (1, 3), media_prob: float = 0.5,
+    n_nickname_families: int = 0,
 ) -> SyntheticCorpus:
     rng = random.Random(seed)
-    fams = make_families(n_extra_families, seed)
+    fams = make_families(n_extra_families, seed, n_nickname_families)
     docs: list[tuple] = []
     mention_rows: list[tuple] = []
     seen_canonical: set[str] = set()

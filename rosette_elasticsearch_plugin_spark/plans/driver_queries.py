@@ -5388,9 +5388,142 @@ from sized group by family
 SQL_ER_BLOCK_BUDGET = _sql_er_block_budget()
 
 
+# --- nickname / alias canonicalization (functions/aliases.py) --------------------
+# "bill whitfield" and "william whitfield" share no character-level
+# signal any family can use (different metaphone codes, first-char
+# mismatch kills JW, surname-only shingle overlap) — the standard fix
+# is a public diminutive→formal dictionary applied inside the ER
+# canonical key.  er_alias_normalize checks the key rewrite itself;
+# er_resolve_alias proves the INTEGRATED path (alias-keyed blocking +
+# scoring + CC over a corpus with planted nickname families).
+def q_er_alias_normalize(spark, sf_dir):
+    from ..corpus import NICKNAME_FAMILIES
+    from .er_pipeline import er_key_col
+
+    rows = [
+        (v,)
+        for _label, canon, _t, variants in NICKNAME_FAMILIES
+        for v in [canon, *variants]
+    ] + [("Владимир Путин",), ("Sofia Okafor",)]  # translit + passthrough
+    df = spark.createDataFrame(rows, "name string")
+    return df.select(
+        "name", er_key_col(F.col("name"), aliases=True).alias("alias_key")
+    )
+
+
+def _sql_er_alias_normalize() -> str:
+    from ..corpus import NICKNAME_FAMILIES
+    from ..functions.aliases import alias_canonical_sql
+    from ..functions.translit import translit_lower_sql
+
+    rows = [
+        v
+        for _label, canon, _t, variants in NICKNAME_FAMILIES
+        for v in [canon, *variants]
+    ] + ["Владимир Путин", "Sofia Okafor"]
+    vals = ", ".join("('" + v.replace("'", "''") + "')" for v in rows)
+    key = alias_canonical_sql(translit_lower_sql("name"))
+    return (
+        f"with inp(name) as (values {vals}) "
+        f"select name, {key} as alias_key from inp"
+    )
+
+
+SQL_ER_ALIAS_NORMALIZE = _sql_er_alias_normalize()
+
+
+def _alias_corpus_names() -> list[str]:
+    from .. import corpus as corpus_mod
+
+    c = corpus_mod.generate(n_docs=120, seed=42, n_nickname_families=8)
+    return sorted({r[5] for r in c.mentions})
+
+
+def q_er_resolve_alias(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from .er_pipeline import ERConfig, resolve_names
+
+    cfg = ERConfig(alias_names=True)
+    c = corpus.generate(n_docs=120, seed=42, n_nickname_families=8)
+    docs, _ = corpus.to_spark(spark, c)
+    return resolve_names(distinct_mention_names(docs), cfg).select(
+        "node", "cluster"
+    )
+
+
+def _sql_er_resolve_alias() -> str:
+    from .er_oracle import cluster_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig(alias_names=True)
+    return (
+        f"with recursive {cluster_ctes(_alias_corpus_names(), cfg)} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_RESOLVE_ALIAS = _sql_er_resolve_alias()
+
+
+# --- best-match decision layers (star / mutual; clustering.best_match_edges) -----
+# Chaining-resistant alternatives to transitive closure over ALL
+# supra-threshold edges: each node contributes only its single best
+# edge (star), optionally required to be reciprocal (mutual) — the
+# star/center family of the classic duplicate-detection clustering
+# taxonomy.  Same fixture corpus, same blocking/scoring path; only the
+# edge restriction differs, and the oracle mirrors it with a window
+# inside the recursive-CTE clustering chain (edge_mode=...).
+def _q_er_clusters_bestmatch(spark, mutual: bool):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.clustering import (
+        best_match_edges,
+        connected_components,
+    )
+    from .er_pipeline import ERConfig, name_match_edges
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    names, edges = name_match_edges(distinct_mention_names(docs), cfg)
+    restricted = best_match_edges(
+        edges, cfg.scoring.threshold, mutual=mutual
+    )
+    return connected_components(
+        restricted, nodes=names, max_iter=cfg.cc_max_iter
+    ).select("node", "cluster")
+
+
+def q_er_clusters_star(spark, sf_dir):
+    return _q_er_clusters_bestmatch(spark, mutual=False)
+
+
+def q_er_clusters_mutual(spark, sf_dir):
+    return _q_er_clusters_bestmatch(spark, mutual=True)
+
+
+def _sql_er_clusters_bestmatch(mode: str) -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    return (
+        f"with recursive {cluster_ctes(names, edge_mode=mode)} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_CLUSTERS_STAR = _sql_er_clusters_bestmatch("star")
+SQL_ER_CLUSTERS_MUTUAL = _sql_er_clusters_bestmatch("mutual")
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
+    "er_alias_normalize": q_er_alias_normalize,
+    "er_resolve_alias": q_er_resolve_alias,
+    "er_clusters_star": q_er_clusters_star,
+    "er_clusters_mutual": q_er_clusters_mutual,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -5508,6 +5641,10 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "er_alias_normalize": SQL_ER_ALIAS_NORMALIZE,
+    "er_resolve_alias": SQL_ER_RESOLVE_ALIAS,
+    "er_clusters_star": SQL_ER_CLUSTERS_STAR,
+    "er_clusters_mutual": SQL_ER_CLUSTERS_MUTUAL,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -5670,4 +5807,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 111
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 115

@@ -33,10 +33,16 @@ def _q(s: str) -> str:
     return s.replace("'", "''")
 
 
-def er_key_py(node: str) -> str:
+def er_key_py(node: str, aliases: bool = False) -> str:
     """Python mirror of plans/er_pipeline.er_key_col (transliterated
-    normalized name)."""
-    return translit_lower_py(node)
+    normalized name; with ``aliases``, nickname tokens rewritten to
+    their formal form — functions/aliases.py)."""
+    key = translit_lower_py(node)
+    if aliases:
+        from ..functions.aliases import alias_canonical_py
+
+        key = alias_canonical_py(key)
+    return key
 
 
 def blocks_ctes(
@@ -49,7 +55,7 @@ def blocks_ctes(
     and a corpus) coexist in one statement."""
     p = prefix
     uniq = sorted(set(names))
-    keys = {n: er_key_py(n) for n in uniq}
+    keys = {n: er_key_py(n, cfg.alias_names) for n in uniq}
     bcfg = cfg.blocking
     toks = sorted(
         {
@@ -103,6 +109,7 @@ def cluster_ctes(
     prefix: str = "",
     must_link: list[tuple[str, str]] | None = None,
     cannot_link: list[tuple[str, str]] | None = None,
+    edge_mode: str = "threshold",
 ) -> str:
     """CTE chain ``names → blocks → cpairs → scored → clusters`` over a
     fixed name universe, mirroring ``resolve_names`` value-for-value.
@@ -117,8 +124,17 @@ def cluster_ctes(
     opt-in sorted-neighborhood family) is mirrored too: the small
     fixture affords the plain ``row_number()`` window the Spark side's
     distributed two-phase rank avoids, and the adjacency pairs union
-    into the candidate set exactly like ``name_match_edges`` does."""
+    into the candidate set exactly like ``name_match_edges`` does.
+    ``edge_mode`` mirrors the decision layer feeding CC: "threshold"
+    (default — all supra-threshold edges, the ``match_edges`` path),
+    "star" or "mutual" (``clustering.best_match_edges`` — per-node
+    best edge, optionally reciprocal).  Overrides compose only with
+    the threshold mode."""
     p = prefix
+    if edge_mode not in ("threshold", "star", "mutual"):
+        raise ValueError(f"unknown edge_mode {edge_mode!r}")
+    if edge_mode != "threshold" and (must_link or cannot_link):
+        raise ValueError("overrides compose only with edge_mode='threshold'")
 
     def _pair_vals(pairs):
         norm = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
@@ -192,14 +208,41 @@ def cluster_ctes(
            from {p}blocks a join {p}blocks b using (block_key)
                          join {p}bsizes s using (block_key)
            where s.n <= {cfg.max_block_size} and a.node < b.node{snm_union}),"""
+    if edge_mode == "threshold":
+        medges_ctes = f"""
+{p}medges as materialized (select node_a, node_b from {p}scored
+           where score >= {cfg.scoring.threshold}{cannot_clause}{must_clause}),"""
+    else:
+        # best-match restriction (clustering.best_match_edges): per
+        # node keep only the top-scoring supra-threshold neighbor
+        # (ties → smallest id); "mutual" additionally requires
+        # reciprocity.  sccand materialized — mdirected reads it twice.
+        if edge_mode == "star":
+            medges_sel = (
+                f"select distinct least(u, v) as node_a, "
+                f"greatest(u, v) as node_b from {p}mbest"
+            )
+        else:
+            medges_sel = (
+                f"select a.u as node_a, a.v as node_b from {p}mbest a "
+                f"join {p}mbest b on b.u = a.v and b.v = a.u "
+                f"where a.u < a.v"
+            )
+        medges_ctes = f"""
+{p}sccand as materialized (select node_a, node_b, score from {p}scored
+           where score >= {cfg.scoring.threshold}),
+{p}mdirected as (select node_a as u, node_b as v, score from {p}sccand
+           union all select node_b as u, node_a as v, score from {p}sccand),
+{p}mbest as materialized (select u, v from (
+    select u, v, row_number() over (partition by u order by score desc, v) as rn
+    from {p}mdirected) where rn = 1),
+{p}medges as materialized ({medges_sel}),"""
     return f"""{blocks_ctes(names, cfg, prefix=p)},
 {p}bsizes as (select block_key, count(*) as n from {p}blocks group by block_key),{ranked_cte}{cpairs_cte}
 {p}scored as (select node_a, node_b,
                   {score_sql('ka.key', 'kb.key', cfg.scoring)} as score
            from {p}cpairs join {p}names ka on ka.node = {p}cpairs.node_a
-                       join {p}names kb on kb.node = {p}cpairs.node_b),
-{p}medges as materialized (select node_a, node_b from {p}scored
-           where score >= {cfg.scoring.threshold}{cannot_clause}{must_clause}),
+                       join {p}names kb on kb.node = {p}cpairs.node_b),{medges_ctes}
 {p}eedges as materialized (select node_a as u, node_b as v from {p}medges
            union all select node_b as u, node_a as v from {p}medges),
 {p}reach(u, v) as (select u, v from {p}eedges

@@ -57,12 +57,27 @@ class ERConfig:
     # blocking.use_tokens=True (the high-recall family whose Zipfian
     # budget meta-blocking exists to control).
     meta_tau: float | None = None
+    # opt-in nickname canonicalization (functions/aliases.py): rewrite
+    # diminutive given-name tokens to their formal form INSIDE the ER
+    # canonical key, so "bill lindqvist" blocks and scores as
+    # "william lindqvist".  Off by default: the rewrite is a constant
+    # per-name column expression (no new shuffle), but it widens what
+    # counts as "the same name" and callers should opt into that.
+    alias_names: bool = False
 
 
-def er_key_col(c):
+def er_key_col(c, aliases: bool = False):
     """ER canonical form: transliterated normalized name — cross-script
-    variants share blocks and score ~1.0."""
-    return translit_lower_col(c)
+    variants share blocks and score ~1.0.  With ``aliases`` the
+    nickname dictionary additionally rewrites diminutive tokens to
+    their formal form (same key => same exact block => alias variants
+    score 1.0)."""
+    key = translit_lower_col(c)
+    if aliases:
+        from ..functions.aliases import alias_canonical_col
+
+        key = alias_canonical_col(key)
+    return key
 
 
 def name_match_edges(
@@ -92,7 +107,9 @@ def name_match_edges(
     target = max(1, min(cur, n_names // 20_000 + 1))
     if target < cur:
         names = names.coalesce(target)
-    keyed = names.select("node", er_key_col(F.col("node")).alias("key"))
+    keyed = names.select(
+        "node", er_key_col(F.col("node"), cfg.alias_names).alias("key")
+    )
     # materialize the block table once: candidate_pairs references it
     # from the size aggregate, both grid-join sides, and the hot-block
     # branch — unmaterialized, the whole metaphone-UDF + MinHash

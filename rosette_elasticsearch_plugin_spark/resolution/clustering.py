@@ -155,6 +155,69 @@ def connected_components(
     return labels
 
 
+def best_match_edges(
+    scored: DataFrame,
+    threshold: float,
+    mutual: bool = False,
+) -> DataFrame:
+    """Chaining-resistant edge restriction over scored candidate pairs
+    (the star / mutual-best decision layers of the classic clustering
+    taxonomy — cf. Hassanzadeh et al., "Framework for Evaluating
+    Clustering Algorithms in Duplicate Detection", VLDB 2009).
+
+    Transitive closure over ALL supra-threshold edges lets a hub node
+    with many barely-matching neighbors glue unrelated entities into
+    one component.  Here each node contributes exactly ONE edge — to
+    its best-scoring neighbor at or above ``threshold`` (ties broken
+    by smallest neighbor id, so the restriction is deterministic and
+    engine-independent given bit-identical scores):
+
+    * star (``mutual=False``): keep the union of per-node best edges.
+      A hub's fan-out collapses to one edge; components become
+      star/path shaped.
+    * mutual (``mutual=True``): keep an edge only when each endpoint
+      is the other's best match (reciprocal best hit).  This provably
+      cuts score-descending chains: in A−B−C with score(AB)>score(BC),
+      B's best is A, so BC drops and C separates.
+
+    Input: (node_a, node_b, score) with node_a < node_b.  Output: the
+    restricted undirected edge list (node_a, node_b) — feed it to
+    ``connected_components``.
+
+    Scale shape: one symmetrizing union (narrow), one window over the
+    node key (single shuffle, vocabulary-scale — same key as every
+    other per-node stage), and for mutual one self-semi-join on the
+    (u, v) pair key.  No corpus access, no driver collection.
+    """
+    m = scored.where(F.col("score") >= F.lit(threshold)).select(
+        "node_a", "node_b", "score"
+    )
+    directed = m.select(
+        F.col("node_a").alias("u"), F.col("node_b").alias("v"), "score"
+    ).unionByName(
+        m.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"), "score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("v"))
+    best = (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("u", "v")
+    )
+    if mutual:
+        flipped = best.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        return (
+            best.join(flipped, ["u", "v"], "left_semi")
+            .where(F.col("u") < F.col("v"))
+            .select(F.col("u").alias("node_a"), F.col("v").alias("node_b"))
+        )
+    return best.select(
+        F.least("u", "v").alias("node_a"),
+        F.greatest("u", "v").alias("node_b"),
+    ).distinct()
+
+
 def assign_cluster_ids(
     mentions: DataFrame, name_clusters: DataFrame, name_col: str = "normalized"
 ) -> DataFrame:
