@@ -593,3 +593,147 @@ def incremental_near_dup_pairs(
             "jaccard"
         ),
     ).where(F.col("jaccard") >= threshold)
+
+
+def retract_near_dup_pairs(
+    docs: DataFrame,
+    prior_index: DataFrame,
+    prior_pairs: DataFrame,
+    removed: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = DEDUP_MAX_BUCKET,
+) -> DataFrame:
+    """Verified near-dup pairs after DELETING ``removed`` docs — the
+    retraction half of index incrementality (GDPR erasure / source
+    retraction), exactly equal to the full recompute over the
+    surviving corpus (the oracle proves it by hash).
+
+    No kernel (shingle/MinHash) ever runs over old docs: band keys are
+    READ from the committed index, prior verified pairs are kept when
+    both endpoints survive, and fresh candidate generation is confined
+    to the DIRTY buckets deletion can actually change:
+
+    * a bucket that was over the hot cap and shrinks to ≤ cap flips
+      from star pairing back to all-pairs — regenerate all pairs among
+      its survivors;
+    * a hot bucket whose min-id representative was deleted re-stars to
+      the new min survivor — regenerate its star pairs.
+
+    Every other bucket's surviving pairs are unchanged (sizes only
+    shrink, so small stays small and a surviving rep stays the rep).
+    Only regenerated candidates not already kept are re-verified, so
+    verification shingles touch the dirty buckets' members only.
+
+    docs: the corpus including removed rows (only surviving candidate
+    docs are shingled — in production, a point lookup by id).
+    prior_index: committed (doc_id, band_key) rows (removed included).
+    prior_pairs: the prior run's verified (doc_id_a, doc_id_b,
+    jaccard) at the SAME threshold and max_bucket.
+    """
+    removed_ids = removed.select("doc_id").distinct().localCheckpoint(
+        eager=False
+    )
+    surv = prior_index.select("doc_id", "band_key").join(
+        removed_ids, "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    before = prior_index.groupBy("band_key").agg(
+        F.count("*").alias("__n0"), F.min("doc_id").alias("__rep0")
+    )
+    after = surv.groupBy("band_key").agg(
+        F.count("*").alias("__n1"), F.min("doc_id").alias("__rep1")
+    )
+    # inner join: a bucket with no survivors vanished and has no pairs
+    dirty = (
+        before.join(after, "band_key")
+        .where(
+            (F.col("__n0") > max_bucket)
+            & (
+                (F.col("__n1") <= max_bucket)
+                | (F.col("__rep0") != F.col("__rep1"))
+            )
+        )
+        .select("band_key", "__n1", "__rep1")
+        .localCheckpoint(eager=False)
+    )
+    kept = (
+        prior_pairs.select("doc_id_a", "doc_id_b", "jaccard")
+        .join(
+            removed_ids.withColumnRenamed("doc_id", "doc_id_a"),
+            "doc_id_a",
+            "left_anti",
+        )
+        .join(
+            removed_ids.withColumnRenamed("doc_id", "doc_id_b"),
+            "doc_id_b",
+            "left_anti",
+        )
+        .localCheckpoint(eager=False)
+    )
+    small_m = surv.join(
+        dirty.where(F.col("__n1") <= max_bucket).select("band_key"),
+        "band_key",
+    )
+    small_pairs = (
+        small_m.alias("a")
+        .join(small_m.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+    )
+    hot_pairs = (
+        surv.join(
+            dirty.where(F.col("__n1") > max_bucket).select(
+                "band_key", "__rep1"
+            ),
+            "band_key",
+        )
+        .where(F.col("doc_id") != F.col("__rep1"))
+        .select(
+            F.least("doc_id", "__rep1").alias("doc_id_a"),
+            F.greatest("doc_id", "__rep1").alias("doc_id_b"),
+        )
+    )
+    cands = (
+        small_pairs.unionByName(hot_pairs)
+        .distinct()
+        .join(kept.select("doc_id_a", "doc_id_b"),
+              ["doc_id_a", "doc_id_b"], "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        cands.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(removed_ids, "doc_id", "left_anti")
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", token_shingles_col(F.col(text_col)).alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
+    fresh = (
+        cands.join(
+            sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
+                "__sh", "sh_a"
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+                "__sh", "sh_b"
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            ngram_jaccard_from_arrays_col(
+                F.col("sh_a"), F.col("sh_b")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return kept.unionByName(fresh)

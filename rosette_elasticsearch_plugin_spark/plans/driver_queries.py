@@ -685,7 +685,7 @@ def q_dedup_near_minhash(spark, sf_dir):
     )
 
 
-def _lsh_cand_ctes(keys: str = "keys") -> str:
+def _lsh_cand_ctes(keys: str = "keys", max_bucket: int = dedup.DEDUP_MAX_BUCKET) -> str:
     """Shared mirror of dedup.lsh_candidate_pairs over an existing
     ``{keys}`` CTE of (doc_id, band_key): size-capped bucket self-join
     plus star pairs to the min-id representative for over-cap buckets
@@ -702,12 +702,12 @@ cand as materialized (select distinct doc_id_a, doc_id_b from (
          select a.doc_id as doc_id_a, b.doc_id as doc_id_b
          from {k} a join {k} b using (band_key)
                      join {k}sizes s using (band_key)
-         where s.n <= {dedup.DEDUP_MAX_BUCKET} and a.doc_id < b.doc_id
+         where s.n <= {max_bucket} and a.doc_id < b.doc_id
          union all
          select r.rep as doc_id_a, kk.doc_id as doc_id_b
          from {k} kk join {k}reps r using (band_key)
                      join {k}sizes s using (band_key)
-         where s.n > {dedup.DEDUP_MAX_BUCKET} and kk.doc_id <> r.rep))"""
+         where s.n > {max_bucket} and kk.doc_id <> r.rep))"""
 
 
 def _sql_dedup_near_minhash() -> str:
@@ -764,6 +764,56 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 SQL_DEDUP_INCREMENTAL = SQL_DEDUP_NEAR_MINHASH
+
+
+# Near-dup index RETRACTION (dedup.retract_near_dup_pairs): delete
+# every doc with doc_id % 9 = 3 from the committed index and maintain
+# the verified pair set without re-running kernels over old docs.  The
+# oracle is the full recompute over the SURVIVING corpus.  max_bucket
+# is deliberately tiny (1) so the paths deletion can actually change
+# both execute on the fixture (measured: 71 buckets cross back under
+# the cap — star → all-pairs — and 4 hot buckets lose their min-id rep
+# and re-star to the new min); at the default cap of 1000 no fixture
+# bucket is hot and the dirty-bucket machinery would never run.
+_RETRACT_DEDUP_CAP = 1
+
+
+def q_dedup_retract(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir).localCheckpoint(eager=False)
+    prior_pairs = dedup.near_dup_pairs(
+        d, bands=DEDUP_BANDS, rows=DEDUP_ROWS, threshold=0.8,
+        max_bucket=_RETRACT_DEDUP_CAP,
+    )
+    prior_index = dedup.extend_band_index(
+        None, d, bands=DEDUP_BANDS, rows=DEDUP_ROWS
+    )
+    removed = d.where(F.col("doc_id") % 9 == 0).select("doc_id")
+    return dedup.retract_near_dup_pairs(
+        d, prior_index, prior_pairs, removed,
+        threshold=0.8, max_bucket=_RETRACT_DEDUP_CAP,
+    )
+
+
+def _sql_dedup_retract() -> str:
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    jac = dedup.ngram_jaccard_from_arrays_sql("sa.sh", "sb.sh")
+    return f"""
+with d as materialized (
+  select doc_id, text from ({_DOCS_WITH_DUPS_SQL}) where doc_id % 9 <> 0),
+sigs as (select doc_id, {sig} as sig from d),
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
+{_lsh_cand_ctes(max_bucket=_RETRACT_DEDUP_CAP)},
+sh as materialized (select doc_id, {dedup.token_shingles_sql('text')} as sh from d),
+scored as (select doc_id_a, doc_id_b, {jac} as jaccard
+           from cand join sh sa on sa.doc_id = cand.doc_id_a
+                     join sh sb on sb.doc_id = cand.doc_id_b)
+select doc_id_a, doc_id_b, jaccard from scored where jaccard >= 0.8
+"""
+
+
+SQL_DEDUP_RETRACT = _sql_dedup_retract()
 
 
 # MinHash estimator audit: for every LSH candidate pair, the signature-
@@ -5517,6 +5567,84 @@ SQL_ER_CLUSTERS_STAR = _sql_er_clusters_bestmatch("star")
 SQL_ER_CLUSTERS_MUTUAL = _sql_er_clusters_bestmatch("mutual")
 
 
+# --- decision-layer diff: which merges depend on transitive chaining? ------------
+# Per node, the cluster under all three decision layers side by side,
+# plus flags for where the conservative layers split what transitive
+# closure merged — the analyst's audit for "is this merge supported by
+# a direct best match, or only by a chain?".  Spark: ONE
+# blocking/scoring pass (name_match_edges), three edge restrictions,
+# three CCs.  Oracle: three prefixed cluster chains joined on node —
+# the prefix machinery exists exactly so independent resolutions can
+# coexist in one statement.
+def q_er_decision_diff(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.clustering import (
+        best_match_edges,
+        connected_components,
+    )
+    from .er_pipeline import ERConfig, name_match_edges
+
+    cfg = ERConfig()
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    names, edges = name_match_edges(distinct_mention_names(docs), cfg)
+    edges = edges.localCheckpoint(eager=True)
+
+    def cc(e, col):
+        return connected_components(
+            e, nodes=names, max_iter=cfg.cc_max_iter
+        ).withColumnRenamed("cluster", col)
+
+    thr = cc(edges.select("node_a", "node_b"), "cluster_threshold")
+    star = cc(
+        best_match_edges(edges, cfg.scoring.threshold), "cluster_star"
+    )
+    mut = cc(
+        best_match_edges(edges, cfg.scoring.threshold, mutual=True),
+        "cluster_mutual",
+    )
+    return (
+        thr.join(star, "node")
+        .join(mut, "node")
+        .select(
+            "node",
+            "cluster_threshold",
+            "cluster_star",
+            "cluster_mutual",
+            (F.col("cluster_star") != F.col("cluster_threshold")).alias(
+                "star_split"
+            ),
+            (F.col("cluster_mutual") != F.col("cluster_star")).alias(
+                "mutual_split"
+            ),
+        )
+    )
+
+
+def _sql_er_decision_diff() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    return f"""
+with recursive {cluster_ctes(names, prefix='t_')},
+{cluster_ctes(names, prefix='s_', edge_mode='star')},
+{cluster_ctes(names, prefix='u_', edge_mode='mutual')}
+select t.node,
+       t.cluster as cluster_threshold,
+       s.cluster as cluster_star,
+       u.cluster as cluster_mutual,
+       s.cluster <> t.cluster as star_split,
+       u.cluster <> s.cluster as mutual_split
+from t_clusters t
+join s_clusters s on s.node = t.node
+join u_clusters u on u.node = t.node
+"""
+
+
+SQL_ER_DECISION_DIFF = _sql_er_decision_diff()
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -5524,6 +5652,8 @@ QUERIES: dict[str, Callable] = {
     "er_resolve_alias": q_er_resolve_alias,
     "er_clusters_star": q_er_clusters_star,
     "er_clusters_mutual": q_er_clusters_mutual,
+    "er_decision_diff": q_er_decision_diff,
+    "dedup_retract": q_dedup_retract,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -5645,6 +5775,8 @@ ORACLES: dict[str, str] = {
     "er_resolve_alias": SQL_ER_RESOLVE_ALIAS,
     "er_clusters_star": SQL_ER_CLUSTERS_STAR,
     "er_clusters_mutual": SQL_ER_CLUSTERS_MUTUAL,
+    "er_decision_diff": SQL_ER_DECISION_DIFF,
+    "dedup_retract": SQL_DEDUP_RETRACT,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -5807,4 +5939,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 115
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 117

@@ -60,7 +60,9 @@ def extend_name_index(
         n = n.join(
             prior_index.select("node").distinct(), "node", "left_anti"
         )
-    keyed = n.select("node", er_key_col(F.col("node")).alias("key"))
+    keyed = n.select(
+        "node", er_key_col(F.col("node"), cfg.alias_names).alias("key")
+    )
     # LEFT join from keyed: a name that produces zero block keys (not
     # reachable under exact blocking — one key per name — but possible
     # under a custom BlockingConfig) must still be carried in the index
@@ -115,7 +117,7 @@ def incremental_resolve(
         index = name_index.select("node", "key", "block_key")
     else:
         keyed_all = all_names.select(
-            "node", er_key_col(F.col("node")).alias("key")
+            "node", er_key_col(F.col("node"), cfg.alias_names).alias("key")
         )
         index = (
             all_blocks(keyed_all, cfg.blocking)

@@ -38,7 +38,9 @@ def build_block_index(names: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame
     lookups never touch corpus text.  Reference analogue: query-time
     lookup over index-time enrichment (``docker/test.sh:184-193``)."""
     n = names.select(F.col(names.columns[0]).alias("node")).distinct()
-    keyed = n.select("node", er_key_col(F.col("node")).alias("key"))
+    keyed = n.select(
+        "node", er_key_col(F.col("node"), cfg.alias_names).alias("key")
+    )
     # materialized once: the size aggregate and the size-filter join
     # both reference nb (same rationale as resolve_names' block table)
     nb = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
@@ -73,7 +75,9 @@ def search_names(
         name_index = build_block_index(names, cfg)
     tau = cfg.scoring.threshold if threshold is None else threshold
     q = queries.select(F.col(queries.columns[0]).alias("node")).distinct()
-    qk = q.select("node", er_key_col(F.col("node")).alias("key"))
+    qk = q.select(
+        "node", er_key_col(F.col("node"), cfg.alias_names).alias("key")
+    )
     qb = all_blocks(qk, cfg.blocking).withColumnRenamed("node", "query")
     idx = name_index.select(
         F.col("node").alias("name"),

@@ -102,6 +102,46 @@ def test_alias_resolution_links_nickname_variants(spark):
     assert cluster_of(aliased, "karim svensson") == "karim svensson"
 
 
+def test_alias_cfg_flows_through_search_and_incremental(spark):
+    """The alias key rewrite must be one consistent notion of 'the
+    key' across the full lifecycle: fuzzy search and incremental
+    resolution honor ERConfig.alias_names exactly like batch."""
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        ERConfig,
+        resolve_names,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.incremental import (
+        incremental_resolve,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.search import search_names
+
+    cfg = ERConfig(alias_names=True)
+    corpus = spark.createDataFrame(
+        [("william whitfield",), ("karim svensson",)], "node string"
+    )
+    queries = spark.createDataFrame([("bill whitfield",)], "q string")
+    hits = search_names(queries, names=corpus, cfg=cfg).collect()
+    assert [(r["query"], r["name"]) for r in hits] == [
+        ("bill whitfield", "william whitfield")
+    ]
+    assert hits[0]["score"] == pytest.approx(1.0)
+    # and with aliases off the nickname query finds nothing
+    assert (
+        search_names(queries, names=corpus, cfg=ERConfig()).count() == 0
+    )
+
+    prior = resolve_names(
+        spark.createDataFrame([("william whitfield",)], "node string"), cfg
+    )
+    inc = incremental_resolve(
+        prior,
+        spark.createDataFrame([("billy whitfield",)], "node string"),
+        cfg,
+    )
+    got = {r["node"]: r["cluster"] for r in inc.collect()}
+    assert got["billy whitfield"] == got["william whitfield"]
+
+
 def _clusters(spark, scored_rows, mutual):
     scored = spark.createDataFrame(
         scored_rows, "node_a string, node_b string, score double"

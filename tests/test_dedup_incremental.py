@@ -63,3 +63,69 @@ def test_extend_band_index_unions_batches(spark):
         (r.doc_id, r.band_key) for r in full_idx.collect()
     }
     assert got == want
+
+
+def test_retract_equals_full_recompute_on_survivors(spark):
+    """Deleting docs maintains the verified pair set exactly: kept
+    prior pairs ∪ re-verified dirty-bucket pairs == full recompute over
+    survivors, with both dirty kinds exercised (a hot bucket crossing
+    back under the cap, and a hot bucket losing its min-id rep)."""
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river "
+    alt = "zebra umbrella cascade fortune sunrise meadow " * 4
+    rows = [
+        (1, base * 3),
+        (2, base * 3 + "and rests "),
+        (3, base * 3 + "at noon "),
+        (4, base * 3 + "by the bank "),
+        (10, alt),
+        (11, alt + "extra tail "),
+        (12, alt + "another tail "),
+        (20, "completely unrelated text about spark pipelines at scale "),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+    cap = 2  # 1-4 and 10-12 buckets are hot at this cap
+    prior_pairs = dedup.near_dup_pairs(d, threshold=0.5, max_bucket=cap)
+    idx = dedup.extend_band_index(None, d)
+    # removing 1 deletes the min-id rep of the base family's buckets
+    # (rep-lost path); removing 11,12 shrinks the alt family's buckets
+    # from 3 to 1 member (cap-cross path, no surviving pairs)
+    removed = spark.createDataFrame(
+        [(1,), (11,), (12,)], ["doc_id"]
+    )
+    got = dedup.retract_near_dup_pairs(
+        d, idx, prior_pairs, removed, threshold=0.5, max_bucket=cap
+    )
+    survivors = d.join(removed, "doc_id", "left_anti")
+    want = dedup.near_dup_pairs(survivors, threshold=0.5, max_bucket=cap)
+    assert _pairs(got) == _pairs(want)
+    # jaccard values must match too, not just the pair keys
+    gv = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in got.collect()}
+    wv = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in want.collect()}
+    assert gv == wv
+    # the re-star path produced pairs absent from the kept prior set:
+    # with rep 1 gone, 2 becomes the rep and (2,3)/(2,4) re-star fresh
+    kept_only = {
+        (a, b) for a, b in _pairs(prior_pairs) if a != 1 and b != 1
+        and a not in (11, 12) and b not in (11, 12)
+    }
+    assert _pairs(got) - kept_only, "dirty-bucket regeneration never ran"
+
+
+def test_retract_no_dirty_buckets_is_pure_filter(spark):
+    """At the default cap nothing is hot, so retraction reduces to
+    dropping pairs with a removed endpoint — and must still equal the
+    full recompute."""
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+
+    d = _corpus(spark).localCheckpoint()
+    prior_pairs = dedup.near_dup_pairs(d, threshold=0.5)
+    idx = dedup.extend_band_index(None, d)
+    removed = spark.createDataFrame([(10,)], ["doc_id"])
+    got = dedup.retract_near_dup_pairs(d, idx, prior_pairs, removed,
+                                       threshold=0.5)
+    want = dedup.near_dup_pairs(
+        d.join(removed, "doc_id", "left_anti"), threshold=0.5
+    )
+    assert _pairs(got) == _pairs(want)
