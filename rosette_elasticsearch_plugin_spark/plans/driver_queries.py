@@ -5645,6 +5645,170 @@ join u_clusters u on u.node = t.node
 SQL_ER_DECISION_DIFF = _sql_er_decision_diff()
 
 
+# --- multi-field record linkage (clean-clean, Splink-style) ----------------------
+# Everything upstream resolves a single name field; real record
+# linkage compares SEVERAL fields per pair and lets Fellegi-Sunter
+# weigh each field's agreement by its discriminating power.  Fixture:
+# source A = one clean record per fixture family (name, city, birth
+# year); source B = a dirty re-registration of the same entities (a
+# name variant, every 5th city re-homed, every-5th-plus-1 birth year
+# off by one).  Candidates block on city OR birth year (two exact key
+# families — a pair disagreeing on both fields is unreachable, the
+# standard multi-pass blocking trade); features are per-field binary
+# agreements (Levenshtein-similarity ≥ 0.8 on the name — built-in, no
+# UDF — exact equality on the rest); decisions via the standard FS
+# upper/lower thresholds.  The generalized fs machinery
+# (feature_names=...) is reused verbatim, so the oracle mirrors the
+# whole chain with the same builders.
+#
+# m/u estimation runs over the COMPLETE cross-source pair space, not
+# the blocked candidates: candidates are selected FOR agreeing on city
+# or birth year, so estimating u inside them inflates u for exactly
+# those fields and can flip their agreement weight negative (measured
+# here before the fix: u_city ≈ 0.9 within candidates vs ≈ 0.14
+# unbiased).  This is the same bias Splink's estimate-u-from-random-
+# pairs step exists to avoid; at fixture scale the full A×B space is
+# the unbiased sample (production: a seeded hash sample, exactly like
+# er_pairwise_f1's).  Scoring still runs only on the blocked
+# candidates — estimate on a sample, score on the blocked graph.
+_MF_CITIES = ["lisbon", "oslo", "prague", "quito", "riga", "seoul", "tunis"]
+_MF_FEATURES = ("f_name", "f_city", "f_yob")
+# decision thresholds for THIS feature family (in log2 bits): the
+# default (4, 0) was tuned for the 4-feature name family; here a
+# single strong-field agreement (birth year ≈ +5.5 bits) should reach
+# review, one weak-field agreement (city among blocked candidates,
+# ≈ +0.14 bits) should not — so non_link < 1 ≤ review < 6 ≤ link.
+_MF_UPPER, _MF_LOWER = 6.0, 1.0
+
+
+def _multifield_records() -> list[tuple]:
+    """(rec_id, src, label, name, city, yob) — deterministic clean A /
+    dirty B sources over the fixture families."""
+    from .. import corpus as corpus_mod
+    from ..functions.normalize import normalize_py
+
+    fams = sorted(corpus_mod.make_families(40, 42), key=lambda f: f[0])
+    rows = []
+    for i, (label, canonical, _t, variants) in enumerate(fams):
+        city = _MF_CITIES[i % len(_MF_CITIES)]
+        yob = 1950 + (i * 7) % 50
+        rows.append((f"A:{label}", "A", label,
+                     normalize_py(canonical), city, yob))
+        b_city = (
+            _MF_CITIES[(i + 1) % len(_MF_CITIES)] if i % 5 == 0 else city
+        )
+        b_yob = yob + 1 if i % 5 == 1 else yob
+        rows.append((f"B:{label}", "B", label,
+                     normalize_py(variants[0]), b_city, b_yob))
+    return rows
+
+
+def q_er_multifield_link(spark, sf_dir):
+    from ..resolution.fs import (
+        fs_decision_col,
+        fs_params,
+        fs_weight,
+    )
+    from ..functions.similarity import levenshtein_sim_col
+
+    rec = spark.createDataFrame(
+        _multifield_records(),
+        "rec_id string, src string, label string, name string, "
+        "city string, yob int",
+    ).localCheckpoint(eager=False)
+    a = rec.where(F.col("src") == "A").select(
+        F.col("rec_id").alias("node_a"), F.col("label").alias("label_a"),
+        F.col("name").alias("name_a"), F.col("city").alias("city_a"),
+        F.col("yob").alias("yob_a"),
+    )
+    b = rec.where(F.col("src") == "B").select(
+        F.col("rec_id").alias("node_b"), F.col("label").alias("label_b"),
+        F.col("name").alias("name_b"), F.col("city").alias("city_b"),
+        F.col("yob").alias("yob_b"),
+    )
+    cand = (
+        a.join(b, a["city_a"] == b["city_b"])
+        .select("node_a", "node_b")
+        .unionByName(
+            a.join(b, a["yob_a"] == b["yob_b"]).select("node_a", "node_b")
+        )
+        .distinct()
+    )
+
+    def featurize(pairs):
+        return pairs.join(a, "node_a").join(b, "node_b").select(
+            "node_a",
+            "node_b",
+            (levenshtein_sim_col(F.col("name_a"), F.col("name_b")) >= 0.8)
+            .alias("f_name"),
+            (F.col("city_a") == F.col("city_b")).alias("f_city"),
+            (F.col("yob_a") == F.col("yob_b")).alias("f_yob"),
+            (F.col("label_a") == F.col("label_b")).alias("is_match"),
+        )
+
+    # unbiased m/u: the complete cross-source pair space (production:
+    # a seeded hash sample of it)
+    allpairs = a.crossJoin(b).select("node_a", "node_b")
+    est = featurize(allpairs)
+    params = fs_params(
+        est.drop("is_match"),
+        est.select("node_a", "node_b", "is_match"),
+        feature_names=_MF_FEATURES,
+    )
+    feats = featurize(cand).localCheckpoint(eager=False)
+    w = fs_weight(
+        feats.drop("is_match"), params, feature_names=_MF_FEATURES
+    )
+    return w.withColumn(
+        "decision",
+        fs_decision_col(F.col("fs_weight"), upper=_MF_UPPER, lower=_MF_LOWER),
+    )
+
+
+def _sql_er_multifield_link() -> str:
+    from ..functions.similarity import levenshtein_sim_sql
+    from ..resolution.fs import (
+        fs_decision_sql,
+        fs_params_sql,
+        fs_weight_sql,
+    )
+
+    vals = ", ".join(
+        f"('{r}', '{s}', '{lb}', '{nm}', '{ct}', {yb})"
+        for r, s, lb, nm, ct, yb in _multifield_records()
+    )
+    lev = levenshtein_sim_sql("a.name", "b.name")
+    inner = fs_weight_sql(feature_names=_MF_FEATURES)
+    return f"""
+with rec(rec_id, src, label, name, city, yob) as (values {vals}),
+a as (select * from rec where src = 'A'),
+b as (select * from rec where src = 'B'),
+cand as (select distinct a.rec_id as node_a, b.rec_id as node_b
+         from a join b on a.city = b.city or a.yob = b.yob),
+est as materialized (
+  select a.rec_id as node_a, b.rec_id as node_b,
+         ({lev}) >= 0.8 as f_name,
+         a.city = b.city as f_city,
+         a.yob = b.yob as f_yob,
+         a.label = b.label as is_match
+  from a cross join b),
+feats as materialized (
+  select c.node_a, c.node_b,
+         ({lev}) >= 0.8 as f_name,
+         a.city = b.city as f_city,
+         a.yob = b.yob as f_yob
+  from cand c join a on a.rec_id = c.node_a
+              join b on b.rec_id = c.node_b),
+{fs_params_sql('est', feature_names=_MF_FEATURES)}
+select node_a, node_b, f_name, f_city, f_yob, fs_weight,
+       {fs_decision_sql('fs_weight', upper=_MF_UPPER, lower=_MF_LOWER)} as decision
+from ({inner})
+"""
+
+
+SQL_ER_MULTIFIELD_LINK = _sql_er_multifield_link()
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -5654,6 +5818,7 @@ QUERIES: dict[str, Callable] = {
     "er_clusters_mutual": q_er_clusters_mutual,
     "er_decision_diff": q_er_decision_diff,
     "dedup_retract": q_dedup_retract,
+    "er_multifield_link": q_er_multifield_link,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -5777,6 +5942,7 @@ ORACLES: dict[str, str] = {
     "er_clusters_mutual": SQL_ER_CLUSTERS_MUTUAL,
     "er_decision_diff": SQL_ER_DECISION_DIFF,
     "dedup_retract": SQL_DEDUP_RETRACT,
+    "er_multifield_link": SQL_ER_MULTIFIELD_LINK,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -5939,4 +6105,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 117
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 118

@@ -91,11 +91,17 @@ def fs_features(
     )
 
 
-def fs_params(features: DataFrame, labeled: DataFrame) -> DataFrame:
+def fs_params(
+    features: DataFrame,
+    labeled: DataFrame,
+    feature_names: tuple = FS_FEATURES,
+) -> DataFrame:
     """Single-row m/u estimates over labeled candidate pairs.
 
     labeled: (node_a, node_b, is_match).  Laplace smoothing (+0.5 / +1)
     keeps every probability strictly inside (0, 1).
+    feature_names: the binary agreement columns to estimate over — the
+    model is feature-agnostic (multi-field linkage passes its own).
     """
     j = features.join(labeled, ["node_a", "node_b"])
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("double")  # noqa: E731
@@ -107,7 +113,7 @@ def fs_params(features: DataFrame, labeled: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_non"),
     ]
-    for f in FS_FEATURES:
+    for f in feature_names:
         aggs.append(
             (
                 (cnt(F.col("is_match") & F.col(f)) + 0.5)
@@ -128,11 +134,15 @@ def _quant_log2(x: Column) -> Column:
     return F.round(F.log2(x) * 1e6).cast("long")
 
 
-def fs_weight(features: DataFrame, params: DataFrame) -> DataFrame:
+def fs_weight(
+    features: DataFrame,
+    params: DataFrame,
+    feature_names: tuple = FS_FEATURES,
+) -> DataFrame:
     """Per-pair Fellegi-Sunter weight from a broadcast parameter row."""
     out = features.crossJoin(F.broadcast(params))
     total = F.lit(0).cast("long")
-    for f in FS_FEATURES:
+    for f in feature_names:
         m, u = F.col("m_" + f), F.col("u_" + f)
         term = F.when(F.col(f), _quant_log2(m / u)).otherwise(
             _quant_log2((1 - m) / (1 - u))
@@ -141,7 +151,7 @@ def fs_weight(features: DataFrame, params: DataFrame) -> DataFrame:
     return out.select(
         "node_a",
         "node_b",
-        *FS_FEATURES,
+        *feature_names,
         F.round(total / 1e6, 6).alias("fs_weight"),
     )
 
@@ -171,7 +181,9 @@ feats as (
 """
 
 
-def fs_params_sql(labeled_join: str) -> str:
+def fs_params_sql(
+    labeled_join: str, feature_names: tuple = FS_FEATURES
+) -> str:
     """CTE ``params`` over ``feats join <labels>`` (single row)."""
     cols = [
         "cast(sum(case when is_match then 1 else 0 end) as bigint)"
@@ -179,7 +191,7 @@ def fs_params_sql(labeled_join: str) -> str:
         "cast(sum(case when not is_match then 1 else 0 end) as bigint)"
         " as n_non",
     ]
-    for f in FS_FEATURES:
+    for f in feature_names:
         cols.append(
             f"(sum(case when is_match and {f} then 1.0 else 0.0 end) + 0.5)"
             f" / (sum(case when is_match then 1.0 else 0.0 end) + 1.0)"
@@ -194,10 +206,12 @@ def fs_params_sql(labeled_join: str) -> str:
     return f"params as (select {', '.join(cols)} from {labeled_join})"
 
 
-def fs_weight_sql(params_cte: str = "params") -> str:
+def fs_weight_sql(
+    params_cte: str = "params", feature_names: tuple = FS_FEATURES
+) -> str:
     """SELECT body computing fs_weight from ``feats cross join <params>``."""
     terms = []
-    for f in FS_FEATURES:
+    for f in feature_names:
         terms.append(
             f"case when {f} then cast(round(log2(m_{f} / u_{f}) * 1e6)"
             f" as bigint)"
@@ -205,7 +219,7 @@ def fs_weight_sql(params_cte: str = "params") -> str:
             f" as bigint) end"
         )
     total = " + ".join(terms)
-    feats = ", ".join(FS_FEATURES)
+    feats = ", ".join(feature_names)
     return (
         f"select node_a, node_b, {feats},"
         f" round(({total}) / 1e6, 6) as fs_weight"
@@ -305,18 +319,22 @@ from feats f
 FS_UPPER, FS_LOWER = 4.0, 0.0
 
 
-def fs_decision_col(w: Column) -> Column:
+def fs_decision_col(
+    w: Column, upper: float = FS_UPPER, lower: float = FS_LOWER
+) -> Column:
     return (
-        F.when(w >= FS_UPPER, F.lit("link"))
-        .when(w <= FS_LOWER, F.lit("non_link"))
+        F.when(w >= upper, F.lit("link"))
+        .when(w <= lower, F.lit("non_link"))
         .otherwise(F.lit("review"))
     )
 
 
-def fs_decision_sql(w: str) -> str:
+def fs_decision_sql(
+    w: str, upper: float = FS_UPPER, lower: float = FS_LOWER
+) -> str:
     return (
-        f"case when {w} >= {FS_UPPER} then 'link' "
-        f"when {w} <= {FS_LOWER} then 'non_link' "
+        f"case when {w} >= {upper} then 'link' "
+        f"when {w} <= {lower} then 'non_link' "
         f"else 'review' end"
     )
 

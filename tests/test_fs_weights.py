@@ -210,3 +210,34 @@ def test_fs_weight_tf_rare_beats_common(spark):
     assert abs((rare.tf_weight - hot.tf_weight) - 1.0) < 1e-5
     # non-agreeing pair untouched
     assert non.tf_weight == non.fs_weight
+
+
+def test_multifield_link_weights_and_decisions(spark):
+    """Multi-field FS over the clean/dirty two-source fixture: each
+    field's agreement earns a positive log-likelihood contribution
+    (m > u for every field), full-agreement pairs dominate, and
+    decisions take only the three standard values."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        q_er_multifield_link,
+    )
+
+    rows = q_er_multifield_link(spark, None).collect()
+    assert rows, "no candidate pairs"
+    decisions = {r["decision"] for r in rows}
+    assert decisions <= {"link", "non_link", "review"}
+    by_feats = {}
+    for r in rows:
+        by_feats.setdefault(
+            (r["f_name"], r["f_city"], r["f_yob"]), []
+        ).append(r["fs_weight"])
+    # every feature's agreement must increase the weight, all else equal
+    for i in range(3):
+        for key, ws in by_feats.items():
+            if key[i]:
+                flipped = key[:i] + (False,) + key[i + 1:]
+                if flipped in by_feats:
+                    assert min(ws) > max(by_feats[flipped])
+    # a full-agreement pair (clean city+yob survives for most families)
+    # must be an unambiguous link
+    assert (True, True, True) in by_feats
+    assert all(w > 4.0 for w in by_feats[(True, True, True)])
