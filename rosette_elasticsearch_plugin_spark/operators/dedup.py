@@ -595,6 +595,116 @@ def incremental_near_dup_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    token_re: str = r"[a-z]+",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document —
+    the span-granular training-data dedup report (cf. Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    substring dedup via suffix arrays; here the distributed surrogate
+    is positional word n-grams + document frequency + island merge,
+    which finds every duplicated region of ≥ n tokens).
+
+    Pipeline, all linear in corpus tokens (no pairs, no suffix array):
+      1. positional word n-grams per doc — (doc_id, pos, gram);
+      2. gram document frequency (one map-side-combinable groupBy on
+         the gram key), keep grams in ≥ min_df distinct docs;
+      3. back-join flagged grams to their positions (key-equi join on
+         gram — the only shuffle of corpus-scale rows);
+      4. gaps-and-islands per doc: consecutive flagged positions with
+         gap ≤ n merge into one maximal span (a window over the doc
+         key — same partitioning every per-doc stage uses).
+
+    Returns (doc_id, span_start, span_end, n_grams): 1-based token
+    offsets, end inclusive, and the number of flagged grams merged
+    into the span.  A doc with no duplicated region emits no rows.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(token_re), F.lit(0)
+        ).alias("__toks"),
+    )
+    grams = toks.where(F.size("__toks") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+            )
+        ).alias("__p0", "gram"),
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
+    grams = grams.localCheckpoint(eager=False)  # feeds df agg + back-join
+    df_tab = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("__df")
+    )
+    flagged = grams.join(
+        df_tab.where(F.col("__df") >= min_df).select("gram"),
+        "gram",
+        "left_semi",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "__new",
+        F.when(
+            F.col("pos") - F.lag("pos", 1).over(w) <= n, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__isl", F.sum("__new").over(w))
+    return (
+        isl.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def duplicated_spans_sql(
+    docs_from: str,
+    text_expr: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    token_re: str = "[a-z]+",
+) -> str:
+    """DuckDB mirror of :func:`duplicated_spans` (full statement)."""
+    return f"""
+with toks as (
+  select doc_id,
+         regexp_extract_all(lower({text_expr}), '{token_re}') as t
+  from {docs_from}),
+grams as materialized (
+  select doc_id, u.pos,
+         array_to_string(t[u.pos : u.pos + {n} - 1], ' ') as gram
+  from toks, unnest(range(1, len(t) - {n} + 2)) as u(pos)
+  where len(t) >= {n}),
+dfq as (select gram from grams
+        group by gram having count(distinct doc_id) >= {min_df}),
+flagged as (select g.doc_id, g.pos from grams g
+            join dfq using (gram)),
+isl as (select doc_id, pos,
+               case when pos - lag(pos) over
+                      (partition by doc_id order by pos) <= {n}
+                    then 0 else 1 end as newf
+        from flagged),
+grp as (select doc_id, pos,
+               sum(newf) over (partition by doc_id order by pos
+                               rows unbounded preceding) as isl_id
+        from isl)
+select doc_id, min(pos) as span_start,
+       max(pos) + {n} - 1 as span_end,
+       cast(count(*) as bigint) as n_grams
+from grp group by doc_id, isl_id
+"""
+
+
 def retract_near_dup_pairs(
     docs: DataFrame,
     prior_index: DataFrame,

@@ -5809,6 +5809,22 @@ from ({inner})
 SQL_ER_MULTIFIELD_LINK = _sql_er_multifield_link()
 
 
+# --- span-granular duplicated-text report (dedup.duplicated_spans) ----------------
+# The distributed surrogate of suffix-array exact-substring dedup
+# (Lee et al.): positional word n-grams → document-frequency flag →
+# gaps-and-islands merge into maximal duplicated regions per document.
+# Unlike doc-level near-dup (which drops whole documents), this is the
+# op that CUTS the duplicated span and keeps the rest — every stage
+# linear in corpus tokens, no pair enumeration anywhere.
+def q_dedup_spans(spark, sf_dir):
+    return dedup.duplicated_spans(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+SQL_DEDUP_SPANS = dedup.duplicated_spans_sql("documents")
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -5819,6 +5835,7 @@ QUERIES: dict[str, Callable] = {
     "er_decision_diff": q_er_decision_diff,
     "dedup_retract": q_dedup_retract,
     "er_multifield_link": q_er_multifield_link,
+    "dedup_spans": q_dedup_spans,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -5943,6 +5960,7 @@ ORACLES: dict[str, str] = {
     "er_decision_diff": SQL_ER_DECISION_DIFF,
     "dedup_retract": SQL_DEDUP_RETRACT,
     "er_multifield_link": SQL_ER_MULTIFIELD_LINK,
+    "dedup_spans": SQL_DEDUP_SPANS,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -6105,4 +6123,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 118
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 119

@@ -129,3 +129,57 @@ def test_retract_no_dirty_buckets_is_pure_filter(spark):
         d.join(removed, "doc_id", "left_anti"), threshold=0.5
     )
     assert _pairs(got) == _pairs(want)
+
+
+def test_duplicated_spans_maximal_islands(spark, duck):
+    """Two docs share one 5-token run: the three overlapping flagged
+    3-grams must merge into ONE maximal span with exact token offsets;
+    unique text and within-single-doc repetition produce no rows."""
+    from rosette_elasticsearch_plugin_spark.operators.dedup import (
+        duplicated_spans,
+        duplicated_spans_sql,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"intro words here {shared} unique tail one"),
+        (2, f"{shared} completely different continuation two"),
+        (3, "nothing in common with anything else at all"),
+        # within-doc repetition only — df counts DISTINCT docs
+        (4, "solo repeat solo repeat solo repeat"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_spans(d).collect()
+    }
+    # doc 1: shared run at token positions 4-8; doc 2: positions 1-5
+    assert got == {(1, 4, 8, 3), (2, 1, 5, 3)}
+    # mirror agrees value-for-value
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    sql = duplicated_spans_sql(f"(select * from (values {vals}) "
+                               f"t(doc_id, text))")
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_duplicated_spans_gap_splits_islands(spark):
+    """Two shared runs separated by a unique gap > n stay two spans."""
+    from rosette_elasticsearch_plugin_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    a = "alpha beta gamma"
+    b = "omega psi chi"
+    d = spark.createDataFrame(
+        [
+            (1, f"{a} u1 u2 u3 u4 {b}"),
+            (2, f"{a} v1 v2 v3 v4 {b}"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(d).collect()
+    }
+    assert got == {(1, 1, 3), (1, 8, 10), (2, 1, 3), (2, 8, 10)}
