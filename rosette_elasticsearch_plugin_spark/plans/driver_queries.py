@@ -5825,6 +5825,119 @@ def q_dedup_spans(spark, sf_dir):
 SQL_DEDUP_SPANS = dedup.duplicated_spans_sql("documents")
 
 
+# --- 1-1 assignment over the multi-field links ------------------------------------
+# The clean-clean end product: each A-record linked to at most one
+# B-record and vice versa — mutual-best over the FS weight
+# (resolution/assignment.one_to_one_links, the same two-window shape
+# as er_one_to_one), restricted to pairs the decision layer did not
+# already rule out (> non_link).  Two window shuffles; no iteration.
+def q_er_multifield_match(spark, sf_dir):
+    from ..resolution.assignment import one_to_one_links
+
+    w = q_er_multifield_link(spark, sf_dir).where(
+        F.col("decision") != "non_link"
+    )
+    return one_to_one_links(
+        w.select("node_a", "node_b", "fs_weight"),
+        "node_a", "node_b", "fs_weight",
+    )
+
+
+def _sql_er_multifield_match() -> str:
+    from ..resolution.assignment import one_to_one_sql
+
+    inner = (
+        f"(select node_a, node_b, fs_weight from "
+        f"({SQL_ER_MULTIFIELD_LINK}) where decision <> 'non_link')"
+    )
+    return one_to_one_sql(inner, "node_a", "node_b", "fs_weight")
+
+
+SQL_ER_MULTIFIELD_MATCH = _sql_er_multifield_match()
+
+
+# --- cut duplicated spans out of the corpus ---------------------------------------
+# The actionable half of dedup_spans: remove every token inside a
+# flagged duplicated region and keep the rest of the document (token-
+# level semantics — the corpus re-joins on single spaces; production
+# text would carry char offsets the same way).  Fully-duplicated docs
+# survive as empty strings (the downstream length filter's job, cf.
+# corpus_clean).  Join shape: positions x spans key-equi on doc_id
+# with a local between-filter (spans per doc are few), then one
+# ordered per-doc re-aggregation — no corpus-scale shuffle beyond the
+# doc key everything else already uses.
+def q_corpus_cut_spans(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = dedup.duplicated_spans(docs).select(
+        "doc_id", "span_start", "span_end"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+            )
+        ).alias("__p0", "tok"),
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "tok")
+    cut = toks.join(spans, "doc_id").where(
+        F.col("pos").between(F.col("span_start"), F.col("span_end"))
+    ).select("doc_id", "pos")
+    kept = toks.join(cut, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "n_tokens",
+        )
+    )
+
+
+def _sql_corpus_cut_spans() -> str:
+    spans = dedup.duplicated_spans_sql("documents")
+    return f"""
+with spans as materialized ({spans}),
+toks as materialized (
+  select doc_id, u.pos, t[u.pos] as tok
+  from (select doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') as t
+        from documents),
+       unnest(range(1, len(t) + 1)) as u(pos)),
+cut as (select distinct t.doc_id, t.pos
+        from toks t join spans s on s.doc_id = t.doc_id
+        where t.pos between s.span_start and s.span_end),
+kept as (select t.doc_id, t.pos, t.tok from toks t
+         left join cut c on c.doc_id = t.doc_id and c.pos = t.pos
+         where c.doc_id is null),
+rebuilt as (select doc_id,
+                   string_agg(tok, ' ' order by pos) as cleaned_text,
+                   cast(count(*) as bigint) as n_kept
+            from kept group by doc_id),
+totals as (select doc_id, cast(count(*) as bigint) as n_tokens
+           from toks group by doc_id)
+select t.doc_id, coalesce(r.cleaned_text, '') as cleaned_text,
+       coalesce(r.n_kept, 0) as n_kept, t.n_tokens
+from totals t left join rebuilt r using (doc_id)
+"""
+
+
+SQL_CORPUS_CUT_SPANS = _sql_corpus_cut_spans()
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -5836,6 +5949,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_retract": q_dedup_retract,
     "er_multifield_link": q_er_multifield_link,
     "dedup_spans": q_dedup_spans,
+    "er_multifield_match": q_er_multifield_match,
+    "corpus_cut_spans": q_corpus_cut_spans,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -5961,6 +6076,8 @@ ORACLES: dict[str, str] = {
     "dedup_retract": SQL_DEDUP_RETRACT,
     "er_multifield_link": SQL_ER_MULTIFIELD_LINK,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "er_multifield_match": SQL_ER_MULTIFIELD_MATCH,
+    "corpus_cut_spans": SQL_CORPUS_CUT_SPANS,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -6123,4 +6240,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 119
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 121
