@@ -206,6 +206,9 @@ def best_match_edges(
         .select("u", "v")
     )
     if mutual:
+        # materialize: the reciprocity semi-join reads best from BOTH
+        # sides — unmaterialized, the window subtree executes twice
+        best = best.localCheckpoint(eager=False)
         flipped = best.select(F.col("v").alias("u"), F.col("u").alias("v"))
         return (
             best.join(flipped, ["u", "v"], "left_semi")
