@@ -623,21 +623,7 @@ def duplicated_spans(
     offsets, end inclusive, and the number of flagged grams merged
     into the span.  A doc with no duplicated region emits no rows.
     """
-    toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(token_re), F.lit(0)
-        ).alias("__toks"),
-    )
-    grams = toks.where(F.size("__toks") >= n).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
-            )
-        ).alias("__p0", "gram"),
-    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
+    grams = gram_index(docs, text_col, n, token_re)
     grams = grams.localCheckpoint(eager=False)  # feeds df agg + back-join
     df_tab = grams.groupBy("gram").agg(
         F.count_distinct("doc_id").alias("__df")
@@ -665,6 +651,115 @@ def duplicated_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+
+
+def gram_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    token_re: str = r"[a-z]+",
+) -> DataFrame:
+    """(doc_id, pos, gram) — the positional-gram table
+    :func:`duplicated_spans` is built on, exposed so it can be
+    committed and extended per batch (kernels run over the given docs
+    only; union with a prior committed index for the cumulative one)."""
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(token_re), F.lit(0)
+        ).alias("__toks"),
+    )
+    return toks.where(F.size("__toks") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+            )
+        ).alias("__p0", "gram"),
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
+
+
+def incremental_duplicated_spans(
+    prior_index: DataFrame,
+    prior_spans: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    token_re: str = r"[a-z]+",
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain the duplicated-span report under append-only ingest —
+    returns ``(new_index, spans)`` with ``spans`` exactly equal to the
+    full recompute over prior ∪ new docs.
+
+    The gram kernels run over the NEW docs only; the subtlety deletion
+    never has is that appending can FLIP a gram over the df threshold,
+    which changes the span report of OLD documents containing it.  So:
+
+    * df is re-aggregated over the unioned index (one map-side-
+      combinable groupBy on the gram key — the same vocabulary-scale
+      aggregate the incremental near-dup path pays per batch);
+    * touched docs = new docs ∪ old docs containing a NEWLY-flagged
+      gram (df crossed min_df this batch — under append-only ingest df
+      is monotone, so no gram ever unflags and untouched docs' flagged
+      position sets are provably unchanged);
+    * the island merge reruns for touched docs only, reading their
+      positions from the committed index (never re-tokenizing old
+      text); prior spans pass through for everyone else.
+    """
+    prior_index = prior_index.select("doc_id", "pos", "gram")
+    delta = gram_index(new_docs, text_col, n, token_re).localCheckpoint(
+        eager=False
+    )
+    index = prior_index.unionByName(delta).localCheckpoint(eager=False)
+    df_new = index.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("__dfn")
+    )
+    df_old = prior_index.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("__dfo")
+    )
+    flagged_grams = df_new.where(F.col("__dfn") >= min_df).select("gram")
+    newly = (
+        flagged_grams.join(
+            df_old.where(F.col("__dfo") >= min_df).select("gram"),
+            "gram",
+            "left_anti",
+        )
+    )
+    touched = (
+        prior_index.join(newly, "gram", "left_semi")
+        .select("doc_id")
+        .unionByName(new_docs.select("doc_id"))
+        .distinct()
+    )
+    flagged_pos = (
+        index.join(touched, "doc_id", "left_semi")
+        .join(flagged_grams, "gram", "left_semi")
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged_pos.withColumn(
+        "__new",
+        F.when(
+            F.col("pos") - F.lag("pos", 1).over(w) <= n, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__isl", F.sum("__new").over(w))
+    recomputed = (
+        isl.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+    kept = prior_spans.select(
+        "doc_id", "span_start", "span_end", "n_grams"
+    ).join(touched, "doc_id", "left_anti")
+    return index, kept.unionByName(recomputed)
 
 
 def duplicated_spans_sql(

@@ -5938,6 +5938,30 @@ from totals t left join rebuilt r using (doc_id)
 SQL_CORPUS_CUT_SPANS = _sql_corpus_cut_spans()
 
 
+# --- incremental duplicated-span maintenance (append half) -------------------------
+# Gram kernels run over batch 2 only; a gram crossing the df threshold
+# this batch re-spans the OLD docs containing it (the subtlety unique
+# to appends — df is monotone so nothing ever unflags); everyone else's
+# prior spans pass through.  The oracle is the full recompute
+# (SQL_DEDUP_SPANS verbatim), so hash equality proves incremental ≡
+# batch including the old-doc re-span path.
+def q_dedup_spans_incremental(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    batch1 = d.where(F.col("doc_id") % 3 != 0)
+    batch2 = d.where(F.col("doc_id") % 3 == 0)
+    prior_index = dedup.gram_index(batch1)
+    prior_spans = dedup.duplicated_spans(batch1)
+    _idx, spans = dedup.incremental_duplicated_spans(
+        prior_index, prior_spans, batch2
+    )
+    return spans
+
+
+SQL_DEDUP_SPANS_INCREMENTAL = SQL_DEDUP_SPANS
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -5951,6 +5975,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_spans": q_dedup_spans,
     "er_multifield_match": q_er_multifield_match,
     "corpus_cut_spans": q_corpus_cut_spans,
+    "dedup_spans_incremental": q_dedup_spans_incremental,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -6078,6 +6103,7 @@ ORACLES: dict[str, str] = {
     "dedup_spans": SQL_DEDUP_SPANS,
     "er_multifield_match": SQL_ER_MULTIFIELD_MATCH,
     "corpus_cut_spans": SQL_CORPUS_CUT_SPANS,
+    "dedup_spans_incremental": SQL_DEDUP_SPANS_INCREMENTAL,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -6240,4 +6266,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 121
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 122

@@ -183,3 +183,42 @@ def test_duplicated_spans_gap_splits_islands(spark):
         for r in duplicated_spans(d).collect()
     }
     assert got == {(1, 1, 3), (1, 8, 10), (2, 1, 3), (2, 8, 10)}
+
+
+def test_incremental_spans_reflag_old_docs(spark):
+    """A new doc flips a gram over the df threshold: the OLD doc
+    containing it gains a span it did not have, untouched docs' prior
+    spans pass through, and the result equals the full recompute."""
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+
+    rows1 = [
+        (1, "alpha beta gamma x y z"),          # gains a span in batch 2
+        (2, "p q r s t"),                        # never duplicated
+        (4, "omega psi chi one"),                # prior-span pair ...
+        (5, "omega psi chi two"),                # ... within batch 1
+    ]
+    rows2 = [(3, "alpha beta gamma w v")]
+    b1 = spark.createDataFrame(rows1, ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    full = spark.createDataFrame(rows1 + rows2, ["doc_id", "text"])
+
+    prior_index = dedup.gram_index(b1)
+    prior_spans = dedup.duplicated_spans(b1)
+    assert {r.doc_id for r in prior_spans.collect()} == {4, 5}
+
+    _idx, spans = dedup.incremental_duplicated_spans(
+        prior_index, prior_spans, b2
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in spans.collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicated_spans(full).collect()
+    }
+    assert got == want
+    assert (1, 1, 3, 1) in got      # the old doc's NEW span
+    assert not any(d == 2 for d, *_ in got)
+    # the returned index is the cumulative one
+    assert _idx.count() == dedup.gram_index(full).count()
