@@ -5962,6 +5962,73 @@ def q_dedup_spans_incremental(spark, sf_dir):
 SQL_DEDUP_SPANS_INCREMENTAL = SQL_DEDUP_SPANS
 
 
+# --- multi-field linkage quality vs planted truth ----------------------------------
+# P/R/F1 of decision='link' against the planted one-pair-per-family
+# truth.  FN counts EVERY missed true pair — including pairs the
+# city-or-yob blocking never generated — so the metric prices blocking
+# recall, not just the decision layer.
+def q_er_multifield_eval(spark, sf_dir):
+    links = q_er_multifield_link(spark, sf_dir).where(
+        F.col("decision") == "link"
+    )
+    n_truth = len(_multifield_records()) // 2
+    agg = links.agg(
+        F.sum(
+            F.when(
+                F.expr("substring(node_a, 3)")
+                == F.expr("substring(node_b, 3)"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                F.expr("substring(node_a, 3)")
+                != F.expr("substring(node_b, 3)"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("fp"),
+    ).select(
+        "tp", "fp", (F.lit(float(n_truth)) - F.col("tp")).alias("fn")
+    )
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1.0))
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1.0))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(p + r == 0, F.lit(0.0)).otherwise(2 * p * r / (p + r)), 6
+        ).alias("f1"),
+    )
+
+
+def _sql_er_multifield_eval() -> str:
+    n_truth = len(_multifield_records()) // 2
+    return f"""
+with links as (
+  select node_a, node_b from ({SQL_ER_MULTIFIELD_LINK})
+  where decision = 'link'),
+agg as (select
+  cast(sum(case when substring(node_a, 3) = substring(node_b, 3)
+            then 1 else 0 end) as double) as tp,
+  cast(sum(case when substring(node_a, 3) <> substring(node_b, 3)
+            then 1 else 0 end) as double) as fp,
+  {n_truth} - cast(sum(case when substring(node_a, 3) = substring(node_b, 3)
+            then 1 else 0 end) as double) as fn
+  from links)
+{_F1_SELECT_SQL}
+"""
+
+
+SQL_ER_MULTIFIELD_EVAL = _sql_er_multifield_eval()
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -5976,6 +6043,7 @@ QUERIES: dict[str, Callable] = {
     "er_multifield_match": q_er_multifield_match,
     "corpus_cut_spans": q_corpus_cut_spans,
     "dedup_spans_incremental": q_dedup_spans_incremental,
+    "er_multifield_eval": q_er_multifield_eval,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -6104,6 +6172,7 @@ ORACLES: dict[str, str] = {
     "er_multifield_match": SQL_ER_MULTIFIELD_MATCH,
     "corpus_cut_spans": SQL_CORPUS_CUT_SPANS,
     "dedup_spans_incremental": SQL_DEDUP_SPANS_INCREMENTAL,
+    "er_multifield_eval": SQL_ER_MULTIFIELD_EVAL,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -6266,4 +6335,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 122
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 123
