@@ -161,3 +161,80 @@ def test_duplicated_spans_matches_bruteforce(spark, texts):
         for r in duplicated_spans(df).collect()
     }
     assert got == want
+
+
+# ---- incrementality invariants under random corpora --------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+small_docs = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join),
+    min_size=2,
+    max_size=5,
+)
+
+INC_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@INC_SET
+@given(texts=small_docs, data=st.data())
+def test_retract_near_dup_random_equals_recompute(spark, texts, data):
+    """retract_near_dup_pairs == full recompute over survivors for
+    random tiny corpora, random delete sets, and a cap small enough
+    that hot buckets / rep churn occur."""
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    removed_ids = data.draw(
+        st.sets(st.sampled_from([r[0] for r in rows]), max_size=len(rows))
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+    cap = data.draw(st.sampled_from([1, 2]))
+    prior = dedup.near_dup_pairs(d, threshold=0.3, max_bucket=cap)
+    idx = dedup.extend_band_index(None, d)
+    removed = spark.createDataFrame(
+        [(i,) for i in removed_ids] or [(-1,)], ["doc_id"]
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 6))
+        for r in dedup.retract_near_dup_pairs(
+            d, idx, prior, removed, threshold=0.3, max_bucket=cap
+        ).collect()
+    }
+    surv = d.join(removed, "doc_id", "left_anti")
+    want = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 6))
+        for r in dedup.near_dup_pairs(
+            surv, threshold=0.3, max_bucket=cap
+        ).collect()
+    }
+    assert got == want
+
+
+@INC_SET
+@given(texts=small_docs, split=st.integers(1, 4))
+def test_incremental_spans_random_equals_recompute(spark, texts, split):
+    """incremental_duplicated_spans == full recompute for random tiny
+    corpora and arbitrary batch splits."""
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    cut = min(split, len(rows) - 1)
+    b1 = spark.createDataFrame(rows[:cut], ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows[cut:], ["doc_id", "text"])
+    full = spark.createDataFrame(rows, ["doc_id", "text"])
+    _idx, spans = dedup.incremental_duplicated_spans(
+        dedup.gram_index(b1), dedup.duplicated_spans(b1), b2
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in spans.collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicated_spans(full).collect()
+    }
+    assert got == want
