@@ -6029,6 +6029,62 @@ agg as (select
 SQL_ER_MULTIFIELD_EVAL = _sql_er_multifield_eval()
 
 
+# --- alias-merge audit -------------------------------------------------------------
+# The risk surface of ERConfig.alias_names, as data: every alias-key
+# group whose members were DISTINCT under the plain key — exactly the
+# merges the dictionary caused and an analyst should be able to review
+# (same role er_cluster_confidence plays for score-based merges).  One
+# groupBy on the alias key + a semi-join back; no pairs.
+def q_er_alias_audit(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from .er_pipeline import er_key_col
+
+    c = corpus.generate(n_docs=120, seed=42, n_nickname_families=8)
+    docs, _ = corpus.to_spark(spark, c)
+    keyed = distinct_mention_names(docs).select(
+        "node",
+        er_key_col(F.col("node")).alias("plain_key"),
+        er_key_col(F.col("node"), aliases=True).alias("alias_key"),
+    )
+    merged = (
+        keyed.groupBy("alias_key")
+        .agg(
+            F.count_distinct("plain_key").alias("n_plain"),
+            F.count("*").cast("long").alias("n_names"),
+        )
+        .where(F.col("n_plain") > 1)
+        .select("alias_key", "n_names")
+    )
+    return keyed.join(merged, "alias_key").select(
+        "alias_key", "node", "plain_key", "n_names"
+    )
+
+
+def _sql_er_alias_audit() -> str:
+    from ..functions.aliases import alias_canonical_sql
+    from ..functions.translit import translit_lower_sql
+
+    vals = ", ".join(
+        "('" + n.replace("'", "''") + "')" for n in _alias_corpus_names()
+    )
+    plain = translit_lower_sql("node")
+    akey = alias_canonical_sql(plain)
+    return f"""
+with names(node) as (values {vals}),
+keyed as materialized (
+  select node, {plain} as plain_key, {akey} as alias_key from names),
+merged as (select alias_key, cast(count(*) as bigint) as n_names
+           from keyed group by alias_key
+           having count(distinct plain_key) > 1)
+select k.alias_key, k.node, k.plain_key, m.n_names
+from keyed k join merged m using (alias_key)
+"""
+
+
+SQL_ER_ALIAS_AUDIT = _sql_er_alias_audit()
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -6044,6 +6100,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_cut_spans": q_corpus_cut_spans,
     "dedup_spans_incremental": q_dedup_spans_incremental,
     "er_multifield_eval": q_er_multifield_eval,
+    "er_alias_audit": q_er_alias_audit,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -6173,6 +6230,7 @@ ORACLES: dict[str, str] = {
     "corpus_cut_spans": SQL_CORPUS_CUT_SPANS,
     "dedup_spans_incremental": SQL_DEDUP_SPANS_INCREMENTAL,
     "er_multifield_eval": SQL_ER_MULTIFIELD_EVAL,
+    "er_alias_audit": SQL_ER_ALIAS_AUDIT,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -6335,4 +6393,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 123
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 124
