@@ -1,7 +1,9 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
 same parquet, compare row count, column names, and order-insensitive
-values.  Usage: python3 scripts/check_oracles.py [sf_dir] [name ...]"""
+values.  Usage: python3 scripts/check_oracles.py [sf_dir] [name ...]
+With ``--json PATH`` (first arg), additionally write a driver-format
+correctness artifact (one rows/schema/hash entry per query)."""
 
 from __future__ import annotations
 
@@ -41,8 +43,13 @@ def main():
 
     from __spark_entry__ import oracle_sql, queries
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if args and args[0] == "--json":
+        json_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     unknown = only - set(queries())
     if unknown:
         # a typo'd/renamed name must not silently verify nothing and
@@ -67,6 +74,14 @@ def main():
 
     qs, os_ = queries(), oracle_sql()
     failures = []
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match, sr, orr, err):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": sr,
+            "oracle_rows": orr, "err": err,
+        }
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,6 +90,8 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record(name, False, False, False, None, None,
+                   f"spark error: {str(e)[:200]}")
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             continue
         if name not in os_:
@@ -85,26 +102,39 @@ def main():
             ddf = con.execute(os_[name]).fetchdf()
         except Exception as e:
             failures.append(name)
+            record(name, False, False, False, len(sdf), None,
+                   f"duckdb error: {str(e)[:200]}")
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             continue
         scols, svals = canon(sdf)
         dcols, dvals = canon(ddf)
         if scols != dcols:
             failures.append(name)
+            record(name, len(svals) == len(dvals), False, False,
+                   len(svals), len(dvals), None)
             print(f"FAIL  {name}: columns differ: spark={scols} duck={dcols}")
             continue
         if len(svals) != len(dvals):
             failures.append(name)
+            record(name, False, True, False, len(svals), len(dvals), None)
             print(f"FAIL  {name}: rows differ: spark={len(svals)} duck={len(dvals)}")
             continue
         bad = [(a, b) for a, b in zip(svals, dvals) if a != b]
         if bad:
             failures.append(name)
+            record(name, True, True, False, len(svals), len(dvals), None)
             print(f"FAIL  {name}: {len(bad)} value mismatches; first: {bad[0]}")
             continue
+        record(name, True, True, True, len(svals), len(dvals), None)
         print(f"ok    {name}: rows={len(svals)} [{time.time()-t0:.1f}s]")
 
     spark.stop()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_path} ({len(report)} entries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
