@@ -209,3 +209,46 @@ def test_bestmatch_oracle_modes_reject_bad_input():
         cluster_ctes(["a"], edge_mode="nope")
     with pytest.raises(ValueError):
         cluster_ctes(["a"], edge_mode="star", must_link=[("a", "b")])
+
+
+def test_alias_resolution_meets_north_rule_on_nickname_corpus(spark):
+    """With 8 planted nickname families, alias_names=True must hold the
+    F1 ≥ 0.99 / zero-false-merge bar on planted truth — and without it
+    the nickname variants demonstrably split their families."""
+    from pyspark.sql import functions as F
+
+    from rosette_elasticsearch_plugin_spark import corpus
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import (
+        ERConfig,
+        resolve_documents,
+    )
+
+    c = corpus.generate(n_docs=240, seed=42, n_nickname_families=8)
+    docs, truth = corpus.to_spark(spark, c)
+
+    def prf(cfg):
+        _, name_clusters = resolve_documents(docs, cfg=cfg)
+        t = truth.select("mention_id", "entity_label", "normalized")
+        tc = t.join(
+            name_clusters.withColumnRenamed("node", "normalized"),
+            "normalized", "left",
+        ).withColumn("cluster", F.coalesce("cluster", F.col("normalized")))
+        a, b = tc.alias("a"), tc.alias("b")
+        p = a.join(
+            b, F.col("a.mention_id") < F.col("b.mention_id")
+        ).select(
+            (F.col("a.entity_label") == F.col("b.entity_label")).alias("m"),
+            (F.col("a.cluster") == F.col("b.cluster")).alias("p"),
+        ).cache()
+        tp = p.where("m and p").count()
+        fp = p.where("not m and p").count()
+        fn = p.where("m and not p").count()
+        prec = tp / max(tp + fp, 1)
+        rec = tp / max(tp + fn, 1)
+        return fp, rec, 2 * prec * rec / max(prec + rec, 1e-9)
+
+    fp, rec, f1 = prf(ERConfig(alias_names=True))
+    assert fp == 0, "alias config caused false merges"
+    assert f1 >= 0.99, f"f1={f1:.4f}"
+    _fp0, rec0, _f10 = prf(ERConfig())
+    assert rec0 < rec, "nickname families should split without aliases"
