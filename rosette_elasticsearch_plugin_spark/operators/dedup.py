@@ -680,6 +680,31 @@ def gram_index(
     ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
 
 
+def extend_gram_df(
+    prior_df: DataFrame | None, delta_index: DataFrame
+) -> DataFrame:
+    """(gram, df) over prior ∪ delta — the committed document-frequency
+    state :func:`incremental_duplicated_spans` reads via ``prior_df``.
+    Exact under append-only ingest with fresh doc ids (disjoint doc
+    sets): df adds.  ``None`` starts from scratch."""
+    d = delta_index.groupBy("gram").agg(
+        F.count_distinct("doc_id").cast("long").alias("__d")
+    )
+    if prior_df is None:
+        return d.select("gram", F.col("__d").alias("df"))
+    return (
+        prior_df.select("gram", F.col("df").cast("long").alias("__p"))
+        .join(d, "gram", "full_outer")
+        .select(
+            "gram",
+            (
+                F.coalesce(F.col("__p"), F.lit(0))
+                + F.coalesce(F.col("__d"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+
+
 def incremental_duplicated_spans(
     prior_index: DataFrame,
     prior_spans: DataFrame,
@@ -688,6 +713,7 @@ def incremental_duplicated_spans(
     n: int = 3,
     min_df: int = 2,
     token_re: str = r"[a-z]+",
+    prior_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Maintain the duplicated-span report under append-only ingest —
     returns ``(new_index, spans)`` with ``spans`` exactly equal to the
@@ -707,26 +733,53 @@ def incremental_duplicated_spans(
     * the island merge reruns for touched docs only, reading their
       positions from the committed index (never re-tokenizing old
       text); prior spans pass through for everyone else.
+
+    prior_df: the committed (gram, df) table from the previous batch
+    (distinct-doc counts).  With it, the per-batch df cost drops from
+    re-aggregating the FULL positional index to aggregating the
+    delta's grams plus one join of two pre-aggregated vocabulary
+    tables (measured at 600 k docs / 1.7 % delta: full rebuild 71 s,
+    recount-incremental 8.4 s, committed-df incremental 3.9 s — see
+    BENCH.md §5d).  Exact because batches are append-only with fresh
+    doc ids (prior and delta doc sets disjoint — the same monotone-id
+    contract the incremental near-dup path documents), so
+    df = df_prior + df_delta per gram.  ``None`` recomputes df from
+    the index (no extra state to commit).  Maintain it per batch as
+    ``extend_gram_df(prior_df, delta_df)`` — aggregate the returned
+    index's delta once and merge.
     """
     prior_index = prior_index.select("doc_id", "pos", "gram")
     delta = gram_index(new_docs, text_col, n, token_re).localCheckpoint(
         eager=False
     )
     index = prior_index.unionByName(delta).localCheckpoint(eager=False)
-    df_new = index.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("__dfn")
+    if prior_df is None:
+        df_old = prior_index.groupBy("gram").agg(
+            F.count_distinct("doc_id").alias("__dfo")
+        )
+    else:
+        df_old = prior_df.select(
+            "gram", F.col("df").cast("long").alias("__dfo")
+        )
+    df_delta = delta.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("__dfd")
     )
-    df_old = prior_index.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("__dfo")
+    df_new = (
+        df_old.join(df_delta, "gram", "full_outer")
+        .select(
+            "gram",
+            (
+                F.coalesce(F.col("__dfo"), F.lit(0))
+                + F.coalesce(F.col("__dfd"), F.lit(0))
+            ).alias("__dfn"),
+            F.coalesce(F.col("__dfo"), F.lit(0)).alias("__dfo"),
+        )
+        .localCheckpoint(eager=False)
     )
     flagged_grams = df_new.where(F.col("__dfn") >= min_df).select("gram")
-    newly = (
-        flagged_grams.join(
-            df_old.where(F.col("__dfo") >= min_df).select("gram"),
-            "gram",
-            "left_anti",
-        )
-    )
+    newly = df_new.where(
+        (F.col("__dfn") >= min_df) & (F.col("__dfo") < min_df)
+    ).select("gram")
     touched = (
         prior_index.join(newly, "gram", "left_semi")
         .select("doc_id")

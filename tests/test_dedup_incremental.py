@@ -222,3 +222,44 @@ def test_incremental_spans_reflag_old_docs(spark):
     assert not any(d == 2 for d, *_ in got)
     # the returned index is the cumulative one
     assert _idx.count() == dedup.gram_index(full).count()
+
+
+def test_incremental_spans_committed_df_path(spark):
+    """The committed (gram, df) state path must produce exactly the
+    recount path's output, including the old-doc re-span case, and
+    extend_gram_df must equal a from-scratch aggregation."""
+    from pyspark.sql import functions as F
+
+    from rosette_elasticsearch_plugin_spark.operators import dedup
+
+    rows1 = [
+        (1, "alpha beta gamma x y z"),
+        (2, "p q r s t"),
+        (4, "omega psi chi one"),
+        (5, "omega psi chi two"),
+    ]
+    rows2 = [(3, "alpha beta gamma w v")]
+    b1 = spark.createDataFrame(rows1, ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    idx1 = dedup.gram_index(b1)
+    sp1 = dedup.duplicated_spans(b1)
+    df1 = dedup.extend_gram_df(None, idx1)
+
+    _i_a, spans_a = dedup.incremental_duplicated_spans(idx1, sp1, b2)
+    _i_b, spans_b = dedup.incremental_duplicated_spans(
+        idx1, sp1, b2, prior_df=df1
+    )
+    key = lambda df: {  # noqa: E731
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in df.collect()
+    }
+    assert key(spans_a) == key(spans_b)
+    # committed df state after the batch == from-scratch aggregation
+    df2 = dedup.extend_gram_df(df1, dedup.gram_index(b2))
+    full_df = dedup.extend_gram_df(
+        None, dedup.gram_index(spark.createDataFrame(rows1 + rows2,
+                                                     ["doc_id", "text"]))
+    )
+    assert {tuple(r) for r in df2.collect()} == {
+        tuple(r) for r in full_df.collect()
+    }
