@@ -6085,6 +6085,66 @@ from keyed k join merged m using (alias_key)
 SQL_ER_ALIAS_AUDIT = _sql_er_alias_audit()
 
 
+# --- corpus duplicated-token coverage (the dedup KPI) ------------------------------
+# One row: how much of the corpus is duplicated text — total tokens,
+# tokens inside flagged spans, the coverage fraction, and how many
+# docs carry any span.  The number a training-data team tracks across
+# crawls; composition of dedup_spans + the token totals, all
+# combinable aggregates.
+def q_dedup_span_coverage(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spans = dedup.duplicated_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__dup")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+            )
+        ).cast("long").alias("__n"),
+    )
+    j = toks.join(per_doc, "doc_id", "left").select(
+        "__n", F.coalesce("__dup", F.lit(0)).alias("__dup")
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum("__dup").cast("long").alias("n_dup_tokens"),
+        F.round(F.sum("__dup") / F.sum("__n"), 6).alias("dup_token_frac"),
+        F.sum(F.when(F.col("__dup") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_spans"),
+    )
+
+
+def _sql_dedup_span_coverage() -> str:
+    spans = dedup.duplicated_spans_sql("documents")
+    return f"""
+with spans as materialized ({spans}),
+per_doc as (select doc_id, sum(span_end - span_start + 1) as dup
+            from spans group by doc_id),
+toks as (select doc_id,
+                cast(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                     as bigint) as n
+         from documents),
+j as (select t.n, coalesce(p.dup, 0) as dup
+      from toks t left join per_doc p using (doc_id))
+select cast(count(*) as bigint) as n_docs,
+       cast(sum(n) as bigint) as n_tokens,
+       cast(sum(dup) as bigint) as n_dup_tokens,
+       round(cast(sum(dup) as double) / cast(sum(n) as double), 6)
+         as dup_token_frac,
+       cast(sum(case when dup > 0 then 1 else 0 end) as bigint)
+         as n_docs_with_spans
+from j
+"""
+
+
+SQL_DEDUP_SPAN_COVERAGE = _sql_dedup_span_coverage()
+
+
 QUERIES: dict[str, Callable] = {
     # new this round (never driver-evidenced) → earliest slots after
     # the rotated front five, inside any positional gate cap
@@ -6101,6 +6161,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_spans_incremental": q_dedup_spans_incremental,
     "er_multifield_eval": q_er_multifield_eval,
     "er_alias_audit": q_er_alias_audit,
+    "dedup_span_coverage": q_dedup_span_coverage,
     "er_retract": q_er_retract,
     "er_block_sorted": q_er_block_sorted,
     "er_resolve_snm": q_er_resolve_snm,
@@ -6231,6 +6292,7 @@ ORACLES: dict[str, str] = {
     "dedup_spans_incremental": SQL_DEDUP_SPANS_INCREMENTAL,
     "er_multifield_eval": SQL_ER_MULTIFIELD_EVAL,
     "er_alias_audit": SQL_ER_ALIAS_AUDIT,
+    "dedup_span_coverage": SQL_DEDUP_SPAN_COVERAGE,
     "er_retract": SQL_ER_RETRACT,
     "er_block_sorted": SQL_ER_BLOCK_SORTED,
     "er_resolve_snm": SQL_ER_RESOLVE_SNM,
@@ -6393,4 +6455,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 124
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 125
