@@ -263,3 +263,48 @@ def test_incremental_spans_committed_df_path(spark):
     assert {tuple(r) for r in df2.collect()} == {
         tuple(r) for r in full_df.collect()
     }
+
+
+def test_corpus_cut_spans_rebuild_semantics(spark, duck):
+    """The cut transform keeps exactly the tokens outside flagged
+    spans, preserves order, and keeps fully-duplicated docs as empty
+    rows; Spark and the DuckDB mirror agree value-for-value."""
+    import rosette_elasticsearch_plugin_spark.plans.driver_queries as dq
+
+    rows = [
+        (1, "alpha beta gamma keep one two"),   # prefix duplicated
+        (2, "alpha beta gamma other words here"),
+        (3, "alpha beta gamma"),                # fully duplicated
+        (4, "nothing shared at all here now"),  # untouched
+    ]
+
+    class _FakeDedup:
+        pass
+
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    # route the query helper at our fixture table instead of sf parquet
+    orig = dq._docs
+    dq._docs = lambda _s, _sf: d
+    try:
+        got = {
+            (r.doc_id, r.cleaned_text, r.n_kept, r.n_tokens)
+            for r in dq.q_corpus_cut_spans(spark, None).collect()
+        }
+    finally:
+        dq._docs = orig
+    assert got == {
+        (1, "keep one two", 3, 6),
+        (2, "other words here", 3, 6),
+        (3, "", 0, 3),
+        (4, "nothing shared at all here now", 6, 6),
+    }
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    duck.execute(
+        f"create or replace view documents as "
+        f"select * from (values {vals}) t(doc_id, text)"
+    )
+    want = {tuple(r) for r in duck.execute(
+        dq._sql_corpus_cut_spans()
+    ).fetchall()}
+    duck.execute("drop view documents")
+    assert got == want
