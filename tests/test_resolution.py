@@ -257,3 +257,72 @@ def test_snm_window_recovers_pairs_key_families_miss(spark):
     }
     assert on["dan aykroyd"] == on["dan aykroyd jr"]
     assert on["vladimir putin"] == "vladimir putin"
+
+
+def test_alternating_star_matches_hash_min_on_random_graphs(spark):
+    """Kiveris-style large-star/small-star must produce exactly the
+    hash-min labels (cluster = component min) on seeded random graphs,
+    chains, hubs, and graphs with isolated nodes."""
+    import random
+
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        alternating_star_components,
+        connected_components,
+    )
+
+    cases = []
+    # seeded Erdős–Rényi-ish graphs at three densities
+    for seed, n, m in ((1, 40, 25), (2, 60, 90), (3, 30, 140)):
+        rng = random.Random(seed)
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        }
+        cases.append(
+            ([(f"n{a:03d}", f"n{b:03d}") for a, b in edges],
+             [f"n{i:03d}" for i in range(n)])
+        )
+    # 50-link chain (diameter stress) + hub + two components
+    cases.append(
+        ([(f"c{i:02d}", f"c{i + 1:02d}") for i in range(50)],
+         [f"c{i:02d}" for i in range(51)])
+    )
+    cases.append(
+        ([("hub", f"s{i}") for i in range(12)] + [("q1", "q2")],
+         None)
+    )
+    for edge_rows, node_rows in cases:
+        edges = spark.createDataFrame(
+            edge_rows, "node_a string, node_b string"
+        )
+        nodes = (
+            spark.createDataFrame([(x,) for x in node_rows], "node string")
+            if node_rows is not None
+            else None
+        )
+        want = {
+            r["node"]: r["cluster"]
+            for r in connected_components(edges, nodes=nodes).collect()
+        }
+        stats = {}
+        got = {
+            r["node"]: r["cluster"]
+            for r in alternating_star_components(
+                edges, nodes=nodes, stats=stats
+            ).collect()
+        }
+        assert got == want
+        assert stats["rounds"] >= 1
+
+
+def test_alternating_star_empty_and_isolated(spark):
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        alternating_star_components,
+    )
+
+    edges = spark.createDataFrame([], "node_a string, node_b string")
+    nodes = spark.createDataFrame([("a",), ("b",)], "node string")
+    got = {
+        r["node"]: r["cluster"]
+        for r in alternating_star_components(edges, nodes=nodes).collect()
+    }
+    assert got == {"a": "a", "b": "b"}
