@@ -786,14 +786,134 @@ def kmeans_assignments(
     )
 
 
-def kmeans_sql(
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    tau: float = 0.34,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): k-means
+    partitions the embedding space, then near-duplicate pairs are
+    sought ONLY within each cell — the published recipe that turns
+    embedding dedup from an O(n²) pair problem into k independent
+    within-cell problems (cell size n/k stays constant when k grows
+    with the corpus, so total pair work is linear).
+
+    Returns one row per vector: (vec_id, cell, sem_rep, is_kept) —
+    ``sem_rep`` = min vec_id of the vector's within-cell near-dup
+    component (itself when it has no supra-τ neighbor in its cell),
+    ``is_kept`` = this vector is the component representative.  A
+    training pipeline keeps the ``is_kept`` rows.
+
+    Exactness: cell assignment is the exactly-mirrored Lloyd loop
+    (``kmeans_assignments``), the pair filter uses the shared round-6
+    cosine, and the component labels come from ``connected_components``
+    — so the whole chain hash-matches the unrolled-CTE DuckDB mirror
+    (``semantic_dedup_sql``).
+
+    Scale shape: one broadcast-kmeans pass, one self-join on the cell
+    key (AQE-salted if a cell runs hot; cells are capped by
+    construction when k ∝ n), CC over the sparse near-dup edges only.
+    Recall vs corpus-wide pairing is the documented SemDeDup trade:
+    cross-cell near-dups are missed by design — audit with
+    ``ann_recall``-style comparisons before raising k.
+    """
+    from ..resolution.clustering import connected_components
+
+    asg = kmeans_assignments(embeddings, k, iters, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cells = (
+        asg.select(
+            F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+        )
+        .join(v, "vid")
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("vid").alias("vid_a"), "cell", F.col("v").alias("va")
+    )
+    b = cells.select(
+        F.col("vid").alias("vid_b"), "cell", F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .where(cosine_col(F.col("va"), F.col("vb")) >= F.lit(tau))
+        .select("vid_a", "vid_b")
+    )
+    comps = connected_components(
+        pairs, nodes=v.select("vid"), src="vid_a", dst="vid_b"
+    )
+    return (
+        comps.select(
+            F.col("node").alias("vid"), F.col("cluster").alias("sem_rep")
+        )
+        .join(cells.select("vid", "cell"), "vid")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "sem_rep",
+            (F.col("vid") == F.col("sem_rep")).alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    tau: float = 0.34,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of ``semantic_dedup``: the unrolled Lloyd CTEs,
+    a within-cell pair filter on the shared round-6 cosine, and a
+    recursive reach CTE for the component minimum."""
+    cos = cosine_sql("va.v", "vb.v")
+    return f"""
+with recursive
+{kmeans_ctes(table, k, iters, id_col, vec_col)},
+cells as materialized (select vid, cid as cell from a{iters}),
+cpairs as materialized (
+  select ca.vid as vid_a, cb.vid as vid_b
+  from cells ca join cells cb on ca.cell = cb.cell and ca.vid < cb.vid
+  join v va on va.vid = ca.vid
+  join v vb on vb.vid = cb.vid
+  where {cos} >= {tau}),
+sedges as materialized (
+  select vid_a as u, vid_b as w from cpairs
+  union all select vid_b as u, vid_a as w from cpairs),
+sreach(u, w) as (select u, w from sedges
+                 union
+                 select r.u, e.w from sreach r join sedges e on r.w = e.u),
+slabels as (
+  select v.vid, least(v.vid, coalesce(min(r.w), v.vid)) as sem_rep
+  from v left join sreach r on r.u = v.vid
+  group by v.vid)
+select l.vid as {id_col}, c.cell as cell, l.sem_rep as sem_rep,
+       l.vid = l.sem_rep as is_kept
+from slabels l join cells c on c.vid = l.vid
+"""
+
+
+def kmeans_ctes(
     table: str = "embeddings",
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """DuckDB mirror: the Lloyd iterations unrolled as CTE rounds."""
+    """The Lloyd-iteration CTE body (``v``, ``c0``, ``a1``…``a{iters}``)
+    WITHOUT the leading ``with`` or a final select, so callers can
+    compose further CTEs over the final assignment ``a{iters}`` and the
+    vector table ``v`` — ``kmeans_sql`` and the SemDeDup mirror both
+    build on it."""
     from ..functions.hashing import h56_sql
 
     h = h56_sql(f"cast({id_col} as varchar)")
@@ -831,8 +951,18 @@ def kmeans_sql(
       select cid, cv from {prev}
       where cid not in (select cid from s{t}))"""
         )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror: the Lloyd iterations unrolled as CTE rounds."""
     return (
-        f"with {body}\n"
+        f"with {kmeans_ctes(table, k, iters, id_col, vec_col)}\n"
         f"select vid as {id_col}, cid as cluster from a{iters}"
     )

@@ -1541,6 +1541,16 @@ def q_embed_kmeans(spark, sf_dir):
 SQL_EMBED_KMEANS = ann.kmeans_sql("embeddings")
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embeddings table: k-means cells, within-cell
+    round-6-cosine near-dup components, min-id representative per
+    component (see operators/ann.semantic_dedup)."""
+    return ann.semantic_dedup(_emb(spark, sf_dir))
+
+
+SQL_DEDUP_SEMANTIC = ann.semantic_dedup_sql("embeddings")
+
+
 # --- P6 full projection: entity rows with head mention, count, offsets,
 # conditional translation (flattened so the value-hash compare is exact) --------
 _ENT_DOCS = [
@@ -6228,6 +6238,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_group_sizes": q_dedup_group_sizes,
     "text_length_histogram": q_text_length_histogram,
     "embed_kmeans": q_embed_kmeans,
+    "dedup_semantic": q_dedup_semantic,
     "er_fs_em": q_er_fs_em,
     "er_fs_em_scored": q_er_fs_em_scored,
     "er_score_explain": q_er_score_explain,
@@ -6360,6 +6371,7 @@ ORACLES: dict[str, str] = {
     "dedup_group_sizes": SQL_DEDUP_GROUP_SIZES,
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "embed_kmeans": SQL_EMBED_KMEANS,
+    "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "er_fs_em": SQL_ER_FS_EM,
     "er_fs_em_scored": SQL_ER_FS_EM_SCORED,
     "er_score_explain": SQL_ER_SCORE_EXPLAIN,
@@ -6474,4 +6486,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 126
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 127

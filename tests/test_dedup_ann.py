@@ -568,3 +568,55 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     got = kmeans_assignments(df, k=4, iters=3).collect()
     assert len(got) == 6
     assert len({r.cluster for r in got}) >= 1
+
+
+def test_semantic_dedup_drops_planted_dups_within_cells(spark):
+    """SemDeDup: two well-separated blobs, each with a trio of
+    near-identical vectors planted inside it.  The trios must collapse
+    to their min-id representative; every other vector keeps itself.
+    Cross-blob vectors must never share a component (cells separate
+    them before any pairing)."""
+    import random
+
+    from rosette_elasticsearch_plugin_spark.operators.ann import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    planted = []
+    for blob, base in ((0, [5.0, 0.0, 0.0]), (1, [0.0, 5.0, 0.0])):
+        # a trio of near-identical vectors (cosine ≈ 1 pairwise)
+        trio_base = [x + rng.uniform(-0.2, 0.2) for x in base]
+        trio = []
+        for _ in range(3):
+            rows.append(
+                (vid, [x + rng.uniform(-0.005, 0.005) for x in trio_base])
+            )
+            trio.append(vid)
+            vid += 1
+        planted.append(trio)
+        # background vectors: same blob but angularly spread enough to
+        # stay under τ=0.97 against everything
+        for j in range(8):
+            spread = [x + rng.uniform(-1.8, 1.8) for x in base]
+            spread[2] += 3.0 * (j - 4)
+            rows.append((vid, spread))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: (r.cell, r.sem_rep, r.is_kept)
+        for r in semantic_dedup(df, k=2, iters=3, tau=0.97).collect()
+    }
+    assert len(out) == len(rows)
+    for trio in planted:
+        reps = {out[i][1] for i in trio}
+        assert reps == {min(trio)}, f"trio {trio} reps {reps}"
+        assert out[min(trio)][2] is True
+        for i in trio:
+            if i != min(trio):
+                assert out[i][2] is False
+    # the two trios live in different cells and different components
+    assert out[planted[0][0]][0] != out[planted[1][0]][0]
+    assert out[planted[0][0]][1] != out[planted[1][0]][1]
