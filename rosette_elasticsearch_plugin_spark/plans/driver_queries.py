@@ -5389,6 +5389,111 @@ select node, cluster from clusters
 SQL_ER_RESOLVE_TFIDF = _sql_er_resolve_tfidf()
 
 
+# --- Monge-Elkan hybrid scoring over the ER candidate pairs ---------------------
+# The classic token-level/character-level hybrid (Monge & Elkan 1996):
+# symmetric mean over both directions of (mean over tokens of the best
+# Jaro-Winkler against the other side) — tolerates token reordering AND
+# per-token typos, the two failure modes that separately break token
+# cosine and whole-string JW.  resolution/scoring.monge_elkan_scores.
+ME_TAU = 0.9
+
+
+def q_er_monge_elkan(spark, sf_dir):
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from ..resolution.scoring import monge_elkan_scores
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    keyed = _fixture_keyed(spark)
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    return monge_elkan_scores(pairs, keyed)
+
+
+def _sql_er_monge_elkan() -> str:
+    from ..resolution.scoring import monge_elkan_sql
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{monge_elkan_sql('cpairs', 'names')}
+"""
+
+
+SQL_ER_MONGE_ELKAN = _sql_er_monge_elkan()
+
+
+# The end-to-end matcher swap: same blocking/candidate path as the
+# flagship, match edges from symmetric Monge-Elkan ≥ ME_TAU, same
+# recursive-CTE-mirrored connected components.
+def q_er_resolve_me(spark, sf_dir):
+    from ..resolution.blocking import all_blocks
+    from ..resolution.clustering import connected_components
+    from ..resolution.pairs import candidate_pairs
+    from ..resolution.scoring import monge_elkan_scores
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    keyed = _fixture_keyed(spark)
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    edges = (
+        monge_elkan_scores(pairs, keyed)
+        .where(F.col("me") >= ME_TAU)
+        .select("node_a", "node_b")
+    )
+    return connected_components(edges, nodes=keyed.select("node")).select(
+        "node", "cluster"
+    )
+
+
+def _sql_er_resolve_me() -> str:
+    from ..resolution.scoring import monge_elkan_ctes
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with recursive {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{monge_elkan_ctes('cpairs', 'names')},
+medges as materialized (select node_a, node_b from mescores
+                        where me >= {ME_TAU}),
+eedges as materialized (select node_a as u, node_b as v from medges
+                        union all
+                        select node_b as u, node_a as v from medges),
+reach(u, v) as (select u, v from eedges
+                union
+                select r.u, e.v from reach r join eedges e on r.v = e.u),
+clusters as (select n.node,
+                    least(n.node, coalesce(min(r.v), n.node)) as cluster
+             from names n left join reach r on r.u = n.node
+             group by n.node)
+select node, cluster from clusters
+"""
+
+
+SQL_ER_RESOLVE_ME = _sql_er_resolve_me()
+
+
 # --- per-family blocking budget (keys / blocks / generated pairs) ----------------
 # The cost side of er_block_family_recall's benefit table, over ALL
 # five families including the opt-in token (t:) and rarest-token (r:)
@@ -6198,6 +6303,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_common_ngrams": q_dedup_common_ngrams,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "er_resolve_tfidf": q_er_resolve_tfidf,
+    "er_monge_elkan": q_er_monge_elkan,
+    "er_resolve_me": q_er_resolve_me,
     "er_block_budget": q_er_block_budget,
     "media_phash": q_media_phash,
     "media_dedup_pairs": q_media_dedup_pairs,
@@ -6331,6 +6438,8 @@ ORACLES: dict[str, str] = {
     "dedup_common_ngrams": SQL_DEDUP_COMMON_NGRAMS,
     "corpus_ngram_topk": SQL_CORPUS_NGRAM_TOPK,
     "er_resolve_tfidf": SQL_ER_RESOLVE_TFIDF,
+    "er_monge_elkan": SQL_ER_MONGE_ELKAN,
+    "er_resolve_me": SQL_ER_RESOLVE_ME,
     "er_block_budget": SQL_ER_BLOCK_BUDGET,
     "media_phash": SQL_MEDIA_PHASH,
     "media_dedup_pairs": SQL_MEDIA_DEDUP_PAIRS,
@@ -6486,4 +6595,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 127
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 129

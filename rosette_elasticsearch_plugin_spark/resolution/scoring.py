@@ -769,3 +769,171 @@ def tfidf_cosine_sql(
         tfidf_cosine_ctes(cpairs, names, micro)
         + "\nselect node_a, node_b, n_shared, cos from tfscores"
     )
+
+
+# --- Monge-Elkan hybrid similarity over candidate pairs ------------------------
+# Monge & Elkan (1996): ME(A→B) = mean over tokens a∈A of max_{b∈B}
+# sim(a, b) with a character-level inner measure — the classic hybrid
+# that tolerates token reordering AND per-token typos, sitting between
+# pure token overlap (blind to typos) and whole-string Jaro-Winkler
+# (brittle under reordering).  We use the symmetric mean of both
+# directions with Jaro-Winkler inside, the standard configuration in
+# the duplicate-detection surveys (Cohen/Ravikumar/Fienberg IIWeb'03).
+#
+# Cross-engine exactness: every inner JW is quantized to integer
+# MICRO-UNITS (half-up, matching DuckDB/Spark round()), the per-token
+# maxima and the per-direction sums are exact long arithmetic in any
+# order, and the two divisions + final round-6 are identical IEEE
+# double expressions in both engines.
+#
+# Scale shape: one Arrow hop over the candidate-pair table (pairs are
+# vocabulary-scale, see candidate_pairs); the token cross-product is
+# per-pair (≤4×4 for names), flattened to ONE numpy-batched JW call
+# per Arrow batch — no shuffle beyond the key-attach joins.
+ME_MICRO = 1_000_000
+
+
+def _me_sums_batch(av: list[str], bv: list[str]):
+    """Per pair: (Σ_a max_b micro-JW, |A|, Σ_b max_a micro-JW, |B|).
+
+    Tokenization mirrors DuckDB ``string_split(key, ' ')`` exactly
+    (no filtering — '' splits to [''], so counts never hit zero and
+    jaro('', x) = 0.0 parity carries the degenerate rows)."""
+    import numpy as np
+
+    from ..functions.similarity import jaro_batch_np
+
+    toks_a = [x.split(" ") for x in av]
+    toks_b = [y.split(" ") for y in bv]
+    ts: list[str] = []
+    us: list[str] = []
+    for ta, tb in zip(toks_a, toks_b):
+        for t in ta:
+            for u in tb:
+                ts.append(t)
+                us.append(u)
+    jw = jaro_batch_np(ts, us, winkler=True)
+    micro = np.floor(jw * ME_MICRO + 0.5).astype(np.int64)
+    n = len(av)
+    sa = np.zeros(n, dtype=np.int64)
+    na = np.zeros(n, dtype=np.int64)
+    sb = np.zeros(n, dtype=np.int64)
+    nb = np.zeros(n, dtype=np.int64)
+    off = 0
+    for i, (ta, tb) in enumerate(zip(toks_a, toks_b)):
+        k_a, k_b = len(ta), len(tb)
+        m = micro[off : off + k_a * k_b].reshape(k_a, k_b)
+        off += k_a * k_b
+        sa[i] = m.max(axis=1).sum()
+        sb[i] = m.max(axis=0).sum()
+        na[i] = k_a
+        nb[i] = k_b
+    return sa, na, sb, nb
+
+
+_ME_SUMS_TYPE = T.StructType(
+    [
+        T.StructField("sa", T.LongType()),
+        T.StructField("na", T.LongType()),
+        T.StructField("sb", T.LongType()),
+        T.StructField("nb", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_ME_SUMS_TYPE)
+def me_sums_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    av = [x if isinstance(x, str) else "" for x in a.to_numpy()]
+    bv = [x if isinstance(x, str) else "" for x in b.to_numpy()]
+    sa, na, sb, nb = _me_sums_batch(av, bv)
+    return pd.DataFrame({"sa": sa, "na": na, "sb": sb, "nb": nb})
+
+
+# same plan barrier as pair_features_udf: compute once, above the
+# candidate-pair dedup, never inlined into both union branches
+me_sums_udf = me_sums_udf.asNondeterministic()
+
+
+def monge_elkan_scores(pairs: DataFrame, names: DataFrame) -> DataFrame:
+    """(node_a, node_b, me_ab, me_ba, me) for every candidate pair —
+    directional Monge-Elkan means and their symmetric average.
+
+    ``names`` is the (node, key) vocabulary; the two key-attach joins
+    are node-equi (AQE-planned), the kernel is one Arrow hop."""
+    ka = names.select(
+        F.col("node").alias("node_a"), F.col("key").alias("ka")
+    )
+    kb = names.select(
+        F.col("node").alias("node_b"), F.col("key").alias("kb")
+    )
+    s = (
+        pairs.join(ka, "node_a")
+        .join(kb, "node_b")
+        .withColumn("s", me_sums_udf(F.col("ka"), F.col("kb")))
+    )
+    me_ab = F.col("s.sa").cast("double") / (
+        F.col("s.na").cast("double") * float(ME_MICRO)
+    )
+    me_ba = F.col("s.sb").cast("double") / (
+        F.col("s.nb").cast("double") * float(ME_MICRO)
+    )
+    return s.select(
+        "node_a",
+        "node_b",
+        F.round(me_ab, 6).alias("me_ab"),
+        F.round(me_ba, 6).alias("me_ba"),
+        F.round((me_ab + me_ba) / F.lit(2.0), 6).alias("me"),
+    )
+
+
+def monge_elkan_ctes(
+    cpairs: str, names: str, micro: int = ME_MICRO, out: str = "mescores"
+) -> str:
+    """CTE chain ending in ``{out}(node_a, node_b, me_ab, me_ba, me)``
+    — DuckDB mirror of :func:`monge_elkan_scores`.  Duplicate tokens
+    within a key are carried by multiplicity (count * max ≡ the
+    kernel's per-occurrence sum), so no ordinality is needed."""
+    return f"""me_pk as (select p.node_a, p.node_b, sa.key as ka, sb.key as kb
+         from {cpairs} p
+         join {names} sa on sa.node = p.node_a
+         join {names} sb on sb.node = p.node_b),
+me_ta as (select node_a, node_b, ta, cast(count(*) as bigint) as cnt
+          from (select node_a, node_b,
+                       unnest(string_split(ka, ' ')) as ta from me_pk)
+          group by all),
+me_tb as (select node_a, node_b, tb, cast(count(*) as bigint) as cnt
+          from (select node_a, node_b,
+                       unnest(string_split(kb, ' ')) as tb from me_pk)
+          group by all),
+me_ma as (select a.node_a, a.node_b, a.ta, a.cnt,
+                 max(cast(round(jaro_winkler_similarity(a.ta, b.tb)
+                                * {micro}) as bigint)) as m
+          from me_ta a join me_tb b using (node_a, node_b)
+          group by all),
+me_mb as (select b.node_a, b.node_b, b.tb, b.cnt,
+                 max(cast(round(jaro_winkler_similarity(a.ta, b.tb)
+                                * {micro}) as bigint)) as m
+          from me_ta a join me_tb b using (node_a, node_b)
+          group by all),
+me_sa as (select node_a, node_b, sum(cnt * m) as sa, sum(cnt) as na
+          from me_ma group by node_a, node_b),
+me_sb as (select node_a, node_b, sum(cnt * m) as sb, sum(cnt) as nb
+          from me_mb group by node_a, node_b),
+{out} as (select p.node_a, p.node_b,
+       round(cast(sa as double) / (cast(na as double) * {micro}.0), 6)
+         as me_ab,
+       round(cast(sb as double) / (cast(nb as double) * {micro}.0), 6)
+         as me_ba,
+       round((cast(sa as double) / (cast(na as double) * {micro}.0)
+            + cast(sb as double) / (cast(nb as double) * {micro}.0))
+             / 2.0, 6) as me
+from me_pk p
+join me_sa using (node_a, node_b)
+join me_sb using (node_a, node_b))"""
+
+
+def monge_elkan_sql(cpairs: str, names: str, micro: int = ME_MICRO) -> str:
+    return (
+        monge_elkan_ctes(cpairs, names, micro)
+        + "\nselect node_a, node_b, me_ab, me_ba, me from mescores"
+    )
