@@ -3193,6 +3193,58 @@ from ari_agg
 SQL_ER_ADJUSTED_RAND = _sql_er_adjusted_rand()
 
 
+# V-measure (homogeneity / completeness) of the resolved clustering
+# against planted truth (resolution/evaluate.v_measure): the
+# entropy-based member of the eval trio beside pairwise F1 / B³ / ARI,
+# decomposing error into label-mixing vs label-splitting. -------------------
+def q_er_vmeasure(spark, sf_dir):
+    from .. import corpus
+    from ..resolution.evaluate import v_measure
+    from .er_pipeline import resolve_documents
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    _, name_clusters = resolve_documents(docs)
+    tc = (
+        truth.select("mention_id", "entity_label", "normalized")
+        .join(
+            name_clusters.withColumnRenamed("node", "normalized"),
+            "normalized",
+            "left",
+        )
+        .withColumn("cluster", F.coalesce("cluster", F.col("normalized")))
+        .select("entity_label", "cluster")
+    )
+    return v_measure(tc)
+
+
+def _sql_er_vmeasure() -> str:
+    from ..resolution.evaluate import v_measure_sql
+    from .er_oracle import cluster_ctes
+
+    names, truth = _name_f1_fixture()
+    truth_vals = ", ".join(
+        "('" + m.replace("'", "''") + "', '" + e.replace("'", "''")
+        + "', '" + n.replace("'", "''") + "')"
+        for m, e, n in truth
+    )
+    return f"""
+with recursive {cluster_ctes(names)},
+truth(mention_id, entity_label, normalized) as (values {truth_vals}),
+tc as materialized (
+  select t.entity_label,
+         coalesce(c.cluster, t.normalized) as cluster
+  from truth t left join clusters c on c.node = t.normalized),
+{v_measure_sql('tc')}
+select n_mentions, q_hck, q_hkc, q_hc, q_hk,
+       homogeneity, completeness, v_measure
+from vm
+"""
+
+
+SQL_ER_VMEASURE = _sql_er_vmeasure()
+
+
 # Privacy-preserving linkage: candidate pairs are compared ONLY through
 # Bloom-filter bigram encodings (functions/bloom.py) with the Dice
 # coefficient — the PPRL setting where parties cannot exchange
@@ -6329,6 +6381,7 @@ QUERIES: dict[str, Callable] = {
     "er_cross_link": q_er_cross_link,
     "er_one_to_one": q_er_one_to_one,
     "er_adjusted_rand": q_er_adjusted_rand,
+    "er_vmeasure": q_er_vmeasure,
     "er_bloom_link": q_er_bloom_link,
     "er_fs_params": q_er_fs_params,
     "er_fs_scored": q_er_fs_scored,
@@ -6464,6 +6517,7 @@ ORACLES: dict[str, str] = {
     "er_cross_link": SQL_ER_CROSS_LINK,
     "er_one_to_one": SQL_ER_ONE_TO_ONE,
     "er_adjusted_rand": SQL_ER_ADJUSTED_RAND,
+    "er_vmeasure": SQL_ER_VMEASURE,
     "er_bloom_link": SQL_ER_BLOOM_LINK,
     "er_fs_params": SQL_ER_FS_PARAMS,
     "er_fs_scored": SQL_ER_FS_SCORED,
@@ -6595,4 +6649,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 129
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 130

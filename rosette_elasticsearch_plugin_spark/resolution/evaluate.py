@@ -129,3 +129,131 @@ def pairwise_f1(labeled: DataFrame, predicted: DataFrame,
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+# --- V-measure (homogeneity / completeness) -------------------------------------
+# Rosenberg & Hirschberg (EMNLP 2007): the entropy-based counterpart to
+# ARI/B³ —
+#   h = 1 − H(C|K)/H(C),  c = 1 − H(K|C)/H(K),  V = 2hc/(h+c)
+# with C = truth labels, K = predicted clusters.  Unlike pairwise F1 it
+# decomposes the error into "clusters mix labels" (h) vs "labels split
+# across clusters" (c); unlike ARI it is not chance-corrected but is
+# defined for every degenerate shape.
+#
+# Cross-engine exactness: each entropy TERM n·ln(n/d) is quantized to
+# integer MICRO-UNITS right after the ln (the only libm call), so every
+# Σ is an exact long in any aggregation order; the shared N·1e6 entropy
+# denominators cancel inside h and c, leaving one double division per
+# ratio and a final round-6 — identical IEEE expressions in both
+# engines.  At scale: three map-side-combinable contingency aggregates
+# over the mention table, no pair enumeration.
+VM_MICRO = 1_000_000
+
+
+def _vm_term(n: "Column", d: "Column") -> "Column":
+    """round(n · ln(n/d) · 1e6) as long — one quantized entropy term."""
+    return F.round(
+        n.cast("double")
+        * F.log(n.cast("double") / d.cast("double"))
+        * F.lit(float(VM_MICRO))
+    ).cast("long")
+
+
+def v_measure(tc: DataFrame) -> DataFrame:
+    """One row: exact entropy-term sums + homogeneity/completeness/V.
+
+    tc: one row per mention with (entity_label, cluster)."""
+    cells = tc.groupBy("cluster", "entity_label").agg(
+        F.count("*").alias("n_ij")
+    )
+    ksz = tc.groupBy("cluster").agg(F.count("*").alias("n_k"))
+    csz = tc.groupBy("entity_label").agg(F.count("*").alias("n_c"))
+    n = tc.agg(F.count("*").alias("n"))
+
+    q_hck = (
+        cells.join(ksz, "cluster")
+        .agg(F.sum(_vm_term(F.col("n_ij"), F.col("n_k"))).alias("q_hck"))
+    )
+    q_hkc = (
+        cells.join(csz, "entity_label")
+        .agg(F.sum(_vm_term(F.col("n_ij"), F.col("n_c"))).alias("q_hkc"))
+    )
+    q_hc = csz.crossJoin(F.broadcast(n)).agg(
+        F.sum(_vm_term(F.col("n_c"), F.col("n"))).alias("q_hc")
+    )
+    q_hk = ksz.crossJoin(F.broadcast(n)).agg(
+        F.sum(_vm_term(F.col("n_k"), F.col("n"))).alias("q_hk")
+    )
+    j = (
+        q_hck.crossJoin(F.broadcast(q_hkc))
+        .crossJoin(F.broadcast(q_hc))
+        .crossJoin(F.broadcast(q_hk))
+        .crossJoin(F.broadcast(n))
+    )
+    # H(C|K)/H(C) = Σq_hck / Σq_hc — the N·1e6 denominators cancel
+    h = F.when(F.col("q_hc") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.col("q_hck").cast("double") / F.col("q_hc").cast("double")
+    )
+    c = F.when(F.col("q_hk") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.col("q_hkc").cast("double") / F.col("q_hk").cast("double")
+    )
+    hc, cc = F.round(h, 6), F.round(c, 6)
+    v = F.when(hc + cc == 0.0, F.lit(0.0)).otherwise(
+        F.round(F.lit(2.0) * hc * cc / (hc + cc), 6)
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_mentions"),
+        "q_hck",
+        "q_hkc",
+        "q_hc",
+        "q_hk",
+        hc.alias("homogeneity"),
+        cc.alias("completeness"),
+        v.alias("v_measure"),
+    )
+
+
+def v_measure_sql(tc_from: str, micro: int = VM_MICRO) -> str:
+    """DuckDB mirror of v_measure over a (entity_label, cluster)
+    relation/CTE named ``tc_from`` — ends in CTE ``vm``."""
+
+    def term(n, d):
+        return (
+            f"cast(round(cast({n} as double) "
+            f"* ln(cast({n} as double) / cast({d} as double)) "
+            f"* {micro}.0) as bigint)"
+        )
+
+    return f"""
+vm_cells as (select cluster, entity_label, count(*) as n_ij
+             from {tc_from} group by cluster, entity_label),
+vm_ksz as (select cluster, count(*) as n_k from {tc_from} group by cluster),
+vm_csz as (select entity_label, count(*) as n_c
+           from {tc_from} group by entity_label),
+vm_n as (select count(*) as n from {tc_from}),
+vm_q as (select
+  (select sum({term('c.n_ij', 'k.n_k')})
+   from vm_cells c join vm_ksz k using (cluster)) as q_hck,
+  (select sum({term('c.n_ij', 'l.n_c')})
+   from vm_cells c join vm_csz l using (entity_label)) as q_hkc,
+  (select sum({term('n_c', 'n')}) from vm_csz, vm_n) as q_hc,
+  (select sum({term('n_k', 'n')}) from vm_ksz, vm_n) as q_hk,
+  (select n from vm_n) as n),
+vm_hc as (select
+  cast(n as bigint) as n_mentions, q_hck, q_hkc, q_hc, q_hk,
+  round(case when q_hc = 0 then 1.0
+        else 1.0 - cast(q_hck as double) / cast(q_hc as double) end, 6)
+    as homogeneity,
+  round(case when q_hk = 0 then 1.0
+        else 1.0 - cast(q_hkc as double) / cast(q_hk as double) end, 6)
+    as completeness
+  from vm_q),
+vm as (select n_mentions, q_hck, q_hkc, q_hc, q_hk,
+              homogeneity, completeness,
+  case when homogeneity + completeness = 0.0 then 0.0
+       else round(2.0 * homogeneity * completeness
+                  / (homogeneity + completeness), 6)
+  end as v_measure
+from vm_hc)"""

@@ -115,3 +115,60 @@ def test_beats_token_cosine_on_typos_beats_jw_on_reorder(spark):
     )
 
     assert jaro_winkler_py("smith jon", "john smith") < me
+
+
+# --- V-measure -------------------------------------------------------------------
+
+
+def _vm(spark, rows):
+    from rosette_elasticsearch_plugin_spark.resolution.evaluate import (
+        v_measure,
+    )
+
+    tc = spark.createDataFrame(rows, "entity_label string, cluster string")
+    r = v_measure(tc).collect()[0]
+    return r["homogeneity"], r["completeness"], r["v_measure"]
+
+
+def test_vmeasure_perfect_is_one(spark):
+    rows = [("e1", "c1"), ("e1", "c1"), ("e2", "c2")]
+    assert _vm(spark, rows) == (1.0, 1.0, 1.0)
+
+
+def test_vmeasure_single_cluster_complete_not_homogeneous(spark):
+    # everything lumped together: no label is split (c = 1) but the one
+    # cluster carries ZERO label information — H(C|K) = H(C), so h = 0
+    # exactly and V = 0 (the sklearn values for this contingency)
+    rows = [("e1", "c"), ("e1", "c"), ("e2", "c"), ("e2", "c")]
+    h, c, v = _vm(spark, rows)
+    assert (h, c, v) == (0.0, 1.0, 0.0)
+
+
+def test_vmeasure_singletons_homogeneous_not_complete(spark):
+    # every mention its own cluster: pure clusters (h = 1) but labels
+    # shattered (c < 1)
+    rows = [("e1", "c1"), ("e1", "c2"), ("e2", "c3"), ("e2", "c4")]
+    h, c, v = _vm(spark, rows)
+    assert h == 1.0 and c < 1.0 and 0.0 < v < 1.0
+
+
+def test_vmeasure_matches_sklearn_formula(spark):
+    # hand-checked contingency: labels (3 e1, 1 e2), clusters c1 gets
+    # 2×e1, c2 gets 1×e1 + 1×e2
+    import math
+
+    rows = [("e1", "c1"), ("e1", "c1"), ("e1", "c2"), ("e2", "c2")]
+    n = 4.0
+    h_ck = -(2 / n * math.log(2 / 2) + 1 / n * math.log(1 / 2)
+             + 1 / n * math.log(1 / 2))
+    h_c = -(3 / n * math.log(3 / n) + 1 / n * math.log(1 / n))
+    h_kc = -(2 / n * math.log(2 / 3) + 1 / n * math.log(1 / 3)
+             + 1 / n * math.log(1 / 1))
+    h_k = -(2 / n * math.log(2 / n) + 2 / n * math.log(2 / n))
+    h = 1 - h_ck / h_c
+    c = 1 - h_kc / h_k
+    v = 2 * h * c / (h + c)
+    got = _vm(spark, rows)
+    assert got[0] == pytest.approx(h, abs=2e-6)
+    assert got[1] == pytest.approx(c, abs=2e-6)
+    assert got[2] == pytest.approx(v, abs=2e-6)
