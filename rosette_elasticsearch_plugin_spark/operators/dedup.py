@@ -995,3 +995,128 @@ def retract_near_dup_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return kept.unionByName(fresh)
+
+
+# --- exact set-similarity join via prefix filtering -----------------------------
+# Vernica, Carey & Li (SIGMOD 2010): the LOSSLESS counterpart to the
+# MinHash-LSH path.  Order each document's distinct tokens by global
+# document frequency ascending (rarest first); if J(A, B) ≥ τ the two
+# documents MUST share a token within their first
+#     p = |d| − ⌈τ·|d|⌉ + 1
+# tokens under any consistent global order (prefix-filtering
+# principle), so joining on prefix tokens only generates a candidate
+# superset with zero false negatives — and the df-ascending order makes
+# those prefixes the RAREST tokens, keeping the self-join's per-token
+# groups small by construction (the same Zipf argument as rarest-token
+# blocking; AQE skew-join covers the residue).
+#
+# Verification is exact: shared-token counts via two equi-joins over
+# the token table (semi-join-restricted to candidate docs), never
+# per-pair re-tokenization, never all-pairs.
+def prefix_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", tau: float = 0.6, n: int = 3
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_shared, jaccard) — every pair with
+    shingle-set Jaccard ≥ τ, exactly (no LSH loss).  The set unit is
+    the token n-gram shingle (same universe as the MinHash path), not
+    the bare word token: order-sensitive shingles discriminate where a
+    small word vocabulary cannot."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(token_shingles_col(F.col(text_col), n)).alias("token"),
+    ).localCheckpoint(eager=False)
+    df = tok.groupBy("token").agg(F.count("*").alias("df"))
+    sz = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("token").asc()
+    )
+    prefix = (
+        tok.join(df, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
+        )
+        .select("doc_id", "token")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        cands.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    tok_c = tok.join(cand_ids, "doc_id", "left_semi")
+    shared = (
+        cands.join(
+            tok_c.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a"
+        )
+        .join(
+            tok_c.withColumnRenamed("doc_id", "doc_id_b"),
+            ["doc_id_b", "token"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sa"))
+    sb = sz.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+
+
+def prefix_jaccard_pairs_sql(
+    docs_from: str, text_expr: str = "text", tau: float = 0.6, n: int = 3
+) -> str:
+    """Brute-force all-pairs DuckDB oracle for
+    :func:`prefix_jaccard_pairs` — deliberately structure-free (joins
+    every shingle-sharing pair, no prefix), so a hash match PROVES the
+    prefix filter lossless at fixture scale."""
+    tok = (
+        f"select doc_id, unnest({token_shingles_sql(text_expr, n)}) "
+        f"as token from {docs_from}"
+    )
+    return f"""
+with tok as materialized ({tok}),
+sz as (select doc_id, cast(count(*) as bigint) as sz
+       from tok group by doc_id),
+shared as (select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                  cast(count(*) as bigint) as n_shared
+           from tok a join tok b
+             on a.token = b.token and a.doc_id < b.doc_id
+           group by a.doc_id, b.doc_id)
+select doc_id_a, doc_id_b, n_shared,
+       round(cast(n_shared as double)
+             / cast(sa.sz + sb.sz - n_shared as double), 6) as jaccard
+from shared
+join sz sa on sa.doc_id = doc_id_a
+join sz sb on sb.doc_id = doc_id_b
+where round(cast(n_shared as double)
+            / cast(sa.sz + sb.sz - n_shared as double), 6) >= {tau}
+"""

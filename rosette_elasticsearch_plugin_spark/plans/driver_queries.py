@@ -1073,6 +1073,24 @@ keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
 SQL_DEDUP_WEIGHTED_JACCARD = _sql_dedup_weighted_jaccard()
 
 
+# --- exact set-similarity join via prefix filtering (operators/dedup.
+# prefix_jaccard_pairs): the LOSSLESS counterpart to the LSH near-dup
+# path — the oracle is deliberately brute-force all-pairs, so the hash
+# match PROVES the prefix filter drops no qualifying pair. ------------------
+PREFIX_TAU = 0.8
+
+
+def q_dedup_prefix_join(spark, sf_dir):
+    return dedup.prefix_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), tau=PREFIX_TAU
+    )
+
+
+SQL_DEDUP_PREFIX_JOIN = dedup.prefix_jaccard_pairs_sql(
+    f"({_DOCS_WITH_DUPS_SQL})", tau=PREFIX_TAU
+)
+
+
 # --- meta-blocking weights over the document LSH bands -------------------------
 # The band-collision count between two docs is a similarity proxy for
 # free (P[band collision] rises with MinHash Jaccard), so the same
@@ -6464,6 +6482,7 @@ QUERIES: dict[str, Callable] = {
     "region_customer_counts": q_region_customer_counts,
     "dedup_idf_weights": q_dedup_idf_weights,
     "dedup_weighted_jaccard": q_dedup_weighted_jaccard,
+    "dedup_prefix_join": q_dedup_prefix_join,
     "stream_session_counts": q_stream_session_counts,
 }
 
@@ -6597,6 +6616,7 @@ ORACLES: dict[str, str] = {
     "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
     "dedup_idf_weights": SQL_DEDUP_IDF_WEIGHTS,
     "dedup_weighted_jaccard": SQL_DEDUP_WEIGHTED_JACCARD,
+    "dedup_prefix_join": SQL_DEDUP_PREFIX_JOIN,
     "stream_session_counts": SQL_STREAM_SESSION_COUNTS,
 }
 
@@ -6649,4 +6669,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 130
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 131

@@ -1,7 +1,6 @@
-"""Semantics pins for Monge-Elkan hybrid similarity
-(resolution/scoring.monge_elkan_scores): token-reorder invariance,
-per-token typo tolerance, directional asymmetry of the two means, and
-scalar agreement with a brute-force python reference."""
+"""Semantics pins for the round-4 wave-5 operators: Monge-Elkan hybrid
+similarity, V-measure cluster evaluation, and the prefix-filtered
+exact set-similarity join."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -172,3 +171,46 @@ def test_vmeasure_matches_sklearn_formula(spark):
     assert got[0] == pytest.approx(h, abs=2e-6)
     assert got[1] == pytest.approx(c, abs=2e-6)
     assert got[2] == pytest.approx(v, abs=2e-6)
+
+
+# --- prefix-filtered exact set-similarity join -------------------------------------
+
+
+def test_prefix_join_equals_bruteforce_and_is_selective(spark):
+    from itertools import combinations
+
+    from rosette_elasticsearch_plugin_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy dog today",   # near-dup of 1
+        3: "the quick brown fox jumps over the lazy dog tonight", # exact dup of 1
+        4: "entirely different content about spark shuffles and joins",
+        5: "spark shuffles and joins explained with diagrams",    # overlaps 4 below tau
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    tau = 0.6
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(docs, tau=tau).collect()
+    }
+
+    # brute-force reference over 3-gram shingle sets
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        A, B = sh(texts[a]), sh(texts[b])
+        j = len(A & B) / len(A | B)
+        if round(j, 6) >= tau:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1.0   # exact dup
+    assert (1, 2) in got                           # near-dup crosses tau
+    assert (4, 5) not in got                       # sub-tau overlap filtered
