@@ -3263,6 +3263,100 @@ from vm
 SQL_ER_VMEASURE = _sql_er_vmeasure()
 
 
+# --- name co-occurrence: the relational-context signal ----------------------------
+# Names that repeatedly appear in the SAME documents are related even
+# when their strings share nothing — the collective-ER evidence class
+# (Bhattacharya & Getoor, TKDD 2007) that string similarity cannot
+# supply.  Per-document name pair generation is doc-local (bounded by
+# mentions-per-doc, the canonical distributed co-occurrence shape — the
+# self-join key is doc_id, so no vocabulary-scale pair space ever
+# exists), followed by one combinable pair count; PMI normalizes the
+# count by the names' document frequencies so ubiquitous names don't
+# dominate.  Single ln per OUTPUT row, round-6 absorbs the libm ulp.
+# (The deterministic fixture never repeats a name pair across docs, so
+# the threshold is 1 there; a production corpus would raise it.)
+COOC_MIN_DOCS = 1
+
+
+def q_er_cooc_names(spark, sf_dir):
+    from .. import corpus
+    from ..operators.entities import extract_mentions
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, _ = corpus.to_spark(spark, c)
+    m = (
+        extract_mentions(docs)
+        .select("doc_id", "normalized")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = m.select("doc_id").distinct().count()
+    pairs = (
+        m.alias("a")
+        .join(
+            m.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.normalized") < F.col("b.normalized")),
+        )
+        .groupBy(
+            F.col("a.normalized").alias("node_a"),
+            F.col("b.normalized").alias("node_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= COOC_MIN_DOCS)
+    )
+    dfreq = m.groupBy("normalized").agg(F.count("*").cast("long").alias("df"))
+    da = dfreq.select(
+        F.col("normalized").alias("node_a"), F.col("df").alias("df_a")
+    )
+    db = dfreq.select(
+        F.col("normalized").alias("node_b"), F.col("df").alias("df_b")
+    )
+    pmi = F.log(
+        (F.col("n_shared") * F.lit(n)).cast("double")
+        / (F.col("df_a") * F.col("df_b")).cast("double")
+    )
+    return (
+        pairs.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a", "node_b", "n_shared", "df_a", "df_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
+def _sql_er_cooc_names() -> str:
+    m_vals = ", ".join(
+        "('" + d + "', '" + nm.replace("'", "''") + "')"
+        for d, _mid, nm in _corpus_mention_rows()
+    )
+    return f"""
+with mraw(doc_id, normalized) as (values {m_vals}),
+m as materialized (select distinct doc_id, normalized from mraw),
+n as (select count(distinct doc_id) as n from m),
+pairs as (select a.normalized as node_a, b.normalized as node_b,
+                 cast(count(*) as bigint) as n_shared
+          from m a join m b
+            on a.doc_id = b.doc_id and a.normalized < b.normalized
+          group by a.normalized, b.normalized
+          having count(*) >= {COOC_MIN_DOCS}),
+dfreq as (select normalized, cast(count(*) as bigint) as df
+          from m group by normalized)
+select p.node_a, p.node_b, p.n_shared,
+       da.df as df_a, db.df as df_b,
+       round(ln(cast(p.n_shared * n.n as double)
+                / cast(da.df * db.df as double)), 6) as pmi
+from pairs p
+join dfreq da on da.normalized = p.node_a
+join dfreq db on db.normalized = p.node_b
+cross join n
+"""
+
+
+SQL_ER_COOC_NAMES = _sql_er_cooc_names()
+
+
 # Privacy-preserving linkage: candidate pairs are compared ONLY through
 # Bloom-filter bigram encodings (functions/bloom.py) with the Dice
 # coefficient — the PPRL setting where parties cannot exchange
@@ -5504,6 +5598,110 @@ cpairs as (select distinct a.node as node_a, b.node as node_b
 SQL_ER_MONGE_ELKAN = _sql_er_monge_elkan()
 
 
+# --- Soft TF-IDF over the ER candidate pairs -------------------------------------
+# Cohen/Ravikumar/Fienberg's overall-best name measure: TF-IDF cosine
+# with SOFT token matching (best JW partner ≥ θ) — the third member of
+# the hybrid-scorer family beside hard TF-IDF and Monge-Elkan
+# (resolution/scoring.soft_tfidf_scores).
+def q_er_soft_tfidf(spark, sf_dir):
+    from ..resolution.blocking import all_blocks
+    from ..resolution.pairs import candidate_pairs
+    from ..resolution.scoring import soft_tfidf_scores
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    keyed = _fixture_keyed(spark)
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    return soft_tfidf_scores(pairs, keyed)
+
+
+def _sql_er_soft_tfidf() -> str:
+    from ..resolution.scoring import soft_tfidf_sql
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{soft_tfidf_sql('cpairs', 'names')}
+"""
+
+
+SQL_ER_SOFT_TFIDF = _sql_er_soft_tfidf()
+
+
+# The matcher swap: symmetric Soft TF-IDF ≥ SOFT_TAU into the same
+# blocking + CC path — completing the A/B family (flagship ensemble /
+# hard TF-IDF / Monge-Elkan / Soft TF-IDF on identical candidates).
+SOFT_TAU = 0.85
+
+
+def q_er_resolve_soft(spark, sf_dir):
+    from ..resolution.blocking import all_blocks
+    from ..resolution.clustering import connected_components
+    from ..resolution.pairs import candidate_pairs
+    from ..resolution.scoring import soft_tfidf_scores
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    keyed = _fixture_keyed(spark)
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        blocks, cfg.max_block_size, cfg.n_salt, cfg.salt_threshold
+    )
+    edges = (
+        soft_tfidf_scores(pairs, keyed)
+        .where(F.col("soft") >= SOFT_TAU)
+        .select("node_a", "node_b")
+    )
+    return connected_components(edges, nodes=keyed.select("node")).select(
+        "node", "cluster"
+    )
+
+
+def _sql_er_resolve_soft() -> str:
+    from ..resolution.scoring import soft_tfidf_ctes
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with recursive {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{soft_tfidf_ctes('cpairs', 'names')},
+medges as materialized (select node_a, node_b from softscores
+                        where soft >= {SOFT_TAU}),
+eedges as materialized (select node_a as u, node_b as v from medges
+                        union all
+                        select node_b as u, node_a as v from medges),
+reach(u, v) as (select u, v from eedges
+                union
+                select r.u, e.v from reach r join eedges e on r.v = e.u),
+clusters as (select n.node,
+                    least(n.node, coalesce(min(r.v), n.node)) as cluster
+             from names n left join reach r on r.u = n.node
+             group by n.node)
+select node, cluster from clusters
+"""
+
+
+SQL_ER_RESOLVE_SOFT = _sql_er_resolve_soft()
+
+
 # The end-to-end matcher swap: same blocking/candidate path as the
 # flagship, match edges from symmetric Monge-Elkan ≥ ME_TAU, same
 # recursive-CTE-mirrored connected components.
@@ -6374,6 +6572,8 @@ QUERIES: dict[str, Callable] = {
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "er_resolve_tfidf": q_er_resolve_tfidf,
     "er_monge_elkan": q_er_monge_elkan,
+    "er_soft_tfidf": q_er_soft_tfidf,
+    "er_resolve_soft": q_er_resolve_soft,
     "er_resolve_me": q_er_resolve_me,
     "er_block_budget": q_er_block_budget,
     "media_phash": q_media_phash,
@@ -6400,6 +6600,7 @@ QUERIES: dict[str, Callable] = {
     "er_one_to_one": q_er_one_to_one,
     "er_adjusted_rand": q_er_adjusted_rand,
     "er_vmeasure": q_er_vmeasure,
+    "er_cooc_names": q_er_cooc_names,
     "er_bloom_link": q_er_bloom_link,
     "er_fs_params": q_er_fs_params,
     "er_fs_scored": q_er_fs_scored,
@@ -6511,6 +6712,8 @@ ORACLES: dict[str, str] = {
     "corpus_ngram_topk": SQL_CORPUS_NGRAM_TOPK,
     "er_resolve_tfidf": SQL_ER_RESOLVE_TFIDF,
     "er_monge_elkan": SQL_ER_MONGE_ELKAN,
+    "er_soft_tfidf": SQL_ER_SOFT_TFIDF,
+    "er_resolve_soft": SQL_ER_RESOLVE_SOFT,
     "er_resolve_me": SQL_ER_RESOLVE_ME,
     "er_block_budget": SQL_ER_BLOCK_BUDGET,
     "media_phash": SQL_MEDIA_PHASH,
@@ -6537,6 +6740,7 @@ ORACLES: dict[str, str] = {
     "er_one_to_one": SQL_ER_ONE_TO_ONE,
     "er_adjusted_rand": SQL_ER_ADJUSTED_RAND,
     "er_vmeasure": SQL_ER_VMEASURE,
+    "er_cooc_names": SQL_ER_COOC_NAMES,
     "er_bloom_link": SQL_ER_BLOOM_LINK,
     "er_fs_params": SQL_ER_FS_PARAMS,
     "er_fs_scored": SQL_ER_FS_SCORED,
@@ -6669,4 +6873,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 131
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 134

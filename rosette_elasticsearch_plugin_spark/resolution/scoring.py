@@ -937,3 +937,188 @@ def monge_elkan_sql(cpairs: str, names: str, micro: int = ME_MICRO) -> str:
         monge_elkan_ctes(cpairs, names, micro)
         + "\nselect node_a, node_b, me_ab, me_ba, me from mescores"
     )
+
+
+# --- Soft TF-IDF over candidate pairs -------------------------------------------
+# Cohen, Ravikumar & Fienberg (IIWeb 2003): their best-performing name
+# measure overall — TF-IDF cosine where tokens match SOFTLY: each of
+# A's tokens pairs with its best Jaro-Winkler partner in B (if jw ≥ θ),
+# contributing w_A(t)·w_B(p(t))·jw(t,p(t)) to the numerator.  Unlike
+# hard TF-IDF it credits typo'd rare tokens; unlike Monge-Elkan it
+# keeps the IDF weighting, so shared stopword-ish tokens stay cheap.
+#
+# Cross-engine exactness: token weights are the micro-unit IDF ints of
+# name_token_idf; jw is micro-quantized (same kernel discipline as
+# Monge-Elkan); each contribution round(w_a·w_b·jwq/1e6) is a long
+# (w_a·w_b ≤ ~5e13 is exact in both int64 and double, the product with
+# jwq is the same IEEE double in both engines); per-direction sums are
+# exact longs; the final division by the exact-long norms is one double
+# expression, round-6.  Best-partner ties break deterministically on
+# (jw desc, w_b desc, token asc) in both engines.
+#
+# Scale shape: the pair×token×token expansion is two equi-joins over
+# tokens of CANDIDATE names only (≤4×4 per name pair), the jw kernel is
+# one Arrow hop over that table, and the argmax is a window keyed by
+# the pair — all vocabulary-scale.
+SOFT_TFIDF_THETA = 0.9
+
+
+@pandas_udf(T.LongType())
+def jw_micro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    import numpy as np
+
+    from ..functions.similarity import jaro_batch_np
+
+    av = [x if isinstance(x, str) else "" for x in a.to_numpy()]
+    bv = [x if isinstance(x, str) else "" for x in b.to_numpy()]
+    jw = jaro_batch_np(av, bv, winkler=True)
+    return pd.Series(np.floor(jw * 1e6 + 0.5).astype("int64"))
+
+
+def soft_tfidf_scores(
+    pairs: DataFrame, names: DataFrame, theta: float = SOFT_TFIDF_THETA
+) -> DataFrame:
+    """(node_a, node_b, soft_ab, soft_ba, soft) for every candidate
+    pair — directional Soft TF-IDF and the symmetric mean."""
+    from pyspark.sql import Window
+
+    theta_micro = int(round(theta * 1e6))
+    wtab = name_token_idf(names)
+    sq = wtab.groupBy("node").agg(F.sum(F.col("w") * F.col("w")).alias("sq"))
+    wa = wtab.select(
+        F.col("node").alias("node_a"),
+        F.col("tok").alias("ta"),
+        F.col("w").alias("wa"),
+    )
+    wb = wtab.select(
+        F.col("node").alias("node_b"),
+        F.col("tok").alias("tb"),
+        F.col("w").alias("wb"),
+    )
+    tp = (
+        pairs.join(wa, "node_a")
+        .join(wb, "node_b")
+        .withColumn("jwq", jw_micro_udf(F.col("ta"), F.col("tb")))
+        .localCheckpoint(eager=False)  # kernel runs once for both directions
+    )
+    contrib = F.round(
+        (F.col("wa") * F.col("wb")).cast("double")
+        * F.col("jwq").cast("double")
+        / F.lit(1e6)
+    ).cast("long")
+
+    def direction(part_tok: str, out: str) -> DataFrame:
+        w = Window.partitionBy("node_a", "node_b", part_tok).orderBy(
+            F.col("jwq").desc(),
+            F.col("wb" if part_tok == "ta" else "wa").desc(),
+            F.col("tb" if part_tok == "ta" else "ta").asc(),
+        )
+        return (
+            tp.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("jwq") >= theta_micro))
+            .groupBy("node_a", "node_b")
+            .agg(F.sum(contrib).alias(out))
+        )
+
+    num_a = direction("ta", "num_ab")
+    num_b = direction("tb", "num_ba")
+    sqa = sq.select(F.col("node").alias("node_a"), F.col("sq").alias("sq_a"))
+    sqb = sq.select(F.col("node").alias("node_b"), F.col("sq").alias("sq_b"))
+    denom = F.sqrt(F.col("sq_a").cast("double")) * F.sqrt(
+        F.col("sq_b").cast("double")
+    )
+    s_ab = F.round(
+        F.coalesce(F.col("num_ab").cast("double"), F.lit(0.0)) / denom, 6
+    )
+    s_ba = F.round(
+        F.coalesce(F.col("num_ba").cast("double"), F.lit(0.0)) / denom, 6
+    )
+    return (
+        pairs.join(num_a, ["node_a", "node_b"], "left")
+        .join(num_b, ["node_a", "node_b"], "left")
+        .join(sqa, "node_a")
+        .join(sqb, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            s_ab.alias("soft_ab"),
+            s_ba.alias("soft_ba"),
+            F.round((s_ab + s_ba) / F.lit(2.0), 6).alias("soft"),
+        )
+    )
+
+
+def soft_tfidf_ctes(
+    cpairs: str,
+    names: str,
+    theta: float = SOFT_TFIDF_THETA,
+    micro: int = IDF_MICRO,
+    out: str = "softscores",
+) -> str:
+    """CTE chain ending in ``{out}(node_a, node_b, soft_ab, soft_ba,
+    soft)`` — DuckDB mirror of :func:`soft_tfidf_scores`.  Reuses the
+    exact nw/nsq weight quantization of the hard-TF-IDF mirror."""
+    theta_micro = int(round(theta * 1e6))
+    return f"""ntoks as (select distinct node, tok
+          from (select node, unnest(string_split(key, ' ')) as tok
+                from {names})
+          where length(tok) > 0),
+ndf as (select tok, cast(count(*) as bigint) as df from ntoks group by tok),
+nw as (select node, tok,
+              cast(round((ln(((select count(*) from {names}) + 1.0)
+                          / (df + 1.0)) + 1.0) * {micro}) as bigint) as w
+       from ntoks join ndf using (tok)),
+nsq as (select node, sum(w * w) as sq from nw group by node),
+st_tp as materialized (
+  select p.node_a, p.node_b, a.tok as ta, a.w as wa, b.tok as tb, b.w as wb,
+         cast(round(jaro_winkler_similarity(a.tok, b.tok) * 1000000)
+              as bigint) as jwq
+  from {cpairs} p
+  join nw a on a.node = p.node_a
+  join nw b on b.node = p.node_b),
+st_na as (select node_a, node_b,
+                 sum(cast(round(cast(wa * wb as double)
+                                * cast(jwq as double) / 1000000.0)
+                          as bigint)) as num_ab
+          from (select *, row_number() over (
+                  partition by node_a, node_b, ta
+                  order by jwq desc, wb desc, tb asc) as rn
+                from st_tp)
+          where rn = 1 and jwq >= {theta_micro}
+          group by node_a, node_b),
+st_nb as (select node_a, node_b,
+                 sum(cast(round(cast(wa * wb as double)
+                                * cast(jwq as double) / 1000000.0)
+                          as bigint)) as num_ba
+          from (select *, row_number() over (
+                  partition by node_a, node_b, tb
+                  order by jwq desc, wa desc, ta asc) as rn
+                from st_tp)
+          where rn = 1 and jwq >= {theta_micro}
+          group by node_a, node_b),
+{out} as (select p.node_a, p.node_b,
+       round(coalesce(cast(na.num_ab as double), 0.0)
+             / (sqrt(cast(a.sq as double)) * sqrt(cast(b.sq as double))),
+             6) as soft_ab,
+       round(coalesce(cast(nb.num_ba as double), 0.0)
+             / (sqrt(cast(a.sq as double)) * sqrt(cast(b.sq as double))),
+             6) as soft_ba,
+       round((round(coalesce(cast(na.num_ab as double), 0.0)
+              / (sqrt(cast(a.sq as double)) * sqrt(cast(b.sq as double))), 6)
+            + round(coalesce(cast(nb.num_ba as double), 0.0)
+              / (sqrt(cast(a.sq as double)) * sqrt(cast(b.sq as double))), 6))
+             / 2.0, 6) as soft
+from {cpairs} p
+left join st_na na on na.node_a = p.node_a and na.node_b = p.node_b
+left join st_nb nb on nb.node_a = p.node_a and nb.node_b = p.node_b
+join nsq a on a.node = p.node_a
+join nsq b on b.node = p.node_b)"""
+
+
+def soft_tfidf_sql(
+    cpairs: str, names: str, theta: float = SOFT_TFIDF_THETA
+) -> str:
+    return (
+        soft_tfidf_ctes(cpairs, names, theta)
+        + "\nselect node_a, node_b, soft_ab, soft_ba, soft from softscores"
+    )

@@ -214,3 +214,54 @@ def test_prefix_join_equals_bruteforce_and_is_selective(spark):
     assert (1, 3) in got and got[(1, 3)] == 1.0   # exact dup
     assert (1, 2) in got                           # near-dup crosses tau
     assert (4, 5) not in got                       # sub-tau overlap filtered
+
+
+# --- Soft TF-IDF ------------------------------------------------------------------
+
+
+def _soft(spark, ka, kb, extra=()):
+    """Score one pair inside a vocabulary of the two keys + extras."""
+    from rosette_elasticsearch_plugin_spark.resolution.scoring import (
+        soft_tfidf_scores,
+    )
+
+    rows = [("a", ka), ("b", kb)] + [
+        (f"x{i}", k) for i, k in enumerate(extra)
+    ]
+    names = _names(spark, rows)
+    pairs = _pairs(spark, [("a", "b")])
+    r = soft_tfidf_scores(pairs, names).collect()[0]
+    return r["soft_ab"], r["soft_ba"], r["soft"]
+
+
+def test_soft_tfidf_identity_is_one(spark):
+    assert _soft(spark, "john smith", "john smith") == (1.0, 1.0, 1.0)
+
+
+def test_soft_tfidf_credits_typod_token_hard_cosine_cannot(spark):
+    from rosette_elasticsearch_plugin_spark.resolution.scoring import (
+        tfidf_cosine_scores,
+    )
+
+    # smith/smithe agree at jw≈0.967 ≥ θ=0.9: soft credits the typo'd
+    # rare token, hard TF-IDF sees only the shared 'john' (smyth at
+    # jw 0.893 would NOT clear the gate — θ is a real gate, see the
+    # below-theta test)
+    names = _names(spark, [("a", "john smith"), ("b", "john smithe")])
+    pairs = _pairs(spark, [("a", "b")])
+    hard = tfidf_cosine_scores(pairs, names).collect()[0]["cos"]
+    _ab, _ba, soft = _soft(spark, "john smith", "john smithe")
+    assert soft > hard
+
+
+def test_soft_tfidf_below_theta_partners_contribute_zero(spark):
+    assert _soft(spark, "alpha", "omega") == (0.0, 0.0, 0.0)
+
+
+def test_soft_tfidf_rare_token_outweighs_common(spark):
+    # both pairs share one exact token; the pair sharing the RARE
+    # token scores higher (IDF weighting survives the soft matching)
+    extra = ["john black", "john white", "john gray"]  # john is common
+    _ab, _ba, s_rare = _soft(spark, "zyx smith", "zyx jones", extra)
+    _ab2, _ba2, s_common = _soft(spark, "john smith", "john jones", extra)
+    assert s_rare > s_common
