@@ -1981,6 +1981,85 @@ SQL_TOKEN_COUNT = (
 )
 
 
+# --- sequence-packing manifest (concat-then-chunk) -------------------------------
+# The training-data op downstream of cleaning/dedup: documents are
+# concatenated in a deterministic global order (doc_id) and the token
+# stream is cut into fixed-capacity windows (GPT-style packing), docs
+# spanning boundaries.  The manifest maps every document to the
+# training windows it occupies: (doc_id, window_id, start_in_window,
+# n_in_window) — pure integer prefix-sum arithmetic, exact in both
+# engines.
+#
+# Scale shape: the per-doc token count is a scan-side expression; the
+# exclusive running sum is written here as one ordered window (a
+# global sort) — at 10^12 docs the same numbers come from the standard
+# two-phase pattern (per-partition subtotals, then per-partition
+# offsets broadcast back: one tiny aggregate + one map, no global
+# single-partition window), which preserves the identical manifest
+# because the order key is still doc_id.  The window_id explode is
+# bounded by ceil(n_tok/C)+1 rows per doc.
+PACK_C = 128
+
+
+def q_corpus_pack_manifest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TS.token_count_col(F.col("text")).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = d.withColumn(
+        "start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    )
+    c = F.lit(PACK_C).cast("long")
+    # `div` keeps the arithmetic in exact longs (double division would
+    # lose exactness past 2^53 token offsets — reachable at 10^12 docs)
+    wins = F.sequence(
+        F.expr(f"start div {PACK_C}"),
+        F.expr(f"(start + n_tok - 1) div {PACK_C}"),
+    )
+    e = d.select(
+        "doc_id", "n_tok", "start", F.explode(wins).alias("window_id")
+    )
+    tok_start = F.greatest(F.col("start"), F.col("window_id") * c)
+    tok_end = F.least(
+        F.col("start") + F.col("n_tok"), (F.col("window_id") + 1) * c
+    )
+    return e.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        "window_id",
+        (tok_start - F.col("window_id") * c).cast("long").alias(
+            "start_in_window"
+        ),
+        (tok_end - tok_start).cast("long").alias("n_in_window"),
+    )
+
+
+SQL_CORPUS_PACK_MANIFEST = f"""
+with d as (select doc_id, {TS.token_count_sql('text')} as n_tok
+           from documents),
+s as (select doc_id, cast(n_tok as bigint) as n_tok,
+             cast(coalesce(sum(n_tok) over (order by doc_id
+                    rows between unbounded preceding and 1 preceding),
+                  0) as bigint) as start
+      from d where n_tok > 0),
+e as (select doc_id, n_tok, start,
+             unnest(generate_series(start // {PACK_C},
+                                    (start + n_tok - 1) // {PACK_C}))
+               as window_id
+      from s)
+select doc_id, n_tok as n_tokens, window_id,
+       greatest(start, window_id * {PACK_C}) - window_id * {PACK_C}
+         as start_in_window,
+       least(start + n_tok, (window_id + 1) * {PACK_C})
+         - greatest(start, window_id * {PACK_C}) as n_in_window
+from e
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TS.fingerprint_col(F.col("text")).alias("fingerprint")
@@ -6662,6 +6741,7 @@ QUERIES: dict[str, Callable] = {
     "ros_entities_sentiment": q_ros_entities_sentiment,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "corpus_pack_manifest": q_corpus_pack_manifest,
     "doc_fingerprint": q_doc_fingerprint,
     "text_redact": q_text_redact,
     "corpus_clean": q_corpus_clean,
@@ -6799,6 +6879,7 @@ ORACLES: dict[str, str] = {
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "corpus_pack_manifest": SQL_CORPUS_PACK_MANIFEST,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_redact": SQL_TEXT_REDACT,
     "corpus_clean": SQL_CORPUS_CLEAN,
@@ -6873,4 +6954,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 134
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 135

@@ -265,3 +265,53 @@ def test_soft_tfidf_rare_token_outweighs_common(spark):
     _ab, _ba, s_rare = _soft(spark, "zyx smith", "zyx jones", extra)
     _ab2, _ba2, s_common = _soft(spark, "john smith", "john jones", extra)
     assert s_rare > s_common
+
+
+# --- sequence-packing manifest ------------------------------------------------------
+
+
+def test_pack_manifest_invariants(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        PACK_C,
+        q_corpus_pack_manifest,
+    )
+
+    # 12 docs with 20-80 alphabetic tokens each -> multi-doc windows AND
+    # multi-window docs at C=128 (alphabetic words: one BPE-ish token each)
+    rows = [
+        (i, " ".join("tok" + "abcdefg"[j % 7] for j in range(20 + (i * 7) % 61)))
+        for i in range(12)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    m = q_corpus_pack_manifest(spark, str(tmp_path)).collect()
+
+    # every token of every doc lands in exactly one window slot
+    per_doc = {}
+    for r in m:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert 0 <= r["start_in_window"] < PACK_C
+        assert 0 < r["n_in_window"] <= PACK_C
+    for doc, parts in per_doc.items():
+        n_tok = parts[0]["n_tokens"]
+        assert sum(p["n_in_window"] for p in parts) == n_tok
+        # a doc's windows are consecutive
+        wins = sorted(p["window_id"] for p in parts)
+        assert wins == list(range(wins[0], wins[-1] + 1))
+
+    # every window except the last is filled to capacity
+    per_win = {}
+    for r in m:
+        per_win[r["window_id"]] = per_win.get(r["window_id"], 0) + r[
+            "n_in_window"
+        ]
+    last = max(per_win)
+    for w, fill in per_win.items():
+        assert fill == (PACK_C if w < last else fill)
+        if w < last:
+            assert fill == PACK_C
+    total = sum(r["n_in_window"] for r in m)
+    assert total == sum(20 + (i * 7) % 61 for i in range(12))
