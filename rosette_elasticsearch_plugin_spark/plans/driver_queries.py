@@ -5460,6 +5460,87 @@ select node, 'r:' || tok as block_key from ranked where rn = 1
 SQL_ER_BLOCK_RARE_TOKEN = _sql_er_block_rare_token()
 
 
+# --- suffix-array blocking (Aizawa-Oyama 2005): the ``s:`` family —
+# every space-stripped-key suffix of length >= _SUFFIX_MIN_LEN is a
+# key (whole compact key for shorter names), suffixes carried by more
+# than _SUFFIX_MAX_BLOCK names purged.  The family that catches
+# LEADING-character variants, the shared blind spot of exact keys,
+# first-letter-anchored metaphone codes, and prefix-ordered SNM;
+# the df purge bounds every surviving block by construction. ----------------
+_SUFFIX_MIN_LEN = 5
+_SUFFIX_MAX_BLOCK = 50
+
+
+def q_er_block_suffix(spark, sf_dir):
+    from ..resolution.blocking import suffix_blocks
+
+    return suffix_blocks(
+        _fixture_keyed(spark), _SUFFIX_MIN_LEN, _SUFFIX_MAX_BLOCK
+    )
+
+
+def _sql_er_block_suffix() -> str:
+    from .er_oracle import _q, er_key_py
+
+    names, _truth = _name_f1_fixture()
+    uniq = sorted(set(names))
+    vals = ", ".join(f"('{_q(n)}', '{_q(er_key_py(n))}')" for n in uniq)
+    return f"""
+with names(node, key) as (values {vals}),
+sufs as (select distinct node, suf from (
+           select node, substr(ck, cast(unnest(generate_series(
+                    1, greatest(length(ck) - {_SUFFIX_MIN_LEN - 1}, 1)))
+                  as int)) as suf
+           from (select node, replace(key, ' ', '') as ck from names))
+         where length(suf) > 0)
+select d.node, 's:' || d.suf as block_key
+from sufs d
+join (select suf from sufs group by suf
+      having count(*) <= {_SUFFIX_MAX_BLOCK}) f using (suf)
+"""
+
+
+SQL_ER_BLOCK_SUFFIX = _sql_er_block_suffix()
+
+
+# --- full resolution WITH the suffix family on: candidates from
+# exact+metaphone+minhash ∪ suffix blocks flow through the identical
+# scoring → threshold → CC chain, and the oracle's blocks CTE carries
+# the mirrored suffix union — end-to-end hash check of the opt-in. ----------
+def _suffix_cfg():
+    from ..resolution.blocking import BlockingConfig
+    from .er_pipeline import ERConfig
+
+    return ERConfig(
+        blocking=BlockingConfig(
+            use_suffix=True,
+            suffix_min_len=_SUFFIX_MIN_LEN,
+            suffix_max_block=_SUFFIX_MAX_BLOCK,
+        )
+    )
+
+
+def q_er_resolve_suffix(spark, sf_dir):
+    from .er_pipeline import resolve_names
+
+    names, _truth = _name_f1_fixture()
+    ndf = spark.createDataFrame([(n,) for n in names], "node string")
+    return resolve_names(ndf, _suffix_cfg()).select("node", "cluster")
+
+
+def _sql_er_resolve_suffix() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    return (
+        f"with recursive {cluster_ctes(names, _suffix_cfg())} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_RESOLVE_SUFFIX = _sql_er_resolve_suffix()
+
+
 # --- cross-document boilerplate n-grams (CCNet/RefinedWeb-style) -----------------
 # The cross-corpus sibling of text_repetition: a document whose word
 # n-grams mostly ALSO occur in many other documents is template/
@@ -6647,6 +6728,8 @@ QUERIES: dict[str, Callable] = {
     "stream_cdc_resolve": q_stream_cdc_resolve,
     "er_tfidf_cosine": q_er_tfidf_cosine,
     "er_block_rare_token": q_er_block_rare_token,
+    "er_block_suffix": q_er_block_suffix,
+    "er_resolve_suffix": q_er_resolve_suffix,
     "dedup_common_ngrams": q_dedup_common_ngrams,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "er_resolve_tfidf": q_er_resolve_tfidf,
@@ -6788,6 +6871,8 @@ ORACLES: dict[str, str] = {
     "stream_cdc_resolve": SQL_STREAM_CDC_RESOLVE,
     "er_tfidf_cosine": SQL_ER_TFIDF_COSINE,
     "er_block_rare_token": SQL_ER_BLOCK_RARE_TOKEN,
+    "er_block_suffix": SQL_ER_BLOCK_SUFFIX,
+    "er_resolve_suffix": SQL_ER_RESOLVE_SUFFIX,
     "dedup_common_ngrams": SQL_DEDUP_COMMON_NGRAMS,
     "corpus_ngram_topk": SQL_CORPUS_NGRAM_TOPK,
     "er_resolve_tfidf": SQL_ER_RESOLVE_TFIDF,
@@ -6954,4 +7039,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 135
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 137

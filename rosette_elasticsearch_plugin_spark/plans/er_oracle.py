@@ -85,11 +85,31 @@ def blocks_ctes(
     select node, 't:' || tok as block_key
     from (select node, unnest(string_split(key, ' ')) as tok from {p}names)
     where length(tok) >= {bcfg.token_min_len}"""
+    suffix_cte, suffix_union = "", ""
+    if bcfg.use_suffix:
+        # opt-in suffix family, mirroring blocking.suffix_blocks:
+        # space-stripped suffixes of length >= suffix_min_len (whole
+        # compact key for shorter names), df-purged at suffix_max_block
+        L, B = bcfg.suffix_min_len, bcfg.suffix_max_block
+        suffix_cte = f"""
+{p}sufs as materialized (
+  select distinct node, suf from (
+    select node, substr(ck, cast(unnest(generate_series(
+             1, greatest(length(ck) - {L - 1}, 1))) as int)) as suf
+    from (select node, replace(key, ' ', '') as ck from {p}names)
+  ) where length(suf) > 0
+),"""
+        suffix_union = f"""
+    union all
+    select d.node, 's:' || d.suf as block_key
+    from {p}sufs d
+    join (select suf from {p}sufs group by suf
+          having count(*) <= {B}) f using (suf)"""
     return f"""
 {p}names(node, key) as (values {names_vals}),
 {p}mcodes(tok, code) as (values {m_vals}),
 {p}mtoks as (select node, unnest(string_split(key, ' ')[1:{bcfg.metaphone_max_tokens}]) as tok
-          from {p}names),
+          from {p}names),{suffix_cte}
 {p}blocks as materialized (
   select distinct node, block_key from (
     select node, 'x:' || key as block_key from {p}names
@@ -98,7 +118,7 @@ def blocks_ctes(
     from {p}mtoks t join {p}mcodes c using (tok) where length(t.tok) > 0
     union all
     select node, 'h:' || unnest({band}) as block_key
-    from (select node, {sig} as sig from {p}names){token_union}
+    from (select node, {sig} as sig from {p}names){token_union}{suffix_union}
   )
 )"""
 

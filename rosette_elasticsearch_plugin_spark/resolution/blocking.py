@@ -52,6 +52,15 @@ class BlockingConfig:
     # resolution/metablocking.py), hence off by default
     use_tokens: bool = False
     token_min_len: int = 2
+    # opt-in suffix family (``s:`` keys) — suffix-array blocking
+    # (Aizawa & Oyama 2005): every suffix of the space-stripped key
+    # with length >= suffix_min_len is a key, suffixes carried by more
+    # than suffix_max_block names are purged.  Catches LEADING-character
+    # variants (the blind spot of exact/metaphone/SNM, which all anchor
+    # at the string head); off by default like the other recall add-ons
+    use_suffix: bool = False
+    suffix_min_len: int = 5
+    suffix_max_block: int = 50
 
     @property
     def num_perm(self) -> int:
@@ -185,6 +194,52 @@ def rare_token_blocks(names: DataFrame, min_len: int = 2) -> DataFrame:
     )
 
 
+def suffix_blocks(
+    names: DataFrame, min_len: int = 5, max_block: int = 50
+) -> DataFrame:
+    """Suffix-array blocking (``s:`` family) — Aizawa & Oyama, "A Fast
+    Linkage Detection Scheme for Multi-Source Information Integration"
+    (WIRI 2005), the standard high-recall complement for LEADING-
+    character variation.
+
+    Every suffix of the space-stripped canonical key with length >=
+    ``min_len`` becomes a block key (a name shorter than that keys on
+    its whole compact form), so two names that differ only near the
+    head — the exact blind spot of exact-key, Double Metaphone (first-
+    letter-anchored codes) and sorted-neighborhood (prefix order) —
+    still share every suffix past the edit.  The classic frequency
+    purge drops suffixes carried by more than ``max_block`` names:
+    short common endings ("...sson", "...ovic") are Zipfian, and the
+    purge bounds every surviving block, keeping the candidate budget
+    linear without the cap/salt machinery.
+
+    Scale shape: suffix explosion is a per-row ``transform(sequence)``
+    expression (no UDF; output rows bounded by key length), the purge
+    is one combinable count per suffix joined back — the same
+    vocabulary-scale agg+join shape as ``rare_token_blocks``.
+    """
+    ck = F.regexp_replace(F.col("key"), " ", "")
+    sufs = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(ck) - (min_len - 1), F.lit(1))
+        ),
+        lambda i: F.substring(ck, i, 0x7FFFFFFF),
+    )
+    d = (
+        names.select("node", F.explode(sufs).alias("suf"))
+        .where(F.length("suf") > 0)
+        .distinct()
+    )
+    freq = d.groupBy("suf").agg(F.count("*").cast("long").alias("df"))
+    return (
+        d.join(freq, "suf")
+        .where(F.col("df") <= max_block)
+        .select(
+            "node", F.concat(F.lit("s:"), F.col("suf")).alias("block_key")
+        )
+    )
+
+
 def all_blocks(
     names: DataFrame, cfg: BlockingConfig = BlockingConfig()
 ) -> DataFrame:
@@ -198,6 +253,10 @@ def all_blocks(
         parts.append(minhash_blocks(names, cfg))
     if cfg.use_tokens:
         parts.append(token_blocks(names, cfg.token_min_len))
+    if cfg.use_suffix:
+        parts.append(
+            suffix_blocks(names, cfg.suffix_min_len, cfg.suffix_max_block)
+        )
     if not parts:
         raise ValueError("at least one blocking family must be enabled")
     out = parts[0]
