@@ -83,3 +83,59 @@ def test_all_blocks_suffix_optin(spark):
         "s:jonsmith", "s:onsmith", "s:nsmith", "s:smith"
     }
     assert off <= on
+
+
+# --- property: Spark suffix_blocks ≡ python brute force -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SPARK_SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_name_keys = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["anders", "andersson", "bo", "li", "jonsson", "monsson", "x"]
+        ),
+        min_size=1,
+        max_size=3,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+    unique=True,
+)
+
+
+def _brute(keys, min_len, max_block):
+    per = {}
+    for k in keys:
+        ck = k.replace(" ", "")
+        n = max(len(ck) - min_len + 1, 1)
+        per[k] = {ck[i:] for i in range(n) if ck[i:]}
+    df = {}
+    for sufs in per.values():
+        for s in sufs:
+            df[s] = df.get(s, 0) + 1
+    return {
+        (k, "s:" + s)
+        for k, sufs in per.items()
+        for s in sufs
+        if df[s] <= max_block
+    }
+
+
+@_SPARK_SET
+@given(keys=_name_keys, min_len=st.integers(2, 7), max_block=st.integers(1, 5))
+def test_suffix_blocks_matches_brute_force(spark, keys, min_len, max_block):
+    names = spark.createDataFrame(
+        [(k, k) for k in keys], "node string, key string"
+    )
+    got = {
+        (r["node"], r["block_key"])
+        for r in suffix_blocks(names, min_len, max_block).collect()
+    }
+    assert got == _brute(keys, min_len, max_block)
