@@ -2060,6 +2060,63 @@ from e
 """
 
 
+# --- balanced shard manifest ------------------------------------------------------
+# The other half of training-data layout beside packing: assign each
+# document WHOLE to one of K output shards so shard token totals are
+# balanced (each shard's total differs from ideal by less than one max
+# doc).  Deterministic contiguous-range assignment: a doc goes to the
+# shard its exclusive start-token offset falls in, shard boundaries at
+# total/K token marks — exact bigint arithmetic in both engines
+# (start·K stays under 2^63 for K ≤ ~4096 at 10^15 total tokens).
+# Scale shape: the prefix sum is the same two-phase pattern as the
+# pack manifest; the grand total is one scalar aggregate (broadcast).
+_N_SHARDS = 8
+
+
+def q_corpus_shard_manifest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TS.token_count_col(F.col("text")).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = d.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        .cast("long")
+        .alias("start"),
+        F.sum("n_tok").over(wall).cast("long").alias("total"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.expr(
+            f"least((start * {_N_SHARDS}) div total, {_N_SHARDS - 1})"
+        ).alias("shard_id"),
+    )
+
+
+SQL_CORPUS_SHARD_MANIFEST = f"""
+with d as (select doc_id, {TS.token_count_sql('text')} as n_tok
+           from documents),
+s as (select doc_id, cast(n_tok as bigint) as n_tok,
+             cast(coalesce(sum(n_tok) over (order by doc_id
+                    rows between unbounded preceding and 1 preceding),
+                  0) as bigint) as start,
+             cast(sum(n_tok) over () as bigint) as total
+      from d where n_tok > 0)
+select doc_id, n_tok as n_tokens,
+       least((start * {_N_SHARDS}) // total, {_N_SHARDS - 1}) as shard_id
+from s
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", TS.fingerprint_col(F.col("text")).alias("fingerprint")
@@ -6825,6 +6882,7 @@ QUERIES: dict[str, Callable] = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "corpus_pack_manifest": q_corpus_pack_manifest,
+    "corpus_shard_manifest": q_corpus_shard_manifest,
     "doc_fingerprint": q_doc_fingerprint,
     "text_redact": q_text_redact,
     "corpus_clean": q_corpus_clean,
@@ -6965,6 +7023,7 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "corpus_pack_manifest": SQL_CORPUS_PACK_MANIFEST,
+    "corpus_shard_manifest": SQL_CORPUS_SHARD_MANIFEST,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_redact": SQL_TEXT_REDACT,
     "corpus_clean": SQL_CORPUS_CLEAN,
@@ -7039,4 +7098,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 137
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 138

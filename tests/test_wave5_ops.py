@@ -315,3 +315,37 @@ def test_pack_manifest_invariants(spark, tmp_path):
             assert fill == PACK_C
     total = sum(r["n_in_window"] for r in m)
     assert total == sum(20 + (i * 7) % 61 for i in range(12))
+
+
+def test_shard_manifest_balance_and_totality(spark, tmp_path):
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        _N_SHARDS,
+        q_corpus_shard_manifest,
+    )
+
+    rows = [
+        (i, " ".join("tok" + "abcdefg"[j % 7] for j in range(20 + (i * 7) % 61)))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    m = q_corpus_shard_manifest(spark, str(tmp_path)).collect()
+
+    # totality: every doc assigned exactly once, shard ids in range
+    assert len(m) == 40 and len({r["doc_id"] for r in m}) == 40
+    assert all(0 <= r["shard_id"] < _N_SHARDS for r in m)
+
+    # balance: each shard's token total within one max-doc of ideal
+    per = {}
+    for r in m:
+        per[r["shard_id"]] = per.get(r["shard_id"], 0) + r["n_tokens"]
+    total = sum(per.values())
+    max_doc = max(r["n_tokens"] for r in m)
+    ideal = total / _N_SHARDS
+    assert all(abs(v - ideal) <= max_doc for v in per.values())
+
+    # contiguity: doc_id order never interleaves shards
+    by_doc = sorted(m, key=lambda r: r["doc_id"])
+    shards = [r["shard_id"] for r in by_doc]
+    assert shards == sorted(shards)
