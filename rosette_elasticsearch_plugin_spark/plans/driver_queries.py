@@ -2219,6 +2219,83 @@ where bkt < (case when ros_language = 'eng' then {SAMPLE_PCT_ENG} else 100 end)
 SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
 
 
+# --- language-mixture rebalancing (training-data mixing) --------------------------
+# Downsample every language to the SMALLEST language's token total —
+# the uniform-mixture special case of the multilingual sampling step
+# every mixed-corpus training pipeline runs before packing.  Per-
+# language acceptance thresholds thr = floor(1e6 · min_total /
+# lang_total) (IEEE-double division of two exact longs — bit-identical
+# in both engines), applied to the same salted h56 doc hash the
+# stratified sampler uses, so membership is deterministic, retry-
+# reproducible, and shuffle-free at the doc level.  Scale shape: one
+# tiny per-language aggregate (broadcast back), one scalar min, and a
+# scan-side hash filter — no doc-level shuffle at all.
+MIX_SALT = "|mix1"
+
+
+def q_corpus_mixture_sample(spark, sf_dir):
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            # undetected language is its own stratum ('und'), not a
+            # silent drop — a NULL key would fall out of the equi-join
+            F.coalesce(
+                TS.detect_language_col(F.col("text")), F.lit("und")
+            ).alias("ros_language"),
+            TS.token_count_col(F.col("text")).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    lt = d.groupBy("ros_language").agg(
+        F.sum("n_tok").cast("long").alias("lang_tok")
+    )
+    mn = lt.agg(F.min("lang_tok").cast("long").alias("min_tok"))
+    thr = lt.crossJoin(F.broadcast(mn)).select(
+        "ros_language",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("min_tok").cast("double")
+            / F.col("lang_tok").cast("double")
+        ).alias("thr"),
+    )
+    bkt = H.h56_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(MIX_SALT))
+    ) % 1000000
+    return (
+        d.withColumn("bkt", bkt)
+        .join(F.broadcast(thr), "ros_language")
+        .where(F.col("bkt") < F.col("thr"))
+        .select(
+            "doc_id", "ros_language", F.col("n_tok").alias("n_tokens")
+        )
+    )
+
+
+def _sql_corpus_mixture_sample() -> str:
+    h = H.h56_sql(f"cast(doc_id as varchar) || '{MIX_SALT}'")
+    return f"""
+with d as (select doc_id,
+                  coalesce({TS.detect_language_sql('text')}, 'und')
+                    as ros_language,
+                  {TS.token_count_sql('text')} as n_tok
+           from documents),
+dd as (select * from d where n_tok > 0),
+lt as (select ros_language, cast(sum(n_tok) as bigint) as lang_tok
+       from dd group by ros_language),
+thr as (select ros_language,
+               floor(1000000.0 * cast((select min(lang_tok) from lt) as double)
+                     / cast(lang_tok as double)) as thr
+        from lt)
+select dd.doc_id, dd.ros_language, dd.n_tok as n_tokens
+from dd join thr using (ros_language)
+where {h} % 1000000 < thr.thr
+"""
+
+
+SQL_CORPUS_MIXTURE_SAMPLE = _sql_corpus_mixture_sample()
+
+
 # --- PII/contact-info redaction (training-data scrub) over planted
 # fixtures + the real corpus (corpus texts are clean word soup, so the
 # planted rows carry the positive cases; both run through the same
@@ -6887,6 +6964,7 @@ QUERIES: dict[str, Callable] = {
     "text_redact": q_text_redact,
     "corpus_clean": q_corpus_clean,
     "sample_stratified": q_sample_stratified,
+    "corpus_mixture_sample": q_corpus_mixture_sample,
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
@@ -7028,6 +7106,7 @@ ORACLES: dict[str, str] = {
     "text_redact": SQL_TEXT_REDACT,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "corpus_mixture_sample": SQL_CORPUS_MIXTURE_SAMPLE,
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
@@ -7098,4 +7177,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 138
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 139

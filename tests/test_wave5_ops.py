@@ -349,3 +349,48 @@ def test_shard_manifest_balance_and_totality(spark, tmp_path):
     by_doc = sorted(m, key=lambda r: r["doc_id"])
     shards = [r["shard_id"] for r in by_doc]
     assert shards == sorted(shards)
+
+
+def test_mixture_sample_keeps_smallest_language_whole(spark):
+    from rosette_elasticsearch_plugin_spark.functions import textstats as TS
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        q_corpus_mixture_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            "doc_id",
+            F.coalesce(
+                TS.detect_language_col(F.col("text")), F.lit("und")
+            ).alias("lang"),
+            TS.token_count_col(F.col("text")).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    totals = {
+        r["lang"]: r["t"]
+        for r in full.groupBy("lang")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    assert len(totals) >= 2, "fixture corpus must be multi-language"
+    min_lang = min(totals, key=totals.get)
+
+    got = q_corpus_mixture_sample(spark, sf).collect()
+    # deterministic: a second run returns the identical set
+    again = q_corpus_mixture_sample(spark, sf).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+
+    kept = {}
+    for r in got:
+        kept[r["ros_language"]] = kept.get(r["ros_language"], 0) + r["n_tokens"]
+    # the smallest language is never downsampled (thr = 1e6 accepts all)
+    assert kept.get(min_lang, 0) == totals[min_lang]
+    # every language's kept token total is bounded by its full total
+    assert all(kept[l] <= totals[l] for l in kept)
+    # dominant languages ARE downsampled toward the min
+    for lang, t in totals.items():
+        if t > 4 * totals[min_lang]:
+            assert kept.get(lang, 0) < t
