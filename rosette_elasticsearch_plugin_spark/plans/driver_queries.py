@@ -2219,6 +2219,86 @@ where bkt < (case when ros_language = 'eng' then {SAMPLE_PCT_ENG} else 100 end)
 SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
 
 
+# --- corpus filter report (cleaning audit trail) ----------------------------------
+# The audit-table counterpart of corpus_clean: instead of silently
+# dropping, emit per-doc rule booleans, the keep verdict, and the
+# FIRST failing rule in documented precedence order (dup > short >
+# quality > language) — the table an operator reads to answer "why
+# did doc X disappear" and to monitor per-rule rejection rates.  Same
+# scan-side expressions as corpus_clean plus one md5-group window;
+# no extra shuffle beyond the dedup groupBy it already pays.
+_REPORT_MIN_TOKENS = 5
+
+
+def q_corpus_filter_report(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    keepers = dedup.exact_dedup(d).select(
+        F.col("keeper_doc_id").alias("doc_id"),
+        F.lit(False).alias("is_dup_x"),
+    )
+    scored = (
+        d.join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_dup_x"), F.lit(True)).alias("is_dup"),
+            (
+                TS.token_count_col(F.col("text")) < _REPORT_MIN_TOKENS
+            ).alias("too_short"),
+            (
+                TS.quality_score_col(F.col("text")) < CLEAN_QUALITY_TAU
+            ).alias("low_quality"),
+            (
+                F.coalesce(
+                    TS.detect_language_col(F.col("text")), F.lit("und")
+                )
+                != "eng"
+            ).alias("non_english"),
+        )
+    )
+    first_fail = (
+        F.when(F.col("is_dup"), F.lit("dup"))
+        .when(F.col("too_short"), F.lit("short"))
+        .when(F.col("low_quality"), F.lit("quality"))
+        .when(F.col("non_english"), F.lit("language"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return scored.select(
+        "doc_id",
+        "is_dup",
+        "too_short",
+        "low_quality",
+        "non_english",
+        first_fail.isNull().alias("keep"),
+        first_fail.alias("first_fail"),
+    )
+
+
+def _sql_corpus_filter_report() -> str:
+    return f"""
+with d as ({_DOCS_WITH_DUPS_SQL}),
+keep as (select min(doc_id) as doc_id from d group by md5(text)),
+scored as (select d.doc_id,
+           k.doc_id is null as is_dup,
+           {TS.token_count_sql('text')} < {_REPORT_MIN_TOKENS} as too_short,
+           {TS.quality_score_sql('text')} < {CLEAN_QUALITY_TAU} as low_quality,
+           coalesce({TS.detect_language_sql('text')}, 'und') <> 'eng'
+             as non_english
+           from d left join keep k on d.doc_id = k.doc_id),
+labeled as (select *,
+            case when is_dup then 'dup'
+                 when too_short then 'short'
+                 when low_quality then 'quality'
+                 when non_english then 'language' end as first_fail
+            from scored)
+select doc_id, is_dup, too_short, low_quality, non_english,
+       first_fail is null as keep, first_fail
+from labeled
+"""
+
+
+SQL_CORPUS_FILTER_REPORT = _sql_corpus_filter_report()
+
+
 # --- language-mixture rebalancing (training-data mixing) --------------------------
 # Downsample every language to the SMALLEST language's token total —
 # the uniform-mixture special case of the multilingual sampling step
@@ -6965,6 +7045,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_clean": q_corpus_clean,
     "sample_stratified": q_sample_stratified,
     "corpus_mixture_sample": q_corpus_mixture_sample,
+    "corpus_filter_report": q_corpus_filter_report,
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
@@ -7107,6 +7188,7 @@ ORACLES: dict[str, str] = {
     "corpus_clean": SQL_CORPUS_CLEAN,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_mixture_sample": SQL_CORPUS_MIXTURE_SAMPLE,
+    "corpus_filter_report": SQL_CORPUS_FILTER_REPORT,
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
@@ -7177,4 +7259,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 139
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 140

