@@ -677,6 +677,82 @@ def lsh_topk(
     return _topk_window(scored, k)
 
 
+# --- single-table multi-probe LSH -------------------------------------------
+# Multi-probe LSH (Lv/Josephson/Wang/Charikar/Li, VLDB 2007): instead
+# of L independent tables, ONE table of b sign bits is probed at the
+# query's own bucket PLUS every radius-1 bucket (each single bit
+# flipped) — the b+1 buckets a near-neighbor whose one marginal
+# hyperplane dot sits near zero most likely landed in.  Recall
+# comparable to several banded tables at 1/L the index size and ONE
+# scan-side bucket expression per vector; the price is b+1 probe rows
+# per query (explode, bounded) instead of L index entries per vector.
+# A (query, neighbor) pair joins AT MOST ONCE — the neighbor has one
+# bucket and the probe list's values are distinct — so no pair dedup
+# is needed before scoring.
+MP_BITS = 8
+
+
+def multiprobe_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    planes: list[list[float]] | None = None,
+    max_bucket: int = ANN_MAX_BUCKET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: exact cosine only for (query, neighbor)
+    pairs whose buckets differ in at most one of the b sign bits.
+    Hot data buckets above ``max_bucket`` are dropped (same bound as
+    the banded path, so no bucket goes quadratic at corpus scale)."""
+    planes = planes if planes is not None else hyperplanes(64, MP_BITS)
+    b = len(planes)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("n"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    keep = (
+        v.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") <= max_bucket)
+        .select("bucket")
+    )
+    data = v.join(keep, "bucket").select(
+        F.col("bucket").alias("pbucket"),
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"bucket ^ {1 << i}").cast("long")
+            for i in range(b)
+        ],
+    )
+    probes = v.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+        F.explode(probe_arr).alias("pbucket"),
+    )
+    scored = (
+        probes.join(data, "pbucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms_col(
+                pair_dot_col(F.col("qv"), F.col("cv")),
+                F.col("qn"),
+                F.col("cn"),
+            ).alias("cosine"),
+        )
+    )
+    return _topk_window(scored, k)
+
+
 # --- Lloyd k-means over the embeddings table ---------------------------------
 # The clustering counterpart of the IVF quantizer: ivf_fit SAMPLES k
 # corpus vectors as fixed cells; k-means ITERATES — argmax-cosine

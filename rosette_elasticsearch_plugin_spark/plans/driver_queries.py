@@ -1365,6 +1365,44 @@ select query_id, neighbor_id, cosine, rank from ranked where rank <= {ANN_K}
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Single-table multi-probe LSH ANN (Lv et al., VLDB 2007): the
+    query's own bucket plus every radius-1 bit flip — banded-tables
+    recall at 1/L the index size."""
+    return ann.multiprobe_topk(_emb(spark, sf_dir), k=ANN_K)
+
+
+def _sql_ann_multiprobe_topk() -> str:
+    planes = ann.hyperplanes(64, ann.MP_BITS)
+    bucket = ann.lsh_bucket_sql("v", planes)
+    cos = ann.cosine_sql("p.qv", "d.cv")
+    flips = ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(ann.MP_BITS)
+    )
+    return f"""
+with vecs as (select vec_id as vid, embedding as v from embeddings),
+b as materialized (select vid, v, {bucket} as bucket from vecs),
+keep as (select bucket from b group by bucket
+         having count(*) <= {ann.ANN_MAX_BUCKET}),
+data as (select b.bucket as pbucket, vid as neighbor_id, v as cv
+         from b join keep using (bucket)),
+probes as (select vid as query_id, v as qv,
+                  unnest([bucket, {flips}]) as pbucket
+           from b),
+scored as (select query_id, neighbor_id, {cos} as cosine
+           from probes p join data d using (pbucket)
+           where query_id <> neighbor_id),
+ranked as (select query_id, neighbor_id, cosine,
+           cast(row_number() over (partition by query_id
+                order by cosine desc, neighbor_id asc) as bigint) as rank
+           from scored)
+select query_id, neighbor_id, cosine, rank from ranked where rank <= {ANN_K}
+"""
+
+
+SQL_ANN_MULTIPROBE_TOPK = _sql_ann_multiprobe_topk()
+
+
 def _sql_ivf_common() -> str:
     """Shared CTEs mirroring ann.ivf_fit + ivf_cell_col: the hash-ranked
     nlist-sample quantizer re-derived from the table itself, then per-
@@ -7031,6 +7069,7 @@ QUERIES: dict[str, Callable] = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ann_ivf_cells": q_ann_ivf_cells,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ros_entities_project": q_ros_entities_project,
@@ -7174,6 +7213,7 @@ ORACLES: dict[str, str] = {
     "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
     "ann_ivf_cells": SQL_ANN_IVF_CELLS,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
@@ -7259,4 +7299,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 140
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 141
