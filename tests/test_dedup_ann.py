@@ -620,3 +620,66 @@ def test_semantic_dedup_drops_planted_dups_within_cells(spark):
     # the two trios live in different cells and different components
     assert out[planted[0][0]][0] != out[planted[1][0]][0]
     assert out[planted[0][0]][1] != out[planted[1][0]][1]
+
+
+def test_multiprobe_recall_on_planted_neighbors(spark):
+    """Same planted-near-duplicate protocol as the banded-LSH recall
+    test, for the single-table multi-probe path: a planted copy differs
+    from its query in few sign bits, so probing the query's bucket plus
+    every radius-1 flip must recover it with recall >= 0.9 — at ONE
+    table's index size instead of six."""
+    sf_dir = "/root/testdata/sf0.1"
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v = F.col("embedding")
+    rolled = F.concat(F.slice(v, F.size(v), 1), F.slice(v, 1, F.size(v) - 1))
+    planted = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(v, rolled, lambda a, b: a + F.lit(0.15) * b).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(planted).localCheckpoint(eager=True)
+
+    n_queries = 300
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann.brute_topk(corpus, k=1, n_queries=n_queries).collect()
+    }
+    got = (
+        ann.multiprobe_topk(corpus, k=3)
+        .where(F.col("query_id") < n_queries)
+        .collect()
+    )
+    found = {}
+    for r in got:
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"multi-probe recall@planted-top1 = {recall:.3f}"
+
+
+def test_multiprobe_pairs_unique_and_radius_bounded(spark):
+    """Structural pins: a (query, neighbor) pair is scored at most once
+    (the probe list is distinct and a neighbor has one bucket), and
+    every scored pair's buckets differ in at most one sign bit."""
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planes = ann.hyperplanes(64, ann.MP_BITS)
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", ann.lsh_bucket_col(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    got = ann.multiprobe_topk(emb, k=1000).collect()
+    seen = set()
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key not in seen
+        seen.add(key)
+        diff = buckets[r["query_id"]] ^ buckets[r["neighbor_id"]]
+        assert bin(diff).count("1") <= 1
