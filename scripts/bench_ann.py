@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Similarity-search path comparison: exact brute-force vs banded-LSH
-vs IVF top-k over the same embeddings, same k and query set.
+vs IVF vs single-table multi-probe top-k over the same embeddings,
+same k and query set.
 
 Usage:
     python3 scripts/bench_ann.py [sf_dir]   (default /root/testdata/sf0.1)
@@ -66,6 +67,7 @@ def main() -> None:
         "brute": lambda: ann.brute_topk(e, k=ANN_K, n_queries=ANN_QUERIES),
         "lsh": lambda: ann.lsh_topk(e, k=ANN_K),
         "ivf": lambda: ann.ivf_topk(e, k=ANN_K, n_queries=ANN_QUERIES),
+        "multiprobe": lambda: ann.multiprobe_topk(e, k=ANN_K),
     }
     force(paths["brute"]())  # warm the JVM/codegen once
     timings = {}
@@ -93,6 +95,32 @@ def main() -> None:
         .collect()[0][0]
         - ANN_QUERIES  # self matches excluded by the != filter
     )
+    # multi-probe: each query scores the occupants of its own bucket
+    # plus its b radius-1 buckets (hot buckets capped away like the
+    # banded path)
+    mplanes = ann.hyperplanes(64, ann.MP_BITS)
+    bk = e.select(
+        F.col("vec_id").alias("vid"),
+        ann.lsh_bucket_col(F.col("embedding"), mplanes).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    sizes = bk.groupBy("bucket").count().where(
+        F.col("count") <= ann.ANN_MAX_BUCKET
+    )
+    mprobes = bk.select(
+        "vid",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.expr(f"bucket ^ {1 << i}").cast("long")
+                    for i in range(ann.MP_BITS)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    pairs["multiprobe"] = (
+        mprobes.join(sizes, "bucket").agg(F.sum("count")).collect()[0][0] - n
+    )
     spark.stop()
     # lsh_topk ranks the WHOLE corpus (its candidate set spans n queries,
     # not n_queries), so normalize to scored pairs per query — the
@@ -101,6 +129,7 @@ def main() -> None:
         "brute": round(pairs["brute"] / ANN_QUERIES, 1),
         "lsh": round(pairs["lsh"] / n, 1),
         "ivf": round(pairs["ivf"] / ANN_QUERIES, 1),
+        "multiprobe": round(pairs["multiprobe"] / n, 1),
     }
     print(
         json.dumps(
