@@ -131,7 +131,18 @@ def main():
     spark.stop()
     if json_path:
         import json
+        import os
 
+        if only and os.path.exists(json_path):
+            # targeted run: MERGE into the existing artifact (update
+            # only the queries just run, drop entries for queries no
+            # longer in the registry) instead of clobbering the full
+            # record with a partial one
+            with open(json_path) as f:
+                prior = json.load(f)
+            merged = {k: v for k, v in prior.items() if k in qs}
+            merged.update(report)
+            report = {k: merged[k] for k in qs if k in merged}
         with open(json_path, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {json_path} ({len(report)} entries)")
