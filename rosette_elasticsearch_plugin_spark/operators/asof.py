@@ -1,0 +1,81 @@
+"""As-of join: each left row picks the latest right row at or before
+its timestamp, per key — the temporal-enrichment operator Spark's
+built-in join types lack (every event joined to the newest prior
+reference state: a price tick, a cluster snapshot, a session start).
+
+Implementation is the scale-correct union + ordered-window plan, not a
+per-key merge UDF: tag both sides, sort each key's rows by (ts, side,
+tie), and carry the right side's payload forward with
+``last(..., ignorenulls=True)`` over an unbounded-preceding running
+frame.  ONE shuffle on the key (the window's partitionBy), no
+per-row Python, no pair blow-up — at 10^12 rows this is a single
+repartition + linear scan per key, and AQE handles hot keys the same
+way it does any skewed window.
+
+Tie discipline (what makes the result exactly mirrorable): right rows
+sort BEFORE left rows at equal ts (an equal-timestamp reference
+counts as "prior", DuckDB-ASOF's >= convention), and among right rows
+with identical ts the largest tie-break id wins.  The DuckDB oracle
+deliberately uses a structurally different plan (left join +
+row_number qualify) so the hash match cross-checks the window logic
+rather than re-running it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    payload_cols: tuple[str, ...] = (),
+    prefix: str = "ref_",
+) -> DataFrame:
+    """For every left row: the latest right row with the same ``on``
+    key and ``right.ts <= left.ts`` (ties per the module discipline).
+    Output = all left columns + ``prefix``-renamed right ts/tie/payload
+    columns (NULL when no prior right row exists)."""
+    rcols = [ts_col, tie_col, *payload_cols]
+    r = right.select(
+        on,
+        F.col(ts_col).alias("__ts"),
+        F.col(tie_col).alias("__tie"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in rcols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != on],
+    )
+    lft = left.select(
+        on,
+        F.col(ts_col).alias("__ts"),
+        F.col(tie_col).alias("__tie"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+          for c in rcols],
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lft.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True)
+            .over(w)
+            .alias(f"__carry_{c}")
+            for c in rcols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).select(
+        on,
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.col(f"__carry_{c}").alias(f"{prefix}{c}") for c in rcols],
+    )

@@ -2257,6 +2257,61 @@ where bkt < (case when ros_language = 'eng' then {SAMPLE_PCT_ENG} else 100 end)
 SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
 
 
+# --- as-of join over the events table ---------------------------------------------
+# The temporal-enrichment operator Spark's join types lack: each
+# 'error' event joined to the user's latest prior (ts <=, equal counts
+# as prior) 'click' event.  Spark side is operators/asof.asof_join —
+# union + one ordered window per user (single shuffle, no UDF, no pair
+# blow-up); the oracle is a STRUCTURALLY DIFFERENT plan (left join +
+# row_number qualify over all prior refs), so the hash match
+# cross-checks the running-window logic against the quadratic
+# definition rather than re-running the same plan.  Timestamps are
+# projected as exact epoch-microsecond longs on both engines.
+def q_events_asof_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(left, right, on="user_id", payload_cols=("value",))
+    # events.ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is exact under
+    # the UTC session timezone this engine standardizes on (a cluster
+    # deployment pins spark.sql.session.timeZone=UTC), so unix_micros
+    # recovers the parquet-stored microsecond value bit-for-bit
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return out.select(
+        "user_id",
+        "event_id",
+        us("ts").alias("ts_us"),
+        "value",
+        "ref_event_id",
+        us("ref_ts").alias("ref_ts_us"),
+        "ref_value",
+        (us("ts") - us("ref_ts")).alias("lag_us"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+with l as (select user_id, event_id, ts, value from events
+           where event_type = 'error'),
+r as (select user_id, event_id, ts, value from events
+      where event_type = 'click'),
+j as (select l.user_id, l.event_id, epoch_us(l.ts) as ts_us, l.value,
+             r.event_id as ref_event_id, epoch_us(r.ts) as ref_ts_us,
+             r.value as ref_value,
+             row_number() over (partition by l.event_id
+                  order by r.ts desc, r.event_id desc) as rn
+      from l left join r on l.user_id = r.user_id and r.ts <= l.ts)
+select user_id, event_id, ts_us, value, ref_event_id, ref_ts_us, ref_value,
+       ts_us - ref_ts_us as lag_us
+from j where rn = 1
+"""
+
+
 # --- corpus filter report (cleaning audit trail) ----------------------------------
 # The audit-table counterpart of corpus_clean: instead of silently
 # dropping, emit per-doc rule booleans, the keep verdict, and the
@@ -7085,6 +7140,7 @@ QUERIES: dict[str, Callable] = {
     "sample_stratified": q_sample_stratified,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_filter_report": q_corpus_filter_report,
+    "events_asof_join": q_events_asof_join,
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
@@ -7229,6 +7285,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_mixture_sample": SQL_CORPUS_MIXTURE_SAMPLE,
     "corpus_filter_report": SQL_CORPUS_FILTER_REPORT,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
@@ -7299,4 +7356,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 141
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 142
