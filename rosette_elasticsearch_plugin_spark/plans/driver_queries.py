@@ -2312,6 +2312,118 @@ from j where rn = 1
 """
 
 
+# --- hypertable-style multi-granularity rollup ------------------------------------
+# The continuous-aggregate shape of a time-series store: ONE pass over
+# the events table producing the (type, day, hour), (type, day),
+# (type) and grand-total aggregate levels via ROLLUP — Spark computes
+# all levels with map-side partial aggregation in a single shuffle
+# (no per-granularity rescan, which is what makes the pattern viable
+# over a 10^12-row hypertable).  value sums are quantized to exact
+# cent longs (the fixture's values carry 2dp) so every level's sum is
+# order-independent in both engines; day/hour come from the NTZ
+# timestamp's canonical string form, identical in Spark and DuckDB.
+def q_events_rollup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "event_type",
+        F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        F.substring(F.col("ts").cast("string"), 12, 2).alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        d.rollup("event_type", "day", "hr")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select("event_type", "day", "hr", "n_events", "sum_cents")
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+with d as (select event_type,
+                  substr(cast(ts as varchar), 1, 10) as day,
+                  substr(cast(ts as varchar), 12, 2) as hr,
+                  cast(round(value * 100) as bigint) as cents
+           from events)
+select event_type, day, hr,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cents) as bigint) as sum_cents
+from d group by rollup(event_type, day, hr)
+"""
+
+
+# --- KMV (bottom-k) distinct sketch -----------------------------------------------
+# The mergeable cardinality sketch (k-minimum-values, Bar-Yossef et
+# al. 2002; the bottom-k form Beyer et al. SIGMOD 2007): keep the k
+# smallest h56 hash values per group; D ≈ (k-1)·2^56 / h_(k).  Unlike
+# HyperLogLog's leading-zero registers this stays EXACT cross-engine —
+# every stored value is an integer hash, the estimate is one IEEE
+# division of two exact longs — while keeping the properties that
+# matter at 10^12 rows: fixed k-value state per group, trivially
+# mergeable (union + re-truncate), one shuffle.  Groups with fewer
+# than k distinct hashes report their exact count (the standard KMV
+# small-set fallback).  n_exact rides along so the relative error is
+# inspectable in the result itself.
+KMV_K = 64
+_KMV_H = 1 << 56
+
+
+def q_events_kmv_distinct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "event_type",
+        H.h56_col(
+            F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    est = (
+        F.lit(float((KMV_K - 1) * _KMV_H)) / F.col("hk").cast("double")
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(
+                F.coalesce(est, F.col("n_exact").cast("double")), 3
+            ).alias("kmv_estimate"),
+        )
+    )
+
+
+def _sql_events_kmv_distinct() -> str:
+    h = H.h56_sql("cast(user_id as varchar) || '|kmv'")
+    return f"""
+with d as (select distinct event_type, {h} as h from events),
+kth as (select event_type, h as hk from (
+          select event_type, h,
+                 row_number() over (partition by event_type order by h) as rn
+          from d) where rn = {KMV_K}),
+exact as (select event_type, cast(count(*) as bigint) as n_exact
+          from d group by event_type)
+select e.event_type, e.n_exact,
+       round(coalesce(cast({float((KMV_K - 1) * _KMV_H)} as double)
+                        / cast(k.hk as double),
+                      cast(e.n_exact as double)), 3) as kmv_estimate
+from exact e left join kth k using (event_type)
+"""
+
+
+SQL_EVENTS_KMV_DISTINCT = _sql_events_kmv_distinct()
+
+
 # --- corpus filter report (cleaning audit trail) ----------------------------------
 # The audit-table counterpart of corpus_clean: instead of silently
 # dropping, emit per-doc rule booleans, the keep verdict, and the
@@ -7141,6 +7253,8 @@ QUERIES: dict[str, Callable] = {
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "corpus_filter_report": q_corpus_filter_report,
     "events_asof_join": q_events_asof_join,
+    "events_rollup": q_events_rollup,
+    "events_kmv_distinct": q_events_kmv_distinct,
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
@@ -7286,6 +7400,8 @@ ORACLES: dict[str, str] = {
     "corpus_mixture_sample": SQL_CORPUS_MIXTURE_SAMPLE,
     "corpus_filter_report": SQL_CORPUS_FILTER_REPORT,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_kmv_distinct": SQL_EVENTS_KMV_DISTINCT,
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
@@ -7356,4 +7472,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 142
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 144

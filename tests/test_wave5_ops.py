@@ -425,3 +425,36 @@ def test_filter_report_consistent_with_corpus_clean(spark):
     failed = {r["doc_id"] for r in rep
               if r["is_dup"] or r["low_quality"] or r["non_english"]}
     assert not (clean_ids & failed)
+
+
+def test_kmv_small_set_fallback_is_exact(spark, tmp_path):
+    import datetime as dt
+
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        KMV_K,
+        q_events_kmv_distinct,
+    )
+
+    # one type with < K distinct users -> exact fallback; one with > K
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(KMV_K // 2):
+        rows.append((i, t0, i, "rare", 1.0, "{}"))
+    for i in range(KMV_K * 20):
+        rows.append((10_000 + i, t0, 10_000 + i, "common", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["event_type"]: (r["n_exact"], r["kmv_estimate"])
+        for r in q_events_kmv_distinct(spark, str(tmp_path)).collect()
+    }
+    n_rare, est_rare = got["rare"]
+    assert n_rare == KMV_K // 2 and est_rare == float(n_rare)
+    n_common, est_common = got["common"]
+    assert n_common == KMV_K * 20
+    # k=64 bottom-k: relative error concentrates near 1/sqrt(k-2) ~ 13%;
+    # 3-sigma bound
+    assert abs(est_common - n_common) / n_common < 0.4
