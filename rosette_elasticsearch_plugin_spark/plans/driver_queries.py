@@ -2424,6 +2424,104 @@ from exact e left join kth k using (event_type)
 SQL_EVENTS_KMV_DISTINCT = _sql_events_kmv_distinct()
 
 
+# --- range (interval) join ---------------------------------------------------------
+# The second temporal join Spark lacks natively at scale: point-in-
+# interval.  Intervals are per-user sessions derived from the non-
+# purchase event stream (gap > 24 h starts a new session — sized to
+# the fixture's ~11 h mean per-user gap); probes are the purchase events,
+# each joined to the session interval containing it.  The Spark plan
+# is the BUCKETED interval join — sessions replicated to the 30-min
+# time buckets they span (bounded: ceil(duration/W)+1 rows), probes
+# keyed by their single bucket, equi-join on (user, bucket) + a
+# containment filter — which never forms the per-user cross product a
+# theta join plans to (bucket width = the gap, so a session spans
+# few buckets); a probe matches via exactly one bucket (its
+# own), so no dedup stage.  The oracle IS the quadratic theta join, so
+# the hash match proves the bucketed rewrite logically exact.
+_SESSION_GAP_US = 24 * 3600 * 1_000_000
+
+
+def q_events_range_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = lambda: F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", us().alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seq = base.select(
+        "user_id",
+        "ts_us",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("session_seq"),
+    )
+    sess = seq.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    W_US = _SESSION_GAP_US
+    sb = sess.select(
+        "user_id",
+        "session_seq",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {W_US}"), F.expr(f"end_us div {W_US}")
+            )
+        ).alias("bkt"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        us().alias("ts_us"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {W_US}").alias("bkt"),
+    )
+    return (
+        p.join(sb, ["user_id", "bkt"])
+        .where(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") <= F.col("end_us"))
+        )
+        .select(
+            "event_id", "user_id", "ts_us", "session_seq",
+            "start_us", "end_us",
+        )
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+with base as (select user_id, event_id, epoch_us(ts) as ts_us from events
+              where event_type <> 'purchase'),
+b as (select user_id, event_id, ts_us,
+             case when lag(ts_us) over w is null
+                    or ts_us - lag(ts_us) over w > {_SESSION_GAP_US}
+                  then 1 else 0 end as brk
+      from base
+      window w as (partition by user_id order by ts_us, event_id)),
+seq as (select user_id, ts_us,
+               cast(sum(brk) over (partition by user_id
+                      order by ts_us, event_id
+                      rows between unbounded preceding and current row)
+                    as bigint) as session_seq
+        from b),
+sess as (select user_id, session_seq,
+                min(ts_us) as start_us, max(ts_us) as end_us
+         from seq group by user_id, session_seq),
+p as (select user_id, event_id, epoch_us(ts) as ts_us from events
+      where event_type = 'purchase')
+select p.event_id, p.user_id, p.ts_us, s.session_seq, s.start_us, s.end_us
+from p join sess s
+  on p.user_id = s.user_id and p.ts_us between s.start_us and s.end_us
+"""
+
+
 # --- corpus filter report (cleaning audit trail) ----------------------------------
 # The audit-table counterpart of corpus_clean: instead of silently
 # dropping, emit per-doc rule booleans, the keep verdict, and the
@@ -7255,6 +7353,7 @@ QUERIES: dict[str, Callable] = {
     "events_asof_join": q_events_asof_join,
     "events_rollup": q_events_rollup,
     "events_kmv_distinct": q_events_kmv_distinct,
+    "events_range_join": q_events_range_join,
     "stream_enrich": q_stream_enrich,
     "stream_incremental_resolve": q_stream_incremental_resolve,
     "stream_stateful_counts": q_stream_stateful_counts,
@@ -7402,6 +7501,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_kmv_distinct": SQL_EVENTS_KMV_DISTINCT,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "stream_enrich": SQL_STREAM_ENRICH,
     "stream_incremental_resolve": SQL_STREAM_INCREMENTAL_RESOLVE,
     "stream_stateful_counts": SQL_STREAM_STATEFUL_COUNTS,
@@ -7472,4 +7572,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 144
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 145

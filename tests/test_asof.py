@@ -96,3 +96,80 @@ def test_matches_bruteforce_on_random_streams(spark):
 
     for (u, e, ts, _v) in left_rows:
         assert got[e] == brute(u, ts), (u, e, ts)
+
+
+# --- bucketed range join ----------------------------------------------------------
+
+
+def test_range_join_matches_bruteforce(spark, tmp_path):
+    """Dense synthetic stream: the bucketed interval join must equal
+    the quadratic point-in-interval definition, including sessions
+    spanning multiple buckets and purchases outside any session."""
+    import datetime as dt
+
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        _SESSION_GAP_US,
+        q_events_range_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    GAP = _SESSION_GAP_US // 1_000_000  # seconds
+    rows, eid = [], 0
+
+    def add(u, sec, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=sec), u, typ, 1.0, "{}"))
+
+    for u in range(3):
+        # session A: three clicks spanning 2.5 gap-widths (multi-bucket)
+        for s in (0, GAP - 10, int(GAP * 2.5) - 30):
+            add(u, s, "click")
+        # purchase inside session A, one outside any session, one at
+        # the exact session edge (ts == end -> contained)
+        add(u, GAP // 2, "purchase")
+        add(u, GAP * 10, "purchase")
+        add(u, int(GAP * 2.5) - 30, "purchase")
+        # session B much later
+        add(u, GAP * 20, "view")
+        add(u, GAP * 20 + 5, "purchase")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r["event_id"], r["session_seq"]): (r["start_us"], r["end_us"])
+        for r in q_events_range_join(spark, str(tmp_path)).collect()
+    }
+
+    # brute force in python
+    base = sorted(
+        [(r[2], int(r[1].timestamp() * 1e6), r[0]) for r in rows
+         if r[3] != "purchase"]
+    )
+    sessions = {}
+    for u in {b[0] for b in base}:
+        evs = [(ts, e) for (uu, ts, e) in base if uu == u]
+        seq, prev = 0, None
+        for ts, e in evs:
+            if prev is None or ts - prev > _SESSION_GAP_US:
+                seq += 1
+                sessions[(u, seq)] = [ts, ts]
+            else:
+                sessions[(u, seq)][1] = ts
+            prev = ts
+    want = {}
+    for r in rows:
+        if r[3] != "purchase":
+            continue
+        ts = int(r[1].timestamp() * 1e6)
+        for (u, seq), (a, b) in sessions.items():
+            if u == r[2] and a <= ts <= b:
+                want[(r[0], seq)] = (a, b)
+    assert got == want
+    # per user exactly 2 matches: inside-A and edge-of-A; the GAP*10
+    # probe is outside any session, and session B is the single 'view'
+    # point-interval so the +5 s purchase falls outside it
+    assert len(got) == 6
