@@ -79,3 +79,49 @@ def asof_join(
         *[F.col(c) for c in left.columns if c != on],
         *[F.col(f"__carry_{c}").alias(f"{prefix}{c}") for c in rcols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str = "ts_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_width: int = 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Point-in-interval (range) join without the per-key cross
+    product a theta join plans to: each interval is replicated to the
+    fixed-width time buckets it spans (ceil(duration/width)+1 bounded
+    rows), each point carries its single bucket, and the range
+    predicate becomes an equi-join on (key, bucket) plus a containment
+    filter.  A point matches an interval through exactly one bucket —
+    its own — so the rewrite needs no dedup stage and is logically
+    identical to ``points ⋈ start <= ts <= end`` (proven against the
+    quadratic plan by the driver oracle and pytest brute force).
+
+    Inputs carry integer timestamp columns (epoch micros); output =
+    all point columns + all interval columns (minus the key, carried
+    once).  At 10^12 rows choose ``bucket_width`` near the typical
+    interval length: wider wastes filter work, narrower multiplies
+    interval replicas."""
+    ivals = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_width}"),
+                F.expr(f"{end_col} div {bucket_width}"),
+            )
+        ).alias("__bkt"),
+    )
+    pts = points.select(
+        "*", F.expr(f"{ts_col} div {bucket_width}").alias("__bkt")
+    )
+    return (
+        pts.join(ivals, [on, "__bkt"])
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__bkt")
+    )

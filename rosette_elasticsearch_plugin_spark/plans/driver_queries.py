@@ -2465,34 +2465,15 @@ def q_events_range_join(spark, sf_dir):
     sess = seq.groupBy("user_id", "session_seq").agg(
         F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
     )
-    W_US = _SESSION_GAP_US
-    sb = sess.select(
-        "user_id",
-        "session_seq",
-        "start_us",
-        "end_us",
-        F.explode(
-            F.sequence(
-                F.expr(f"start_us div {W_US}"), F.expr(f"end_us div {W_US}")
-            )
-        ).alias("bkt"),
-    )
+    from ..operators.asof import interval_join
+
     p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "event_id",
-        us().alias("ts_us"),
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {W_US}").alias("bkt"),
+        "user_id", "event_id", us().alias("ts_us")
     )
-    return (
-        p.join(sb, ["user_id", "bkt"])
-        .where(
-            (F.col("ts_us") >= F.col("start_us"))
-            & (F.col("ts_us") <= F.col("end_us"))
-        )
-        .select(
-            "event_id", "user_id", "ts_us", "session_seq",
-            "start_us", "end_us",
-        )
+    return interval_join(
+        p, sess, on="user_id", bucket_width=_SESSION_GAP_US
+    ).select(
+        "event_id", "user_id", "ts_us", "session_seq", "start_us", "end_us"
     )
 
 
