@@ -458,3 +458,19 @@ def test_kmv_small_set_fallback_is_exact(spark, tmp_path):
     # k=64 bottom-k: relative error concentrates near 1/sqrt(k-2) ~ 13%;
     # 3-sigma bound
     assert abs(est_common - n_common) / n_common < 0.4
+
+
+def test_pack_and_shard_manifests_agree_on_token_totals(spark):
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        q_corpus_pack_manifest,
+        q_corpus_shard_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pack = q_corpus_pack_manifest(spark, sf).collect()
+    shard = q_corpus_shard_manifest(spark, sf).collect()
+    pack_tok = {}
+    for r in pack:
+        pack_tok[r["doc_id"]] = pack_tok.get(r["doc_id"], 0) + r["n_in_window"]
+    shard_tok = {r["doc_id"]: r["n_tokens"] for r in shard}
+    assert pack_tok == shard_tok
