@@ -173,3 +173,55 @@ def test_range_join_matches_bruteforce(spark, tmp_path):
     # probe is outside any session, and session B is the single 'view'
     # point-interval so the +5 s purchase falls outside it
     assert len(got) == 6
+
+
+# --- physical-plan shape pins ------------------------------------------------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_interval_join_plans_no_nested_loop(spark):
+    """The bucketed rewrite must plan as an equi-join: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere — that is the
+    entire point of the bucket trick at 10^12 rows."""
+    from rosette_elasticsearch_plugin_spark.operators.asof import (
+        interval_join,
+    )
+
+    pts = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("pid"),
+        (F.col("id") * 1000).alias("ts_us"),
+    )
+    ivs = spark.range(20).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("iid"),
+        (F.col("id") * 5000).alias("start_us"),
+        (F.col("id") * 5000 + 3000).alias("end_us"),
+    )
+    plan = _plan(interval_join(pts, ivs, on="k"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """The union + ordered-window as-of plan shuffles exactly once (the
+    key repartition for the window); a second data Exchange would mean
+    the union or the carry re-partitioned — the failure mode the
+    operator exists to avoid."""
+    import datetime as dt
+
+    l, r = (
+        spark.createDataFrame(
+            [(1, i, dt.datetime(2024, 1, 1, 0, 0, i), 1.0) for i in range(3)],
+            "user_id long, event_id long, ts timestamp, value double",
+        )
+        for _ in range(2)
+    )
+    from rosette_elasticsearch_plugin_spark.operators.asof import asof_join
+
+    plan = _plan(asof_join(l, r, on="user_id", payload_cols=("value",)))
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange <= 1, plan
