@@ -3321,7 +3321,7 @@ def q_er_blocking_recall(spark, sf_dir):
 # family (x: exact key, m: Double Metaphone, h: MinHash band) — the
 # diagnostic that says which family is earning its shuffle and which
 # true pairs only one family catches, before any threshold tuning. --------
-def q_er_block_family_recall(spark, sf_dir):
+def q_er_block_family_recall(spark, sf_dir, _cfg=None):
     from .. import corpus
     from ..operators.entities import distinct_mention_names
     from ..resolution.blocking import all_blocks
@@ -3331,9 +3331,9 @@ def q_er_block_family_recall(spark, sf_dir):
     docs, truth = corpus.to_spark(spark, c)
     names = distinct_mention_names(docs).localCheckpoint(eager=False)
     keyed = names.select("node", er_key_col(F.col("node")).alias("key"))
-    blocks = all_blocks(keyed, ERConfig().blocking).localCheckpoint(
-        eager=False
-    )
+    blocks = all_blocks(
+        keyed, (_cfg or ERConfig()).blocking
+    ).localCheckpoint(eager=False)
     tn = truth.select("entity_label", "normalized").distinct()
     a, b = tn.alias("a"), tn.alias("b")
     tpairs = (
@@ -3409,6 +3409,59 @@ group by family, n_true_pairs
 
 
 SQL_ER_BLOCK_FAMILY_RECALL = _sql_er_block_family_recall()
+
+
+# --- the same per-family pairs-completeness table with EVERY family
+# enabled (exact + metaphone + minhash + token + suffix), so the
+# opt-in families' fixture recall is quantified beside the defaults:
+# the t/s rows show what each recall add-on buys before meta-blocking
+# or the df purge pays for it. --------------------------------------------------
+def _all_family_cfg():
+    from ..resolution.blocking import BlockingConfig
+    from .er_pipeline import ERConfig
+
+    # suffix params stay at the BlockingConfig defaults (5/50), which
+    # the dedicated er_block_suffix queries pin as _SUFFIX_MIN_LEN /
+    # _SUFFIX_MAX_BLOCK further down this module
+    return ERConfig(
+        blocking=BlockingConfig(use_tokens=True, use_suffix=True)
+    )
+
+
+def q_er_block_family_recall_all(spark, sf_dir):
+    return q_er_block_family_recall(spark, sf_dir, _cfg=_all_family_cfg())
+
+
+def _sql_er_block_family_recall_all() -> str:
+    from .er_oracle import blocks_ctes
+
+    names, truth = _name_f1_fixture()
+    tn = sorted({(e, n) for _m, e, n in truth})
+    tn_vals = ", ".join(
+        "('" + e.replace("'", "''") + "', '" + n.replace("'", "''") + "')"
+        for e, n in tn
+    )
+    return f"""
+with {blocks_ctes(names, _all_family_cfg())},
+tn(entity_label, normalized) as (values {tn_vals}),
+tpairs as materialized (select distinct a.normalized as node_a, b.normalized as node_b
+           from tn a join tn b
+           on a.entity_label = b.entity_label and a.normalized < b.normalized),
+fam as (select distinct p.node_a, p.node_b,
+                        substring(ba.block_key, 1, 1) as family
+        from tpairs p join blocks ba on ba.node = p.node_a
+                      join blocks bb on bb.node = p.node_b
+                                    and bb.block_key = ba.block_key),
+nt as (select cast(count(*) as bigint) as n_true_pairs from tpairs)
+select family, n_true_pairs,
+       cast(count(*) as bigint) as n_blocked_pairs,
+       round(count(*) / greatest(n_true_pairs, 1), 6) as pairs_completeness
+from fam cross join nt
+group by family, n_true_pairs
+"""
+
+
+SQL_ER_BLOCK_FAMILY_RECALL_ALL = _sql_er_block_family_recall_all()
 
 
 def _sql_er_blocking_recall() -> str:
@@ -7270,6 +7323,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_minhash_est": q_dedup_minhash_est,
     "er_block_family_recall": q_er_block_family_recall,
+    "er_block_family_recall_all": q_er_block_family_recall_all,
     "text_entropy": q_text_entropy,
     "corpus_lang_profile": q_corpus_lang_profile,
     "stream_exact_dedup": q_stream_exact_dedup,
@@ -7421,6 +7475,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_minhash_est": SQL_DEDUP_MINHASH_EST,
     "er_block_family_recall": SQL_ER_BLOCK_FAMILY_RECALL,
+    "er_block_family_recall_all": SQL_ER_BLOCK_FAMILY_RECALL_ALL,
     "text_entropy": SQL_TEXT_ENTROPY,
     "corpus_lang_profile": SQL_CORPUS_LANG_PROFILE,
     "stream_exact_dedup": SQL_STREAM_EXACT_DEDUP,
@@ -7553,4 +7608,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 145
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 146
