@@ -6092,6 +6092,35 @@ def _sql_er_resolve_suffix() -> str:
 SQL_ER_RESOLVE_SUFFIX = _sql_er_resolve_suffix()
 
 
+# --- full resolution with EVERY blocking family on at once (exact +
+# metaphone + minhash + token + suffix): the composition hash-check —
+# the five families' unions, the cap, scoring, threshold and CC all
+# mirrored in one statement.  The cluster fixed point equals the
+# default config's on this fixture (recall add-ons only add candidate
+# pairs; the score gate decides membership), which is itself the
+# documented design property: blocking recall never changes WHO
+# matches, only who gets scored. -------------------------------------------
+def q_er_resolve_allfam(spark, sf_dir):
+    from .er_pipeline import resolve_names
+
+    names, _truth = _name_f1_fixture()
+    ndf = spark.createDataFrame([(n,) for n in names], "node string")
+    return resolve_names(ndf, _all_family_cfg()).select("node", "cluster")
+
+
+def _sql_er_resolve_allfam() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    return (
+        f"with recursive {cluster_ctes(names, _all_family_cfg())} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_RESOLVE_ALLFAM = _sql_er_resolve_allfam()
+
+
 # --- cross-document boilerplate n-grams (CCNet/RefinedWeb-style) -----------------
 # The cross-corpus sibling of text_repetition: a document whose word
 # n-grams mostly ALSO occur in many other documents is template/
@@ -7281,6 +7310,7 @@ QUERIES: dict[str, Callable] = {
     "er_block_rare_token": q_er_block_rare_token,
     "er_block_suffix": q_er_block_suffix,
     "er_resolve_suffix": q_er_resolve_suffix,
+    "er_resolve_allfam": q_er_resolve_allfam,
     "dedup_common_ngrams": q_dedup_common_ngrams,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "er_resolve_tfidf": q_er_resolve_tfidf,
@@ -7433,6 +7463,7 @@ ORACLES: dict[str, str] = {
     "er_block_rare_token": SQL_ER_BLOCK_RARE_TOKEN,
     "er_block_suffix": SQL_ER_BLOCK_SUFFIX,
     "er_resolve_suffix": SQL_ER_RESOLVE_SUFFIX,
+    "er_resolve_allfam": SQL_ER_RESOLVE_ALLFAM,
     "dedup_common_ngrams": SQL_DEDUP_COMMON_NGRAMS,
     "corpus_ngram_topk": SQL_CORPUS_NGRAM_TOPK,
     "er_resolve_tfidf": SQL_ER_RESOLVE_TFIDF,
@@ -7608,4 +7639,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 146
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 147
