@@ -3379,8 +3379,12 @@ def q_er_block_family_recall(spark, sf_dir, _cfg=None):
     )
 
 
-def _sql_er_block_family_recall() -> str:
+def _sql_er_block_family_recall(cfg=None) -> str:
+    """Shared builder for the per-family pairs-completeness oracle;
+    ``cfg=None`` mirrors the default blocking config, a passed ERConfig
+    mirrors that config's family set (used by the _all variant)."""
     from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
 
     names, truth = _name_f1_fixture()
     tn = sorted({(e, n) for _m, e, n in truth})
@@ -3389,7 +3393,7 @@ def _sql_er_block_family_recall() -> str:
         for e, n in tn
     )
     return f"""
-with {blocks_ctes(names)},
+with {blocks_ctes(names, cfg or ERConfig())},
 tn(entity_label, normalized) as (values {tn_vals}),
 tpairs as materialized (select distinct a.normalized as node_a, b.normalized as node_b
            from tn a join tn b
@@ -3432,36 +3436,9 @@ def q_er_block_family_recall_all(spark, sf_dir):
     return q_er_block_family_recall(spark, sf_dir, _cfg=_all_family_cfg())
 
 
-def _sql_er_block_family_recall_all() -> str:
-    from .er_oracle import blocks_ctes
-
-    names, truth = _name_f1_fixture()
-    tn = sorted({(e, n) for _m, e, n in truth})
-    tn_vals = ", ".join(
-        "('" + e.replace("'", "''") + "', '" + n.replace("'", "''") + "')"
-        for e, n in tn
-    )
-    return f"""
-with {blocks_ctes(names, _all_family_cfg())},
-tn(entity_label, normalized) as (values {tn_vals}),
-tpairs as materialized (select distinct a.normalized as node_a, b.normalized as node_b
-           from tn a join tn b
-           on a.entity_label = b.entity_label and a.normalized < b.normalized),
-fam as (select distinct p.node_a, p.node_b,
-                        substring(ba.block_key, 1, 1) as family
-        from tpairs p join blocks ba on ba.node = p.node_a
-                      join blocks bb on bb.node = p.node_b
-                                    and bb.block_key = ba.block_key),
-nt as (select cast(count(*) as bigint) as n_true_pairs from tpairs)
-select family, n_true_pairs,
-       cast(count(*) as bigint) as n_blocked_pairs,
-       round(count(*) / greatest(n_true_pairs, 1), 6) as pairs_completeness
-from fam cross join nt
-group by family, n_true_pairs
-"""
-
-
-SQL_ER_BLOCK_FAMILY_RECALL_ALL = _sql_er_block_family_recall_all()
+SQL_ER_BLOCK_FAMILY_RECALL_ALL = _sql_er_block_family_recall(
+    _all_family_cfg()
+)
 
 
 def _sql_er_blocking_recall() -> str:
