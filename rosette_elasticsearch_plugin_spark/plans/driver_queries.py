@@ -1585,6 +1585,299 @@ from nt
 SQL_ANN_RECALL = _sql_ann_recall()
 
 
+# --- product quantization (PQ / IVF-PQ — the compressed-index ANN paths) -------
+# ann.pq_* re-expresses FAISS's IndexPQ/IndexIVFPQ as DataFrame plans:
+# the corpus is carried as m 6-bit codes (21× smaller than raw floats —
+# the representation that lets a 10^9-vector index stay memory-resident
+# on a cluster), queries ADC-score codes with m lookup+adds, and the
+# bounded shortlist is re-ranked with exact squared L2.  The codebook is
+# the h56-sampled deterministic model (ivf_fit's protocol), so the
+# oracle re-derives byte-identical codes from the parquet alone.
+PQ_DSUB = 64 // ann.PQ_M
+
+
+def q_ann_pq_codes(spark, sf_dir):
+    """(vec_id, subspace, code): the PQ-encoded corpus in long format —
+    each vector's m codebook assignments (scan-side literal argmin)."""
+    e = _emb(spark, sf_dir)
+    books = ann.pq_fit(e)
+    return e.select(
+        "vec_id",
+        F.posexplode(ann.pq_codes_col(F.col("embedding"), books)),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("subspace"),
+        F.col("col").cast("long").alias("code"),
+    )
+
+
+def _sql_pq_common() -> str:
+    """Shared CTEs re-deriving ann.pq_fit + pq_codes_col from the table:
+    h56-ranked ksub-row sample → per-subspace codebook slices → rounded
+    squared-L2 argmin per (vector, subspace), ties to the smallest j —
+    value-identical to Spark's literal folds (shared fold order, IEEE
+    ops, round-to-6 before the argmin)."""
+    h = H.h56_sql("cast(vec_id as varchar)")
+    d = ann.pair_l2sq_sql("sv", "cb")
+    return f"""
+pqsample as (select embedding::double[] as cv,
+                    row_number() over (order by {h} asc, vec_id asc) - 1 as j
+             from (select * from embeddings order by {h} asc, vec_id asc
+                   limit {ann.PQ_KSUB})),
+pqs as (select range as s from range({ann.PQ_M})),
+pqbook as (select s, j, list_slice(cv, s*{PQ_DSUB}+1, (s+1)*{PQ_DSUB}) as cb
+           from pqsample cross join pqs),
+pqvecs as (select vec_id as vid, embedding::double[] as v from embeddings),
+pqsubv as (select vid, s, list_slice(v, s*{PQ_DSUB}+1, (s+1)*{PQ_DSUB}) as sv
+           from pqvecs cross join pqs),
+pqcodes as (select vid, s, j as code from (
+            select vid, s, j, row_number() over (partition by vid, s
+                 order by round({d}, 6) asc, j asc) as rn
+            from pqsubv join pqbook using (s)) where rn = 1),
+pqcw as (select vid, {", ".join(f"max(case when s={s} then code end) as c{s}" for s in range(ann.PQ_M))}
+         from pqcodes group by vid)
+"""
+
+
+def _sql_ann_pq_codes() -> str:
+    return f"""
+with {_sql_pq_common()}
+select vid as vec_id, cast(s as bigint) as subspace,
+       cast(code as bigint) as code
+from pqcodes
+"""
+
+
+SQL_ANN_PQ_CODES = _sql_ann_pq_codes()
+
+
+def _sql_pq_adc_terms(qv: str) -> str:
+    """The explicit left-assoc (t0 + t1 + ... ) ADC chain over the m
+    book joins b0..b{m-1} — matches ann._pq_adc_col's addition order."""
+    terms = " + ".join(
+        "round("
+        + ann.pair_l2sq_sql(
+            f"list_slice({qv}, {s*PQ_DSUB+1}, {(s+1)*PQ_DSUB})", f"b{s}.cb"
+        )
+        + ", 6)"
+        for s in range(ann.PQ_M)
+    )
+    return f"round({terms}, 6)"
+
+
+def _sql_pq_book_joins(enc: str) -> str:
+    return "\n".join(
+        f"               join pqbook b{s} on b{s}.s = {s} and b{s}.j = {enc}.c{s}"
+        for s in range(ann.PQ_M)
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ ANN top-k: ADC shortlist over the encoded corpus + exact
+    squared-L2 re-rank of the bounded shortlist (IndexPQ → refine)."""
+    return ann.pq_topk(_emb(spark, sf_dir), k=ANN_K, n_queries=ANN_QUERIES)
+
+
+def _sql_ann_pq_topk() -> str:
+    exact = ann.pair_l2sq_sql("q2.v", "n2.v")
+    return f"""
+with {_sql_pq_common()},
+pqq as (select vid as query_id, v as qv from pqvecs
+        where vid < {ANN_QUERIES}),
+pqadc as (select q.query_id, e.vid as neighbor_id,
+                 {_sql_pq_adc_terms("q.qv")} as adc_dist
+          from pqq q cross join pqcw e
+{_sql_pq_book_joins("e")}
+          where q.query_id <> e.vid),
+pqshort as (select query_id, neighbor_id, adc_dist from (
+            select query_id, neighbor_id, adc_dist,
+                   row_number() over (partition by query_id
+                        order by adc_dist asc, neighbor_id asc) as rn
+            from pqadc) where rn <= {ann.PQ_SHORTLIST}),
+pqexact as (select s.query_id, s.neighbor_id, s.adc_dist,
+                   round({exact}, 6) as l2_dist
+            from pqshort s join pqvecs q2 on q2.vid = s.query_id
+                 join pqvecs n2 on n2.vid = s.neighbor_id)
+select query_id, neighbor_id, adc_dist, l2_dist, rank from (
+  select query_id, neighbor_id, adc_dist, l2_dist,
+         cast(row_number() over (partition by query_id
+              order by l2_dist asc, neighbor_id asc) as bigint) as rank
+  from pqexact) where rank <= {ANN_K}
+"""
+
+
+SQL_ANN_PQ_TOPK = _sql_ann_pq_topk()
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-k: L2 coarse cells bound the scored set to
+    ~n·nprobe/nlist per query AND the inverted lists carry only codes —
+    the FAISS IndexIVFPQ layout as one DataFrame plan."""
+    return ann.ivfpq_topk(_emb(spark, sf_dir), k=ANN_K, n_queries=ANN_QUERIES)
+
+
+def _sql_ivfpq_cells() -> str:
+    """Coarse-quantizer CTEs: h56-ranked nlist sample, rounded-L2 argmin
+    cell per vector, nprobe nearest cells per query (d asc, cid asc —
+    mirrors ann.ivfpq_cell_col / ivfpq_probe_cells_col)."""
+    h = H.h56_sql("cast(vec_id as varchar)")
+    d = ann.pair_l2sq_sql("v.v", "c.cv")
+    return f"""
+ivcent as (select vec_id as cid, embedding::double[] as cv from embeddings
+           order by {h} asc, vec_id asc limit {ann.IVFPQ_NLIST}),
+ivr as (select vid, cid, row_number() over (partition by vid
+             order by round({d}, 6) asc, cid asc) as rn
+        from pqvecs v cross join ivcent c),
+ivasg as (select vid, cid as cell from ivr where rn = 1),
+ivprobes as (select vid as query_id, cid as cell from ivr
+             where vid < {ANN_QUERIES} and rn <= {ann.IVFPQ_NPROBE})
+"""
+
+
+def _sql_ann_ivfpq_topk() -> str:
+    exact = ann.pair_l2sq_sql("q2.v", "n2.v")
+    return f"""
+with {_sql_pq_common()},
+{_sql_ivfpq_cells()},
+pqq as (select vid as query_id, v as qv from pqvecs
+        where vid < {ANN_QUERIES}),
+ivadc as (select q.query_id, e.vid as neighbor_id,
+                 {_sql_pq_adc_terms("q.qv")} as adc_dist
+          from ivprobes p
+               join pqq q on q.query_id = p.query_id
+               join ivasg a on a.cell = p.cell
+               join pqcw e on e.vid = a.vid
+{_sql_pq_book_joins("e")}
+          where q.query_id <> e.vid),
+ivshort as (select query_id, neighbor_id, adc_dist from (
+            select query_id, neighbor_id, adc_dist,
+                   row_number() over (partition by query_id
+                        order by adc_dist asc, neighbor_id asc) as rn
+            from ivadc) where rn <= {ann.PQ_SHORTLIST}),
+ivexact as (select s.query_id, s.neighbor_id, s.adc_dist,
+                   round({exact}, 6) as l2_dist
+            from ivshort s join pqvecs q2 on q2.vid = s.query_id
+                 join pqvecs n2 on n2.vid = s.neighbor_id)
+select query_id, neighbor_id, adc_dist, l2_dist, rank from (
+  select query_id, neighbor_id, adc_dist, l2_dist,
+         cast(row_number() over (partition by query_id
+              order by l2_dist asc, neighbor_id asc) as bigint) as rank
+  from ivexact) where rank <= {ANN_K}
+"""
+
+
+SQL_ANN_IVFPQ_TOPK = _sql_ann_ivfpq_topk()
+
+
+def q_ann_pq_recall(spark, sf_dir):
+    """recall@k of the two PQ paths against the EXACT squared-L2 truth
+    (the metric the ADC approximates): pq ≈ 0.97 at sf0.01 — the
+    quantization loss after re-rank — while ivfpq is additionally
+    cell-limited, exactly like ann_recall's ivf row."""
+    e = _emb(spark, sf_dir)
+    books = ann.pq_fit(e)
+    truth = (
+        ann.brute_l2_topk(e, k=ANN_K, n_queries=ANN_QUERIES)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    pq = ann.pq_topk(e, k=ANN_K, n_queries=ANN_QUERIES, books=books).select(
+        "query_id", "neighbor_id"
+    )
+    ivfpq = ann.ivfpq_topk(
+        e, k=ANN_K, n_queries=ANN_QUERIES, books=books
+    ).select("query_id", "neighbor_id")
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    out = None
+    for meth, df in (("ivfpq", ivfpq), ("pq", pq)):
+        hits = truth.join(df, ["query_id", "neighbor_id"]).agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        row = hits.crossJoin(F.broadcast(nt)).select(
+            F.lit(meth).alias("method"),
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_ann_pq_recall() -> str:
+    truth_d = ann.pair_l2sq_sql("q.v", "n.v")
+    exact = ann.pair_l2sq_sql("q2.v", "n2.v")
+    return f"""
+with {_sql_pq_common()},
+{_sql_ivfpq_cells()},
+pqtruth as (select query_id, neighbor_id from (
+            select q.vid as query_id, n.vid as neighbor_id,
+                   row_number() over (partition by q.vid
+                        order by round({truth_d}, 6) asc, n.vid asc) as rn
+            from pqvecs q join pqvecs n on q.vid <> n.vid
+            where q.vid < {ANN_QUERIES}) where rn <= {ANN_K}),
+pqq as (select vid as query_id, v as qv from pqvecs
+        where vid < {ANN_QUERIES}),
+pqadc as (select q.query_id, e.vid as neighbor_id,
+                 {_sql_pq_adc_terms("q.qv")} as adc_dist
+          from pqq q cross join pqcw e
+{_sql_pq_book_joins("e")}
+          where q.query_id <> e.vid),
+pqshort as (select query_id, neighbor_id, adc_dist from (
+            select query_id, neighbor_id, adc_dist,
+                   row_number() over (partition by query_id
+                        order by adc_dist asc, neighbor_id asc) as rn
+            from pqadc) where rn <= {ann.PQ_SHORTLIST}),
+pqtop as (select query_id, neighbor_id from (
+          select s.query_id, s.neighbor_id,
+                 row_number() over (partition by s.query_id
+                      order by round({exact}, 6) asc, s.neighbor_id asc)
+                      as rank
+          from pqshort s join pqvecs q2 on q2.vid = s.query_id
+               join pqvecs n2 on n2.vid = s.neighbor_id)
+          where rank <= {ANN_K}),
+ivadc as (select q.query_id, e.vid as neighbor_id,
+                 {_sql_pq_adc_terms("q.qv")} as adc_dist
+          from ivprobes p
+               join pqq q on q.query_id = p.query_id
+               join ivasg a on a.cell = p.cell
+               join pqcw e on e.vid = a.vid
+{_sql_pq_book_joins("e")}
+          where q.query_id <> e.vid),
+ivshort as (select query_id, neighbor_id, adc_dist from (
+            select query_id, neighbor_id, adc_dist,
+                   row_number() over (partition by query_id
+                        order by adc_dist asc, neighbor_id asc) as rn
+            from ivadc) where rn <= {ann.PQ_SHORTLIST}),
+ivtop as (select query_id, neighbor_id from (
+          select s.query_id, s.neighbor_id,
+                 row_number() over (partition by s.query_id
+                      order by round({exact}, 6) asc, s.neighbor_id asc)
+                      as rank
+          from ivshort s join pqvecs q2 on q2.vid = s.query_id
+               join pqvecs n2 on n2.vid = s.neighbor_id)
+          where rank <= {ANN_K}),
+nt as (select cast(count(*) as bigint) as n_truth from pqtruth)
+select 'ivfpq' as method, n_truth,
+       (select cast(count(*) as bigint) from pqtruth join ivtop
+        using (query_id, neighbor_id)) as n_hit,
+       round((select count(*) from pqtruth join ivtop
+              using (query_id, neighbor_id)) * 1.0 / n_truth, 6) as recall
+from nt
+union all
+select 'pq' as method, n_truth,
+       (select cast(count(*) as bigint) from pqtruth join pqtop
+        using (query_id, neighbor_id)) as n_hit,
+       round((select count(*) from pqtruth join pqtop
+              using (query_id, neighbor_id)) * 1.0 / n_truth, 6) as recall
+from nt
+"""
+
+
+SQL_ANN_PQ_RECALL = _sql_ann_pq_recall()
+
+
 # Distributed Lloyd k-means over the embeddings table (ann.kmeans_*):
 # deterministic hash-sampled init, round-6 cosine argmax assignment,
 # quantized-mean centroid updates — an ITERATIVE algorithm whose three
@@ -7379,6 +7672,10 @@ QUERIES: dict[str, Callable] = {
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ann_ivf_cells": q_ann_ivf_cells,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_codes": q_ann_pq_codes,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_pq_recall": q_ann_pq_recall,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -7529,6 +7826,10 @@ ORACLES: dict[str, str] = {
     "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
     "ann_ivf_cells": SQL_ANN_IVF_CELLS,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_pq_codes": SQL_ANN_PQ_CODES,
+    "ann_pq_topk": SQL_ANN_PQ_TOPK,
+    "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
+    "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -7628,4 +7929,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 147
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 151

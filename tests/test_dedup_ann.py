@@ -683,3 +683,117 @@ def test_multiprobe_pairs_unique_and_radius_bounded(spark):
         seen.add(key)
         diff = buckets[r["query_id"]] ^ buckets[r["neighbor_id"]]
         assert bin(diff).count("1") <= 1
+
+
+# --- product quantization (PQ / IVF-PQ) ----------------------------------------
+
+
+def _planted_corpus(spark, sf_dir):
+    """The planted-near-duplicate protocol of the LSH/IVF recall tests:
+    each base vector gets a copy mixed 15% with its one-rolled self
+    (cosine ≈ 0.99 / tiny L2 gap) — the near-dup shape sublinear
+    indexes exist for, since the sf corpora themselves are uniform."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v = F.col("embedding")
+    rolled = F.concat(F.slice(v, F.size(v), 1), F.slice(v, 1, F.size(v) - 1))
+    planted = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(v, rolled, lambda a, b: a + F.lit(0.15) * b).alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(planted).localCheckpoint(eager=True)
+
+
+def test_pq_encode_literal_udf_agree(spark):
+    """The Arrow numpy encoder (the large-codebook production kernel)
+    must produce byte-identical codes to the SQL-mirrorable literal
+    fold path on both sf corpora."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = ann.pq_fit(e)
+        lit = e.select(
+            "vec_id", ann.pq_codes_col(F.col("embedding"), books).alias("c")
+        )
+        udf = e.select(
+            "vec_id", ann.pq_encode_udf(books)(F.col("embedding")).alias("c2")
+        )
+        n = lit.join(udf, "vec_id").where(F.col("c") != F.col("c2")).count()
+        assert n == 0, f"{sf_dir}: {n} literal-vs-udf code mismatches"
+
+
+def test_pq_encode_udf_null_propagates(spark):
+    """NULL and wrong-dimension vectors encode to NULL codes (the
+    band_keys_udf robustness rule), on both paths."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = ann.pq_fit(e)
+    dirty = spark.createDataFrame(
+        [(1, None), (2, [0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    for enc in (
+        ann.pq_codes_col(F.col("embedding"), books),
+        ann.pq_encode_udf(books)(F.col("embedding")),
+    ):
+        rows = dirty.select(enc.alias("c")).collect()
+        assert all(r["c"] is None for r in rows)
+
+
+def test_pq_full_shortlist_equals_brute_l2(spark):
+    """With the shortlist covering the whole corpus the exact re-rank
+    must reproduce brute-force squared-L2 top-k exactly — the ADC
+    approximation only ever narrows the candidate set."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    truth = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann.brute_l2_topk(e, k=3, n_queries=20).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann.pq_topk(e, k=3, shortlist=n, n_queries=20).collect()
+    }
+    assert got == truth
+
+
+def test_pq_recall_on_planted_neighbors(spark):
+    """Planted near-duplicates share all m codes (ADC ≈ 0) and must be
+    retrieved: recall ≥ 0.9 vs exact-L2 top-1, Arrow encode path."""
+    corpus = _planted_corpus(spark, "/root/testdata/sf0.01")
+    n_queries = 100
+    books = ann.pq_fit(corpus)
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann.brute_l2_topk(corpus, k=1, n_queries=n_queries).collect()
+    }
+    found = {}
+    for r in ann.pq_topk(
+        corpus, k=3, n_queries=n_queries, books=books, method="udf"
+    ).collect():
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"PQ recall@planted-top1 = {recall:.3f}"
+
+
+def test_ivfpq_recall_on_planted_neighbors(spark):
+    """A planted duplicate also lands in (or next to) its source's
+    coarse cell, so IVF-PQ keeps the planted recall with only
+    nprobe/nlist of the corpus ADC-scored."""
+    corpus = _planted_corpus(spark, "/root/testdata/sf0.01")
+    n_queries = 100
+    books = ann.pq_fit(corpus)
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ann.brute_l2_topk(corpus, k=1, n_queries=n_queries).collect()
+    }
+    found = {}
+    for r in ann.ivfpq_topk(
+        corpus, k=3, n_queries=n_queries, books=books, method="udf"
+    ).collect():
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"IVF-PQ recall@planted-top1 = {recall:.3f}"
