@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.hashing import (
     h56_col,
+    h56_sql,
     hashed_shingles_col,
     lsh_band_keys_col,
     minhash_params,
@@ -1119,4 +1120,216 @@ join sz sa on sa.doc_id = doc_id_a
 join sz sb on sb.doc_id = doc_id_b
 where round(cast(n_shared as double)
             / cast(sa.sz + sb.sz - n_shared as double), 6) >= {tau}
+"""
+
+
+# --- content-defined chunking dedup --------------------------------------------
+# Storage-style dedup at the byte level (Muthitacharoen et al., LBFS
+# SOSP'01): chunk boundaries are declared wherever a hash of the
+# trailing w-char window hits 0 mod a divisor, so boundaries depend
+# only on LOCAL content — insert or delete a sentence and every chunk
+# outside the edited region keeps its identity, which fixed-size
+# chunking cannot do.  Cross-document shared-chunk counting then finds
+# partially-overlapping documents (quoted passages, re-crawled pages
+# with injected boilerplate, concatenated shards) that whole-document
+# hashing misses and shingle-Jaccard only detects once most of the doc
+# matches.
+#
+# The window hash is the repo's h56 (first-14-hex md5) so the DuckDB
+# oracle re-derives identical boundaries from the parquet alone; a
+# production deployment would swap in a rolling Gear/Rabin hash (the
+# kernel recomputes a tiny w-char digest per position — same linear
+# shape, ~constant-factor faster), which changes only `_cdc_h56` below.
+
+CDC_WINDOW, CDC_DIVISOR = 8, 24
+CDC_MAX_DOCS, CDC_THRESHOLD = 100, 0.5
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash): the
+    content-defined chunking of every document — one Arrow pass over
+    the corpus (mapInPandas), shuffle-free and linear in total bytes,
+    the same flat-kernel shape as mention extraction.  Cut rule: after
+    1-based position i ∈ [w, n] iff h56(text[i-w+1 .. i]) % divisor
+    == 0; chunk k spans (bounds[k], bounds[k+1]] for bounds =
+    [0] + cuts (+ [n] unless the last cut is already n).  Documents
+    shorter than the window yield one whole-doc chunk; NULL/empty text
+    yields no rows (both engines)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("chunk_start", T.LongType()),
+        T.StructField("chunk_len", T.LongType()),
+        T.StructField("chunk_hash", T.LongType()),
+    ])
+    w, div = window, divisor
+
+    def _cdc_h56(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "chunk_idx", "chunk_start", "chunk_len",
+                    "chunk_hash")}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) == 0:
+                    continue
+                n = len(text)
+                cuts = [
+                    i for i in range(w, n + 1)
+                    if _cdc_h56(text[i - w:i]) % div == 0
+                ]
+                bounds = [0] + cuts
+                if not cuts or cuts[-1] != n:
+                    bounds.append(n)
+                for k in range(len(bounds) - 1):
+                    s0, e0 = bounds[k], bounds[k + 1]
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(k)
+                    out["chunk_start"].append(s0 + 1)
+                    out["chunk_len"].append(e0 - s0)
+                    out["chunk_hash"].append(_cdc_h56(text[s0:e0]))
+            yield pd.DataFrame(out)
+
+    flat = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return flat.mapInPandas(gen, schema)
+
+
+def cdc_chunks_sql(
+    docs_from: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> str:
+    """DuckDB CTE block ending in ``cdcchunks`` — boundary-identical to
+    ``cdc_chunks`` (same h56 window hash, same bounds assembly)."""
+    w, div = window, divisor
+    wh = h56_sql(f"substr(text, i - {w - 1}, {w})")
+    ch = h56_sql("substr(text, bs[k] + 1, bs[k+1] - bs[k])")
+    return f"""
+cdcdocs as (select {id_expr}::bigint as doc_id, {text_expr} as text,
+                   length({text_expr}) as n
+            from {docs_from}
+            where {text_expr} is not null and length({text_expr}) > 0),
+cdcpos as (select doc_id, text, n, unnest(range({w}, n + 1)) as i
+           from cdcdocs),
+cdccuts as (select doc_id, i from cdcpos where {wh} % {div} = 0),
+cdccl as (select doc_id, list_sort(list(i)) as cs from cdccuts
+          group by doc_id),
+cdcb as (select d.doc_id, d.text, d.n,
+         case when len(cs) > 0 and cs[len(cs)] = d.n
+              then list_prepend(0, cs)
+              else list_append(list_prepend(0, cs), d.n) end as bs
+         from cdcdocs d left join
+              (select doc_id, coalesce(cs, cast([] as bigint[])) as cs
+               from cdccl) c0 using (doc_id)
+         ),
+cdcchunks as (select doc_id,
+              cast(k - 1 as bigint) as chunk_idx,
+              cast(bs[k] + 1 as bigint) as chunk_start,
+              cast(bs[k+1] - bs[k] as bigint) as chunk_len,
+              {ch} as chunk_hash
+              from (select *, unnest(range(1, len(bs))) as k from cdcb))
+"""
+
+
+def cdc_pairs(
+    chunks: DataFrame,
+    max_docs: int = CDC_MAX_DOCS,
+    threshold: float = CDC_THRESHOLD,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_shared, overlap): document pairs sharing
+    ≥ threshold of the smaller side's DISTINCT chunk hashes.  Chunk
+    hashes shared by more than ``max_docs`` documents are dropped
+    before the self-join (boilerplate guard AND the scale cap — the
+    DEDUP_MAX_BUCKET rule applied to chunks), so no hash group ever
+    goes quadratic; everything else is one groupBy + one equi-join on
+    chunk_hash, the bucketed shape that survives 100 TB."""
+    hd = chunks.select("chunk_hash", "doc_id").distinct()
+    sz = hd.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_chunks"))
+    keep = (
+        hd.groupBy("chunk_hash")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") <= max_docs)
+        .select("chunk_hash")
+    )
+    k = hd.join(keep, "chunk_hash")
+    pairs = (
+        k.select(F.col("doc_id").alias("doc_id_a"), "chunk_hash")
+        .join(
+            k.select(F.col("doc_id").alias("doc_id_b"), "chunk_hash"),
+            "chunk_hash",
+        )
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            sz.select(F.col("doc_id").alias("doc_id_a"),
+                      F.col("n_chunks").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_id_b"),
+                      F.col("n_chunks").alias("nb")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "ov",
+            F.col("n_shared") * F.lit(1.0) / F.least(F.col("na"), F.col("nb")),
+        )
+        .where(F.col("ov") >= threshold)
+    )
+    return out.select(
+        "doc_id_a", "doc_id_b", "n_shared",
+        F.round(F.col("ov"), 6).alias("overlap"),
+    )
+
+
+def cdc_pairs_sql(
+    docs_from: str = "documents",
+    max_docs: int = CDC_MAX_DOCS,
+    threshold: float = CDC_THRESHOLD,
+) -> str:
+    """Full statement mirroring cdc_chunks → cdc_pairs."""
+    return f"""
+with {cdc_chunks_sql(docs_from)},
+cdchd as (select distinct chunk_hash, doc_id from cdcchunks),
+cdcsz as (select doc_id, cast(count(*) as bigint) as n_chunks from cdchd
+          group by doc_id),
+cdckeep as (select chunk_hash from cdchd group by chunk_hash
+            having count(*) <= {max_docs}),
+cdck as (select h.chunk_hash, h.doc_id from cdchd h
+         join cdckeep using (chunk_hash)),
+cdcpairs as (select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                    cast(count(*) as bigint) as n_shared
+             from cdck a join cdck b
+                  on a.chunk_hash = b.chunk_hash
+                 and a.doc_id < b.doc_id
+             group by 1, 2)
+select p.doc_id_a, p.doc_id_b, p.n_shared,
+       round(p.n_shared * 1.0 / least(sa.n_chunks, sb.n_chunks), 6)
+           as overlap
+from cdcpairs p
+     join cdcsz sa on sa.doc_id = p.doc_id_a
+     join cdcsz sb on sb.doc_id = p.doc_id_b
+where p.n_shared * 1.0 / least(sa.n_chunks, sb.n_chunks) >= {threshold}
 """

@@ -1878,6 +1878,35 @@ from nt
 SQL_ANN_PQ_RECALL = _sql_ann_pq_recall()
 
 
+# --- content-defined chunking dedup (dedup.cdc_*) ------------------------------
+
+
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking of every document: boundaries where the
+    h56 of the trailing 8-char window ≡ 0 mod 24, so chunk identity
+    survives edits outside the chunk — the LBFS/storage-dedup shape,
+    one shuffle-free Arrow pass over the corpus."""
+    return dedup.cdc_chunks(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_CDC_CHUNKS = f"""
+with {dedup.cdc_chunks_sql()}
+select doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash
+from cdcchunks
+"""
+
+
+def q_dedup_cdc_pairs(spark, sf_dir):
+    """Document pairs sharing ≥ half of the smaller side's distinct
+    chunks — partial-overlap dedup (quoted passages, boilerplate-
+    injected recrawls) that whole-doc hashing misses; hot chunk hashes
+    capped before the self-join."""
+    return dedup.cdc_pairs(dedup.cdc_chunks(_docs(spark, sf_dir)))
+
+
+SQL_DEDUP_CDC_PAIRS = dedup.cdc_pairs_sql()
+
+
 # Distributed Lloyd k-means over the embeddings table (ann.kmeans_*):
 # deterministic hash-sampled init, round-6 cosine argmax assignment,
 # quantized-mean centroid updates — an ITERATIVE algorithm whose three
@@ -7676,6 +7705,8 @@ QUERIES: dict[str, Callable] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_pq_recall": q_ann_pq_recall,
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
+    "dedup_cdc_pairs": q_dedup_cdc_pairs,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -7830,6 +7861,8 @@ ORACLES: dict[str, str] = {
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
+    "dedup_cdc_chunks": SQL_DEDUP_CDC_CHUNKS,
+    "dedup_cdc_pairs": SQL_DEDUP_CDC_PAIRS,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -7929,4 +7962,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 151
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 153

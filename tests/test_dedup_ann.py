@@ -797,3 +797,78 @@ def test_ivfpq_recall_on_planted_neighbors(spark):
     hits = sum(1 for q, t in truth.items() if t in found.get(q, set()))
     recall = hits / len(truth)
     assert recall >= 0.9, f"IVF-PQ recall@planted-top1 = {recall:.3f}"
+
+
+# --- content-defined chunking --------------------------------------------------
+
+
+def _cdc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cdc_chunks_partition_document(spark):
+    """Chunks tile [1, n] exactly: consecutive 0-based indexes,
+    contiguous starts, lengths summing to the doc length."""
+    text = " ".join(f"word{i} token value" for i in range(40))
+    rows = (
+        dedup.cdc_chunks(_cdc_df(spark, [(1, text)]))
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    pos = 1
+    for r in rows:
+        assert r["chunk_start"] == pos
+        pos += r["chunk_len"]
+    assert pos - 1 == len(text)
+
+
+def test_cdc_chunks_edge_cases(spark):
+    """NULL/empty text → no rows; shorter-than-window text → one
+    whole-document chunk."""
+    rows = dedup.cdc_chunks(
+        _cdc_df(spark, [(1, None), (2, ""), (3, "abc")])
+    ).collect()
+    assert [(r["doc_id"], r["chunk_start"], r["chunk_len"]) for r in rows] == [
+        (3, 1, 3)
+    ]
+
+
+def test_cdc_boundary_stability_under_edit(spark):
+    """The content-defined property: inserting text mid-document leaves
+    chunks outside the edited neighbourhood with IDENTICAL hashes —
+    the invariant fixed-size chunking lacks."""
+    base = " ".join(f"alpha{i} beta gamma delta" for i in range(40))
+    edited = base[:300] + " INSERTED NOISE SPAN " + base[300:]
+    chunks = dedup.cdc_chunks(_cdc_df(spark, [(1, base), (2, edited)]))
+    hashes = {
+        did: {r["chunk_hash"] for r in grp}
+        for did, grp in __import__("itertools").groupby(
+            sorted(chunks.collect(), key=lambda r: r["doc_id"]),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    shared = hashes[1] & hashes[2]
+    assert len(shared) >= len(hashes[1]) / 2, (
+        f"only {len(shared)}/{len(hashes[1])} chunks survived the edit"
+    )
+    assert hashes[2] - hashes[1], (
+        "the inserted span must appear as new chunk content"
+    )
+
+
+def test_cdc_pairs_partial_overlap(spark):
+    """A document sharing its first half with another pairs up; an
+    unrelated document does not."""
+    a = " ".join(f"shared{i} corpus token" for i in range(30))
+    b = a[: len(a) // 2] + " " + " ".join(
+        f"tail{i} different words" for i in range(15)
+    )
+    c = " ".join(f"unrelated{i} material here" for i in range(30))
+    chunks = dedup.cdc_chunks(_cdc_df(spark, [(1, a), (2, b), (3, c)]))
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["overlap"]
+        for r in dedup.cdc_pairs(chunks, threshold=0.3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.3
+    assert not any(3 in p for p in got)
