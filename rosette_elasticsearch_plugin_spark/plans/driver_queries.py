@@ -993,6 +993,74 @@ from ranked r join ranked k on k.cluster = r.cluster and k.rn = 1
 SQL_DEDUP_CANONICAL = _sql_dedup_canonical()
 
 
+def q_dedup_component_depths(spark, sf_dir):
+    """Per-document BFS depth from its near-dup component's hash-min
+    representative — the convergence certificate for connected
+    components: max(depth) over a component = the plain
+    min-propagation rounds it needs, i.e. the quantity the adaptive
+    pointer-halving threshold (resolution/clustering.py) keys on."""
+    from ..resolution.clustering import bfs_depths
+
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(
+        d, bands=DEDUP_BANDS, rows=DEDUP_ROWS, threshold=0.8
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").cast("string").alias("node_a"),
+        F.col("doc_id_b").cast("string").alias("node_b"),
+    )
+    nodes = d.select(F.col("doc_id").cast("string").alias("node"))
+    comp = connected_components(edges, nodes=nodes)
+    depths = bfs_depths(edges, comp.select("cluster").distinct())
+    return comp.join(depths, "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster").alias("rep"),
+        "depth",
+    )
+
+
+def _sql_dedup_component_depths() -> str:
+    """The canonical mirror's component CTEs plus a depth-capped
+    recursive walk from each representative; min(depth) per node =
+    BFS first-visit depth (the cap matches bfs_depths' max_rounds)."""
+    params = H.minhash_params(DEDUP_BANDS * DEDUP_ROWS)
+    sig = H.minhash_sig_sql(dedup.token_shingles_sql("text"), params)
+    band = H.lsh_band_keys_sql("sig", DEDUP_BANDS, DEDUP_ROWS)
+    jac = dedup.ngram_jaccard_from_arrays_sql("sa.sh", "sb.sh")
+    return f"""
+with recursive d as materialized ({_DOCS_WITH_DUPS_SQL}),
+sigs as (select doc_id, {sig} as sig from d),
+keys as materialized (select doc_id, unnest({band}) as band_key from sigs),
+{_lsh_cand_ctes()},
+sh as materialized (select doc_id, {dedup.token_shingles_sql('text')} as sh from d),
+medges as (select doc_id_a, doc_id_b
+           from cand join sh sa on sa.doc_id = cand.doc_id_a
+                     join sh sb on sb.doc_id = cand.doc_id_b
+           where {jac} >= 0.8),
+nodes as (select cast(doc_id as varchar) as node from d),
+eedges as materialized (select cast(doc_id_a as varchar) as u, cast(doc_id_b as varchar) as v from medges
+           union all
+           select cast(doc_id_b as varchar), cast(doc_id_a as varchar) from medges),
+reach(u, v) as (select u, v from eedges
+                union
+                select r.u, e.v from reach r join eedges e on r.v = e.u),
+comp as (select n.node, least(n.node, coalesce(min(r.v), n.node)) as cluster
+         from nodes n left join reach r on r.u = n.node
+         group by n.node),
+walk(node, depth) as (select cluster, 0 from (select distinct cluster from comp)
+                      union
+                      select e.v, w.depth + 1 from walk w
+                      join eedges e on e.u = w.node
+                      where w.depth < 30),
+dep as (select node, min(depth) as depth from walk group by node)
+select c.node as doc_id, c.cluster as rep, cast(dep.depth as bigint) as depth
+from comp c join dep on dep.node = c.node
+"""
+
+
+SQL_DEDUP_COMPONENT_DEPTHS = _sql_dedup_component_depths()
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -7707,6 +7775,7 @@ QUERIES: dict[str, Callable] = {
     "ann_pq_recall": q_ann_pq_recall,
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "dedup_cdc_pairs": q_dedup_cdc_pairs,
+    "dedup_component_depths": q_dedup_component_depths,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -7863,6 +7932,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "dedup_cdc_chunks": SQL_DEDUP_CDC_CHUNKS,
     "dedup_cdc_pairs": SQL_DEDUP_CDC_PAIRS,
+    "dedup_component_depths": SQL_DEDUP_COMPONENT_DEPTHS,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -7962,4 +8032,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 153
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 154

@@ -422,3 +422,53 @@ def cluster_repair(
             ),
         )
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Per-node shortest hop count from its component root — the
+    convergence CERTIFICATE for hash-min clustering: a component whose
+    max depth is d needs d plain min-propagation rounds (and is the
+    quantity the adaptive halving_after threshold in
+    ``connected_components`` keys on).
+
+    ``edges`` (node_a, node_b) undirected; ``roots`` one column of
+    root nodes (cluster labels — the component min under hash-min, so
+    depth-from-root = the propagation distance of the label).  Level-
+    synchronous frontier expansion: each round joins ONLY the frontier
+    against the adjacency (one shuffle), first visit pins the depth,
+    ``localCheckpoint`` cuts the loop lineage exactly like the CC
+    loop.  Raises after ``max_rounds`` (matching the recursive-CTE
+    oracle's depth cap) rather than silently truncating."""
+    a, b = edges.columns[0], edges.columns[1]
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(
+            edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = roots.select(
+        F.col(roots.columns[0]).alias("node"), F.lit(0).cast("long").alias("depth")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return dist
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    raise RuntimeError(
+        f"bfs_depths: frontier still expanding after {max_rounds} rounds"
+    )

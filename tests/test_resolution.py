@@ -326,3 +326,46 @@ def test_alternating_star_empty_and_isolated(spark):
         for r in alternating_star_components(edges, nodes=nodes).collect()
     }
     assert got == {"a": "a", "b": "b"}
+
+
+def test_bfs_depths_chain_and_cycle(spark):
+    """Chain 0-1-…-5 from root 0 gives depths 0..5; a 4-cycle gives the
+    MIN-hop depth on both branches (1,1,2) — first visit pins it."""
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        bfs_depths,
+    )
+
+    chain = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(5)],
+        "node_a string, node_b string",
+    )
+    roots = spark.createDataFrame([("0",)], "node string")
+    got = {
+        r["node"]: r["depth"] for r in bfs_depths(chain, roots).collect()
+    }
+    assert got == {str(i): i for i in range(6)}
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "node_a string, node_b string",
+    )
+    roots = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["depth"] for r in bfs_depths(cycle, roots).collect()
+    }
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_depths_raises_past_max_rounds(spark):
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        bfs_depths,
+    )
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(8)],
+        "node_a string, node_b string",
+    )
+    roots = spark.createDataFrame([("0",)], "node string")
+    with pytest.raises(RuntimeError, match="still expanding"):
+        bfs_depths(chain, roots, max_rounds=3)
