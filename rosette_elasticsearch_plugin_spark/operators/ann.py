@@ -1257,6 +1257,78 @@ def _topk_window_asc(
     )
 
 
+def _pq_adc_kernel(
+    books: list[list[tuple[int, list[float]]]],
+    qrows: list[tuple[int, list[float]]],
+    shortlist: int,
+):
+    """Arrow ADC scan — the production shape (FAISS's LUT scan): per
+    query one m×ksub table of rounded subspace distances built ONCE,
+    then every corpus code batch scored by m table lookups + adds, and
+    pruned to the per-batch top-``shortlist`` INSIDE the kernel, so the
+    scan emits ≈ queries·shortlist rows per batch instead of the full
+    batch×queries pair matrix.  (Global top-shortlist over the union of
+    per-batch top-shortlists is exact.)  Addition is an explicit left
+    fold over subspaces of once-rounded terms — the literal
+    ``_pq_adc_col`` order — and rounding emulates F.round's HALF_UP at
+    6 decimals like ivf_cell_udf (same boundary caveat, same reason
+    oracle queries keep the literal path; exact agreement is pinned by
+    test on both sf corpora)."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0][1])
+    dim = m * dsub
+    C = np.array(
+        [[cv for _, cv in book] for book in books], dtype=np.float64
+    )  # m × ksub × dsub
+    qids = np.array([q for q, _ in qrows], dtype=np.int64)
+    Q = np.array([v for _, v in qrows], dtype=np.float64)
+    qsub = Q.reshape(len(Q), m, dsub)
+    lut = ((qsub[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+    lut = np.floor(lut * 1e6 + 0.5) / 1e6  # per-term HALF_UP round(…, 6)
+
+    def gen(batches):
+        for pdf in batches:
+            nids_all = pdf["neighbor_id"].to_numpy()
+            codes_all = pdf["codes"].to_numpy()
+            good = np.array(
+                [c is not None and len(c) == m for c in codes_all],
+                dtype=bool,
+            )
+            if not good.any():
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "adc_dist": []}
+                ).astype(
+                    {"query_id": "int64", "neighbor_id": "int64",
+                     "adc_dist": "float64"}
+                )
+                continue
+            nids = nids_all[good].astype(np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in codes_all[good]]
+            )
+            acc = np.zeros((len(qids), len(nids)), dtype=np.float64)
+            for s in range(m):  # explicit left fold — literal-path order
+                acc = acc + lut[:, s, :][:, codes[:, s]]
+            adc = np.floor(acc * 1e6 + 0.5) / 1e6  # final round(…, 6)
+            out_q, out_n, out_d = [], [], []
+            L = min(shortlist, len(nids))
+            for qi in range(len(qids)):
+                row = adc[qi]
+                mask = nids != qids[qi]  # self excluded like the != filter
+                cand_n, cand_d = nids[mask], row[mask]
+                order = np.lexsort((cand_n, cand_d))[:L]
+                out_q.extend([qids[qi]] * len(order))
+                out_n.extend(cand_n[order].tolist())
+                out_d.extend(cand_d[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_d}
+            )
+
+    return gen, dim
+
+
 def pq_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -1268,6 +1340,7 @@ def pq_topk(
     vec_col: str = "embedding",
     books: list[list[tuple[int, list[float]]]] | None = None,
     method: str = "literal",
+    adc: str = "literal",
 ) -> DataFrame:
     """PQ ANN top-k: encode the corpus once (m codes per vector — the
     21× compressed representation that streams), ADC-score each
@@ -1281,7 +1354,11 @@ def pq_topk(
     with zero shuffle, and the exact re-rank touches shortlist·queries
     raw vectors — never the corpus.  ``method="udf"`` swaps the literal
     encode folds for the Arrow numpy kernel (mandatory at large
-    m·ksub); oracle queries keep "literal"."""
+    m·ksub); ``adc="kernel"`` swaps the literal per-pair ADC expression
+    for the LUT-scan Arrow kernel with IN-KERNEL top-shortlist pruning
+    (requires a bounded ``n_queries``; the scan then never materializes
+    the batch×queries pair matrix).  Oracle queries keep both on
+    "literal"."""
     if books is None:
         books = pq_fit(embeddings, m, ksub, id_col, vec_col)
     v = embeddings.select(
@@ -1292,19 +1369,43 @@ def pq_topk(
     else:
         enc = pq_codes_col(F.col("v"), books)
     corpus = v.select(F.col("vid").alias("neighbor_id"), enc.alias("codes"))
-    queries = v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
-    if n_queries is not None:
-        queries = F.broadcast(queries.where(F.col("query_id") < n_queries))
-    pairs = corpus.crossJoin(queries).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = pairs.withColumn(
-        "adc_dist", _pq_adc_col(F.col("qv"), F.col("codes"), books)
-    )
-    short = _topk_window_asc(
-        scored.select("query_id", "neighbor_id", "adc_dist"),
-        shortlist, "adc_dist",
-    ).drop("rank")
+    if adc == "kernel":
+        if n_queries is None:
+            raise ValueError("pq_topk: adc='kernel' needs bounded n_queries")
+        from pyspark.sql import types as T
+
+        # bounded probe-side collect — the same class as pq_fit's
+        # model read (n_queries rows), never the corpus
+        qrows = [
+            (int(r["vid"]), [float(x) for x in r["v"]])
+            for r in v.where(F.col("vid") < n_queries).collect()
+        ]
+        gen, _dim = _pq_adc_kernel(books, qrows, shortlist)
+        schema = T.StructType([
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ])
+        batch_short = corpus.mapInPandas(gen, schema)
+        short = _topk_window_asc(batch_short, shortlist, "adc_dist").drop(
+            "rank"
+        )
+    else:
+        queries = v.select(
+            F.col("vid").alias("query_id"), F.col("v").alias("qv")
+        )
+        if n_queries is not None:
+            queries = F.broadcast(queries.where(F.col("query_id") < n_queries))
+        pairs = corpus.crossJoin(queries).where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = pairs.withColumn(
+            "adc_dist", _pq_adc_col(F.col("qv"), F.col("codes"), books)
+        )
+        short = _topk_window_asc(
+            scored.select("query_id", "neighbor_id", "adc_dist"),
+            shortlist, "adc_dist",
+        ).drop("rank")
     exact = short.join(
         v.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
         "neighbor_id",

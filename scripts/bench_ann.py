@@ -63,11 +63,24 @@ def main() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    books = ann.pq_fit(e)
+    coarse = ann.ivfpq_fit_coarse(e)
     paths = {
         "brute": lambda: ann.brute_topk(e, k=ANN_K, n_queries=ANN_QUERIES),
         "lsh": lambda: ann.lsh_topk(e, k=ANN_K),
         "ivf": lambda: ann.ivf_topk(e, k=ANN_K, n_queries=ANN_QUERIES),
         "multiprobe": lambda: ann.multiprobe_topk(e, k=ANN_K),
+        # PQ paths run the Arrow encode kernel (the large-codebook
+        # production method); the oracle-checked literal path exists
+        # for parity, not speed
+        "pq": lambda: ann.pq_topk(
+            e, k=ANN_K, n_queries=ANN_QUERIES, books=books, method="udf",
+            adc="kernel",
+        ),
+        "ivfpq": lambda: ann.ivfpq_topk(
+            e, k=ANN_K, n_queries=ANN_QUERIES, books=books, coarse=coarse,
+            method="udf",
+        ),
     }
     force(paths["brute"]())  # warm the JVM/codegen once
     timings = {}
@@ -121,6 +134,34 @@ def main() -> None:
     pairs["multiprobe"] = (
         mprobes.join(sizes, "bucket").agg(F.sum("count")).collect()[0][0] - n
     )
+    # PQ: every corpus vector is ADC-scored from its ~12-byte codes
+    # (code-lookup adds, not float folds); only the shortlist is scored
+    # at full precision — that is the float-pair budget reported here.
+    # IVF-PQ ADC-scores just the probed cells' occupants.
+    pairs["pq"] = ANN_QUERIES * min(ann.PQ_SHORTLIST, n - 1)
+    ivfpq_cells = e.select(
+        F.col("vec_id"),
+        ann.ivfpq_cell_col(F.col("embedding"), coarse).alias("cell"),
+    )
+    ivfpq_probes = e.select(
+        F.col("vec_id"),
+        F.explode(
+            ann.ivfpq_probe_cells_col(F.col("embedding"), coarse)
+        ).alias("cell"),
+    ).where(F.col("vec_id") < ANN_QUERIES)
+    adc_ivfpq = (
+        ivfpq_probes.join(ivfpq_cells.groupBy("cell").count(), "cell")
+        .agg(F.sum("count"))
+        .collect()[0][0]
+        - ANN_QUERIES
+    )
+    pairs["ivfpq"] = ANN_QUERIES * min(
+        ann.PQ_SHORTLIST, max(adc_ivfpq // ANN_QUERIES, 1)
+    )
+    adc_code_pairs_per_query = {
+        "pq": n - 1,
+        "ivfpq": round(adc_ivfpq / ANN_QUERIES, 1),
+    }
     spark.stop()
     # lsh_topk ranks the WHOLE corpus (its candidate set spans n queries,
     # not n_queries), so normalize to scored pairs per query — the
@@ -130,6 +171,8 @@ def main() -> None:
         "lsh": round(pairs["lsh"] / n, 1),
         "ivf": round(pairs["ivf"] / ANN_QUERIES, 1),
         "multiprobe": round(pairs["multiprobe"] / n, 1),
+        "pq": round(pairs["pq"] / ANN_QUERIES, 1),
+        "ivfpq": round(pairs["ivfpq"] / ANN_QUERIES, 1),
     }
     print(
         json.dumps(
@@ -143,6 +186,7 @@ def main() -> None:
                 "wall_sec": timings,
                 "scored_pairs": pairs,
                 "scored_pairs_per_query": per_query,
+                "adc_code_pairs_per_query": adc_code_pairs_per_query,
             }
         )
     )

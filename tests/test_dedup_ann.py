@@ -872,3 +872,25 @@ def test_cdc_pairs_partial_overlap(spark):
     }
     assert (1, 2) in got and got[(1, 2)] >= 0.3
     assert not any(3 in p for p in got)
+
+
+def test_pq_adc_kernel_matches_literal(spark):
+    """The LUT-scan ADC kernel (with in-kernel shortlist pruning) must
+    reproduce the literal per-pair expression's final top-k EXACTLY —
+    ids, adc and exact distances — on both sf corpora."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = ann.pq_fit(e)
+        lit = sorted(
+            map(tuple, ann.pq_topk(e, k=3, n_queries=30, books=books).collect())
+        )
+        ker = sorted(
+            map(
+                tuple,
+                ann.pq_topk(
+                    e, k=3, n_queries=30, books=books,
+                    method="udf", adc="kernel",
+                ).collect(),
+            )
+        )
+        assert lit == ker, f"{sf_dir}: kernel ADC diverged from literal"
