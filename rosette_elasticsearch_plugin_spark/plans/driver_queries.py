@@ -3806,10 +3806,10 @@ SQL_ER_BLOCK_FAMILY_RECALL = _sql_er_block_family_recall()
 
 
 # --- the same per-family pairs-completeness table with EVERY family
-# enabled (exact + metaphone + minhash + token + suffix), so the
-# opt-in families' fixture recall is quantified beside the defaults:
-# the t/s rows show what each recall add-on buys before meta-blocking
-# or the df purge pays for it. --------------------------------------------------
+# enabled (exact + metaphone + minhash + token + suffix + embed), so
+# the opt-in families' fixture recall is quantified beside the
+# defaults: the t/s/e rows show what each recall add-on buys before
+# meta-blocking or the df purge pays for it. ------------------------------------
 def _all_family_cfg():
     from ..resolution.blocking import BlockingConfig
     from .er_pipeline import ERConfig
@@ -3818,7 +3818,9 @@ def _all_family_cfg():
     # the dedicated er_block_suffix queries pin as _SUFFIX_MIN_LEN /
     # _SUFFIX_MAX_BLOCK further down this module
     return ERConfig(
-        blocking=BlockingConfig(use_tokens=True, use_suffix=True)
+        blocking=BlockingConfig(
+            use_tokens=True, use_suffix=True, use_embed=True
+        )
     )
 
 
@@ -6459,6 +6461,77 @@ def _sql_er_resolve_suffix() -> str:
 SQL_ER_RESOLVE_SUFFIX = _sql_er_resolve_suffix()
 
 
+# --- embedding-LSH blocking family (``e:`` keys) --------------------------------
+# resolution/blocking.embed_blocks: hashed char-trigram count vectors
+# sign-bucketed under seeded hyperplanes with radius-1 multi-probing —
+# the dense-similarity family (the shape learned-name-embedding
+# blocking takes), catching multi-typo variants whose every discrete
+# key differs.  Fixture pairs-completeness 0.79 at 7 bounded keys/name
+# (same-bucket alone: 0.20); er_block_family_recall_all reports it
+# beside the other five families.
+def _embed_cfg():
+    from ..resolution.blocking import BlockingConfig
+    from .er_pipeline import ERConfig
+
+    return ERConfig(blocking=BlockingConfig(use_embed=True))
+
+
+def q_er_block_embed(spark, sf_dir):
+    from ..resolution.blocking import embed_blocks
+
+    return embed_blocks(_fixture_keyed(spark))
+
+
+def _sql_er_block_embed() -> str:
+    from ..operators.ann import hyperplanes, lsh_bucket_sql
+    from ..resolution.blocking import BlockingConfig, trigram_vector_sql
+    from .er_oracle import _q, er_key_py
+
+    bcfg = BlockingConfig()
+    names, _truth = _name_f1_fixture()
+    uniq = sorted(set(names))
+    vals = ", ".join(f"('{_q(n)}', '{_q(er_key_py(n))}')" for n in uniq)
+    planes = hyperplanes(bcfg.embed_dim, bcfg.embed_planes, bcfg.embed_seed)
+    bucket = lsh_bucket_sql("vec", planes)
+    flips = ", ".join(f"xor(b, {1 << i})" for i in range(bcfg.embed_planes))
+    return f"""
+with names(node, key) as (values {vals})
+select distinct node,
+       'e:' || cast(unnest([b, {flips}]) as varchar) as block_key
+from (select node, {bucket} as b
+      from (select node, {trigram_vector_sql('key', bcfg.embed_dim)} as vec
+            from names))
+"""
+
+
+SQL_ER_BLOCK_EMBED = _sql_er_block_embed()
+
+
+def q_er_resolve_embed(spark, sf_dir):
+    """Full resolution with the embedding family enabled on top of the
+    defaults — the composition hash-check for the dense-vector blocking
+    path (candidates widen; the ensemble score gate still decides
+    membership)."""
+    from .er_pipeline import resolve_names
+
+    names, _truth = _name_f1_fixture()
+    ndf = spark.createDataFrame([(n,) for n in names], "node string")
+    return resolve_names(ndf, _embed_cfg()).select("node", "cluster")
+
+
+def _sql_er_resolve_embed() -> str:
+    from .er_oracle import cluster_ctes
+
+    names, _truth = _name_f1_fixture()
+    return (
+        f"with recursive {cluster_ctes(names, _embed_cfg())} "
+        f"select node, cluster from clusters"
+    )
+
+
+SQL_ER_RESOLVE_EMBED = _sql_er_resolve_embed()
+
+
 # --- full resolution with EVERY blocking family on at once (exact +
 # metaphone + minhash + token + suffix): the composition hash-check —
 # the five families' unions, the cap, scoring, threshold and CC all
@@ -7776,6 +7849,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "dedup_cdc_pairs": q_dedup_cdc_pairs,
     "dedup_component_depths": q_dedup_component_depths,
+    "er_block_embed": q_er_block_embed,
+    "er_resolve_embed": q_er_resolve_embed,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -7933,6 +8008,8 @@ ORACLES: dict[str, str] = {
     "dedup_cdc_chunks": SQL_DEDUP_CDC_CHUNKS,
     "dedup_cdc_pairs": SQL_DEDUP_CDC_PAIRS,
     "dedup_component_depths": SQL_DEDUP_COMPONENT_DEPTHS,
+    "er_block_embed": SQL_ER_BLOCK_EMBED,
+    "er_resolve_embed": SQL_ER_RESOLVE_EMBED,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -8032,4 +8109,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 154
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 156

@@ -85,6 +85,27 @@ def blocks_ctes(
     select node, 't:' || tok as block_key
     from (select node, unnest(string_split(key, ' ')) as tok from {p}names)
     where length(tok) >= {bcfg.token_min_len}"""
+    embed_union = ""
+    if bcfg.use_embed:
+        # opt-in embedding family, mirroring blocking.embed_blocks:
+        # hashed-trigram count vector -> sign-LSH bucket under the same
+        # seeded literal hyperplanes
+        from ..operators.ann import hyperplanes, lsh_bucket_sql
+        from ..resolution.blocking import trigram_vector_sql
+
+        planes = hyperplanes(
+            bcfg.embed_dim, bcfg.embed_planes, bcfg.embed_seed
+        )
+        bucket = lsh_bucket_sql("vec", planes)
+        flips = ", ".join(
+            f"xor(b, {1 << i})" for i in range(bcfg.embed_planes)
+        )
+        embed_union = f"""
+    union all
+    select node, 'e:' || cast(unnest([b, {flips}]) as varchar) as block_key
+    from (select node, {bucket} as b
+          from (select node, {trigram_vector_sql('key', bcfg.embed_dim)} as vec
+                from {p}names))"""
     suffix_cte, suffix_union = "", ""
     if bcfg.use_suffix:
         # opt-in suffix family, mirroring blocking.suffix_blocks:
@@ -118,7 +139,7 @@ def blocks_ctes(
     from {p}mtoks t join {p}mcodes c using (tok) where length(t.tok) > 0
     union all
     select node, 'h:' || unnest({band}) as block_key
-    from (select node, {sig} as sig from {p}names){token_union}{suffix_union}
+    from (select node, {sig} as sig from {p}names){token_union}{suffix_union}{embed_union}
   )
 )"""
 

@@ -61,6 +61,16 @@ class BlockingConfig:
     use_suffix: bool = False
     suffix_min_len: int = 5
     suffix_max_block: int = 50
+    # opt-in embedding family (``e:`` keys) — hashed char-trigram count
+    # vectors bucketed by sign-LSH: a DENSE similarity signal, so names
+    # sharing most trigram mass collide even when no single exact
+    # key/code/band survives the edit (multi-typo variants).  2^planes
+    # buckets must track the vocabulary (2^k ≳ names/50); hot buckets
+    # are the cap/salt machinery's case like the minhash family
+    use_embed: bool = False
+    embed_dim: int = 32
+    embed_planes: int = 6
+    embed_seed: int = 42
 
     @property
     def num_perm(self) -> int:
@@ -240,6 +250,83 @@ def suffix_blocks(
     )
 
 
+def trigram_vector_col(key, dim: int = 32):
+    """Hashed character-trigram count vector (array<double>): component
+    j counts the key's trigrams with h56(tri) mod dim == j — the
+    deterministic cheap stand-in for a learned name embedding, sharing
+    its blocking-relevant property (dense cosine similarity under
+    partial character overlap).  Pure per-row expression, no UDF; keys
+    shorter than 3 chars embed to the zero vector (cosine 0 to
+    everything — they never match through this family)."""
+    from ..functions.hashing import h56_col
+
+    n = F.length(key)
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.substring(key, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    mods = F.transform(tris, lambda t: h56_col(t) % dim)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(mods, lambda m: m == j)).cast("double"),
+    )
+
+
+def trigram_vector_sql(expr: str, dim: int = 32) -> str:
+    """DuckDB mirror of ``trigram_vector_col`` (same h56, same layout)."""
+    from ..functions.hashing import h56_sql
+
+    h = h56_sql("t")
+    tris = (
+        f"list_transform(range(1, greatest(length({expr}) - 2, 0) + 1), "
+        f"i -> substr({expr}, cast(i as int), 3))"
+    )
+    return (
+        f"list_transform(range(0, {dim}), j -> cast(len(list_filter("
+        f"list_transform({tris}, t -> {h} % {dim}), m -> m = j)) as double))"
+    )
+
+
+def embed_blocks(
+    names: DataFrame, dim: int = 32, planes_k: int = 6, seed: int = 42
+) -> DataFrame:
+    """Embedding-LSH blocking (``e:`` family): sign-bucket of the
+    hashed-trigram vector under seeded hyperplanes, MULTI-PROBED — each
+    name keys on its own bucket plus every radius-1 bit flip (the
+    multiprobe_topk pattern), so two names collide iff their sign
+    buckets differ in ≤ 2 planes.  This is the dense-vector blocking
+    used with learned name embeddings, exercised here with the
+    deterministic trigram embedding so the oracle mirrors it exactly;
+    it catches multi-typo variants whose every discrete key
+    (exact/metaphone/band/suffix) differs but whose trigram mass
+    mostly overlaps.  Measured on the labeled fixture: same-bucket
+    alone co-blocks 0.20 of true pairs, radius-1 probing 0.79.
+    planes_k+1 bounded keys per name, one scan-side expression, no
+    shuffle until the bucket self-join."""
+    from ..operators.ann import hyperplanes, lsh_bucket_col
+
+    planes = hyperplanes(dim, planes_k, seed)
+    vec = trigram_vector_col(F.col("key"), dim)
+    b = F.col("b")
+    probes = F.array(
+        b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(planes_k)]
+    )
+    return (
+        names.select("node", lsh_bucket_col(vec, planes).alias("b"))
+        .select("node", F.explode(probes).alias("pb"))
+        .select(
+            "node",
+            F.concat(F.lit("e:"), F.col("pb").cast("string")).alias(
+                "block_key"
+            ),
+        )
+        .distinct()
+    )
+
+
 def all_blocks(
     names: DataFrame, cfg: BlockingConfig = BlockingConfig()
 ) -> DataFrame:
@@ -256,6 +343,12 @@ def all_blocks(
     if cfg.use_suffix:
         parts.append(
             suffix_blocks(names, cfg.suffix_min_len, cfg.suffix_max_block)
+        )
+    if cfg.use_embed:
+        parts.append(
+            embed_blocks(
+                names, cfg.embed_dim, cfg.embed_planes, cfg.embed_seed
+            )
         )
     if not parts:
         raise ValueError("at least one blocking family must be enabled")
