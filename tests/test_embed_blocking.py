@@ -103,3 +103,37 @@ def test_embed_family_in_all_blocks_and_short_names_isolated(spark):
         len(v) == BlockingConfig().embed_planes + 1 for v in per_node.values()
     )
     assert "ab" in per_node  # zero-vector name still keyed
+
+
+def test_embed_kernel_matches_literal(spark):
+    """The Arrow bucket kernel (production encode) must be
+    key-identical to the literal trigram-vector + plane-fold path, on
+    the fixture vocabulary and a 5k synthetic sample at 12 planes."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        _name_f1_fixture,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.er_oracle import er_key_py
+
+    names, _ = _name_f1_fixture()
+    kdf = spark.createDataFrame(
+        [(n, er_key_py(n)) for n in names], "node string, key string"
+    )
+    lit = sorted(map(tuple, embed_blocks(kdf).collect()))
+    udf = sorted(map(tuple, embed_blocks(kdf, method="udf").collect()))
+    assert lit == udf
+
+    ids = spark.range(5000)
+    k = F.concat(
+        F.lit("fn"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4000)).cast("string"),
+        F.lit(" ln"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).cast("string"),
+    )
+    sdf = ids.select(
+        F.col("id").cast("string").alias("node"), k.alias("key")
+    ).localCheckpoint(eager=True)
+    lit2 = sorted(map(tuple, embed_blocks(sdf, planes_k=12).collect()))
+    udf2 = sorted(
+        map(tuple, embed_blocks(sdf, planes_k=12, method="udf").collect())
+    )
+    assert lit2 == udf2
