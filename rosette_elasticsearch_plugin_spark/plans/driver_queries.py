@@ -6532,6 +6532,136 @@ def _sql_er_resolve_embed() -> str:
 SQL_ER_RESOLVE_EMBED = _sql_er_resolve_embed()
 
 
+# --- progressive (pay-as-you-go) resolution curve -------------------------------
+# Whang/Marmaros/Garcia-Molina, "Pay-As-You-Go Entity Resolution"
+# (ICDE 2013): when the comparison budget is bounded, process candidate
+# pairs in an order that front-loads matches.  The cheap priority here
+# is the pair's MINIMUM co-blocking block size ascending (small blocks
+# are the most discriminative evidence — the classic heuristic), ties
+# by pair id.  The curve reports, per spent-budget decile, the
+# cumulative fraction of all supra-threshold matches already found —
+# a steep first decile is the measured value of ordering; budget cuts
+# land on the flat tail.
+def q_er_progressive(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..resolution.blocking import all_blocks
+    from ..resolution.scoring import score_expr
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    keyed = _fixture_keyed(spark)
+    blocks = all_blocks(keyed, cfg.blocking)
+    bsz = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+    kept = blocks.join(
+        F.broadcast(bsz.where(F.col("n") <= cfg.max_block_size)), "block_key"
+    )
+    pairs = (
+        kept.select(F.col("node").alias("node_a"), "block_key", "n")
+        .join(
+            kept.select(F.col("node").alias("node_b"), "block_key"),
+            "block_key",
+        )
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.min("n").cast("long").alias("msize"))
+    )
+    scored = (
+        pairs.join(
+            keyed.select(F.col("node").alias("node_a"), F.col("key").alias("ka")),
+            "node_a",
+        )
+        .join(
+            keyed.select(F.col("node").alias("node_b"), F.col("key").alias("kb")),
+            "node_b",
+        )
+        .select(
+            "msize", "node_a", "node_b",
+            (
+                score_expr(F.col("ka"), F.col("kb"))
+                >= cfg.scoring.threshold
+            ).cast("long").alias("is_match"),
+        )
+    )
+    # the curve is a diagnostic over the bounded scored-pair table
+    # (like er_threshold_sweep): single-partition windows are fine here
+    w = Window.orderBy("msize", "node_a", "node_b")
+    tot = Window.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(tot).alias("np"),
+        F.sum("is_match").over(tot).alias("nm"),
+    )
+    dec = (
+        ranked.select(
+            F.ceil((F.col("r") * 10.0) / F.col("np")).cast("long").alias(
+                "decile"
+            ),
+            "is_match", "nm",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("is_match").alias("n_matches"),
+            F.max("nm").alias("nm"),
+        )
+    )
+    wd = Window.orderBy("decile")
+    return dec.select(
+        "decile",
+        F.sum("n_pairs").over(wd).cast("long").alias("n_pairs_cum"),
+        F.sum("n_matches").over(wd).cast("long").alias("n_matches_cum"),
+        F.round(
+            F.sum("n_matches").over(wd)
+            * F.lit(1.0)
+            / F.greatest(F.col("nm"), F.lit(1)),
+            6,
+        ).alias("matches_frac"),
+    )
+
+
+def _sql_er_progressive() -> str:
+    from .er_oracle import blocks_ctes
+    from .er_pipeline import ERConfig
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    return f"""
+with recursive {blocks_ctes(names)},
+pbsz as (select block_key, count(*) as n from blocks group by block_key),
+ppairs as (select a.node as node_a, b.node as node_b,
+                  cast(min(s.n) as bigint) as msize
+           from blocks a join blocks b using (block_key)
+                join pbsz s using (block_key)
+           where s.n <= {cfg.max_block_size} and a.node < b.node
+           group by 1, 2),
+pscored as (select msize, node_a, node_b,
+            case when {score_sql('ka.key', 'kb.key')}
+                 >= {cfg.scoring.threshold} then 1 else 0 end as is_match
+            from ppairs join names ka on ka.node = ppairs.node_a
+                 join names kb on kb.node = ppairs.node_b),
+pranked as (select *,
+            row_number() over (order by msize, node_a, node_b) as r,
+            count(*) over () as np, sum(is_match) over () as nm
+            from pscored),
+pdec as (select cast(ceil((r * 10.0) / np) as bigint) as decile,
+                count(*) as n_pairs, sum(is_match) as n_matches,
+                max(nm) as nm
+         from pranked group by 1)
+select decile,
+       cast(sum(n_pairs) over (order by decile) as bigint) as n_pairs_cum,
+       cast(sum(n_matches) over (order by decile) as bigint)
+           as n_matches_cum,
+       round(sum(n_matches) over (order by decile) * 1.0
+             / greatest(nm, 1), 6) as matches_frac
+from pdec
+"""
+
+
+SQL_ER_PROGRESSIVE = _sql_er_progressive()
+
+
 # --- full resolution with EVERY blocking family on at once (exact +
 # metaphone + minhash + token + suffix): the composition hash-check —
 # the five families' unions, the cap, scoring, threshold and CC all
@@ -7851,6 +7981,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_component_depths": q_dedup_component_depths,
     "er_block_embed": q_er_block_embed,
     "er_resolve_embed": q_er_resolve_embed,
+    "er_progressive": q_er_progressive,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -8010,6 +8141,7 @@ ORACLES: dict[str, str] = {
     "dedup_component_depths": SQL_DEDUP_COMPONENT_DEPTHS,
     "er_block_embed": SQL_ER_BLOCK_EMBED,
     "er_resolve_embed": SQL_ER_RESOLVE_EMBED,
+    "er_progressive": SQL_ER_PROGRESSIVE,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -8109,4 +8241,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 156
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 157

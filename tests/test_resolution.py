@@ -369,3 +369,22 @@ def test_bfs_depths_raises_past_max_rounds(spark):
     roots = spark.createDataFrame([("0",)], "node string")
     with pytest.raises(RuntimeError, match="still expanding"):
         bfs_depths(chain, roots, max_rounds=3)
+
+
+def test_progressive_curve_front_loads_matches(spark):
+    """The min-block-size priority must beat uniform ordering: by the
+    20% budget mark at least 1.5x the uniform share of matches is
+    found; the curve is monotone and ends at 1.0."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        q_er_progressive,
+    )
+
+    rows = sorted(
+        q_er_progressive(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    fracs = [r["matches_frac"] for r in rows]
+    assert fracs == sorted(fracs)
+    assert fracs[-1] == 1.0
+    assert fracs[1] >= 0.3, f"20% budget found only {fracs[1]:.2f} of matches"
