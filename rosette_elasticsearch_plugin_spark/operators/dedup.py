@@ -1333,3 +1333,149 @@ from cdcpairs p
      join cdcsz sb on sb.doc_id = p.doc_id_b
 where p.n_shared * 1.0 / least(sa.n_chunks, sb.n_chunks) >= {threshold}
 """
+
+
+# --- asymmetric containment join -----------------------------------------------
+# C(A,B) = |S(A) ∩ S(B)| / |S(A)| over distinct token shingles — the
+# quote/inclusion detector: a short document pasted inside a long one
+# has high containment but LOW Jaccard, so the MinHash/prefix Jaccard
+# paths structurally miss it (their band collision probability decays
+# with the size ratio).  Candidate generation is the R-S variant of
+# prefix filtering: only the CONTAINED side prunes to its
+# ⌊(1−τ)·|A|⌋+1 globally-rarest shingles (any supra-τ containment must
+# share one of them — the pigeonhole bound), the container side is the
+# full shingle index df-capped at ``max_df`` (a contained doc whose
+# whole prefix is boilerplate-frequent is the documented recall
+# cutoff, exactly the hot-key discipline every family here uses).
+# Threshold arithmetic is pure integers (τ = num/den), so both engines
+# agree exactly on boundary sizes.
+
+CONT_TAU_NUM, CONT_TAU_DEN = 4, 5  # τ = 0.8
+CONT_MAX_DF = 100
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    tau_num: int = CONT_TAU_NUM,
+    tau_den: int = CONT_TAU_DEN,
+    n: int = 3,
+    max_df: int = CONT_MAX_DF,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_shared, containment): directed pairs with
+    containment(A in B) ≥ τ, A ≠ B.  One df aggregate, one prefix
+    window per doc, one equi-join on shingle, one grouped verify —
+    never an all-pairs product."""
+    from pyspark.sql import Window
+
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(token_shingles_col(F.col(text_col), n)).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df = tok.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    sz = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("token").asc()
+    )
+    # ⌊(1−τ)·sz⌋+1 = sz − ⌈τ·sz⌉ + 1, with ⌈num·sz/den⌉ as exact
+    # integer floor((num·sz + den − 1)/den)
+    keep_n = (
+        F.col("sz")
+        - F.floor(
+            (F.lit(tau_num) * F.col("sz") + F.lit(tau_den - 1))
+            / F.lit(tau_den)
+        )
+        + 1
+    )
+    prefix = (
+        tok.join(df, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .where(F.col("rn") <= keep_n)
+        .where(F.col("df") <= max_df)
+        .select("doc_id", "token")
+    )
+    idx = tok.join(
+        df.where(F.col("df") <= max_df).select("token"), "token"
+    )
+    cands = (
+        prefix.select(F.col("doc_id").alias("doc_id_a"), "token")
+        .join(
+            idx.select(F.col("doc_id").alias("doc_id_b"), "token"), "token"
+        )
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    shared = (
+        cands.join(
+            tok.select(F.col("doc_id").alias("doc_id_a"), "token"),
+            "doc_id_a",
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("doc_id_b"), "token"),
+            ["doc_id_b", "token"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    out = shared.join(
+        sz.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sza")),
+        "doc_id_a",
+    ).where(
+        F.col("n_shared") * tau_den >= F.col("sza") * tau_num
+    )
+    return out.select(
+        "doc_id_a", "doc_id_b", "n_shared",
+        F.round(
+            F.col("n_shared") * F.lit(1.0) / F.col("sza"), 6
+        ).alias("containment"),
+    )
+
+
+def containment_pairs_sql(
+    docs_from: str = "documents",
+    text_expr: str = "text",
+    tau_num: int = CONT_TAU_NUM,
+    tau_den: int = CONT_TAU_DEN,
+    n: int = 3,
+    max_df: int = CONT_MAX_DF,
+) -> str:
+    """Full-statement DuckDB mirror of ``containment_pairs``."""
+    sh = token_shingles_sql(text_expr, n)
+    return f"""
+with ctok as materialized (
+  select distinct doc_id, unnest({sh}) as token from {docs_from}),
+cdf as (select token, cast(count(*) as bigint) as df from ctok
+        group by token),
+csz as (select doc_id, cast(count(*) as bigint) as sz from ctok
+        group by doc_id),
+cpfx as (select doc_id, token from (
+         select t.doc_id, t.token, d.df, s.sz,
+                row_number() over (partition by t.doc_id
+                     order by d.df asc, t.token asc) as rn
+         from ctok t join cdf d using (token) join csz s using (doc_id))
+         where rn <= sz - floor(({tau_num} * sz + {tau_den - 1})
+                                / {tau_den}) + 1
+           and df <= {max_df}),
+cidx as (select t.doc_id, t.token from ctok t
+         join cdf d using (token) where d.df <= {max_df}),
+ccand as (select distinct p.doc_id as doc_id_a, i.doc_id as doc_id_b
+          from cpfx p join cidx i using (token)
+          where p.doc_id <> i.doc_id),
+cshared as (select c.doc_id_a, c.doc_id_b,
+                   cast(count(*) as bigint) as n_shared
+            from ccand c
+                 join ctok ta on ta.doc_id = c.doc_id_a
+                 join ctok tb on tb.doc_id = c.doc_id_b
+                              and tb.token = ta.token
+            group by c.doc_id_a, c.doc_id_b)
+select s.doc_id_a, s.doc_id_b, s.n_shared,
+       round(s.n_shared * 1.0 / z.sz, 6) as containment
+from cshared s join csz z on z.doc_id = s.doc_id_a
+where s.n_shared * {tau_den} >= z.sz * {tau_num}
+"""

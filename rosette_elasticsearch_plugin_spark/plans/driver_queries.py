@@ -6662,6 +6662,18 @@ from pdec
 SQL_ER_PROGRESSIVE = _sql_er_progressive()
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs over the dup-planted corpus: A's
+    distinct-shingle set ≥ 80% inside B's — the quote/inclusion
+    detector Jaccard-based paths structurally miss when |A| ≪ |B|."""
+    return dedup.containment_pairs(_docs_with_dups(spark, sf_dir))
+
+
+SQL_DEDUP_CONTAINMENT = dedup.containment_pairs_sql(
+    f"({_DOCS_WITH_DUPS_SQL})"
+)
+
+
 # --- full resolution with EVERY blocking family on at once (exact +
 # metaphone + minhash + token + suffix): the composition hash-check —
 # the five families' unions, the cap, scoring, threshold and CC all
@@ -7982,6 +7994,7 @@ QUERIES: dict[str, Callable] = {
     "er_block_embed": q_er_block_embed,
     "er_resolve_embed": q_er_resolve_embed,
     "er_progressive": q_er_progressive,
+    "dedup_containment": q_dedup_containment,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -8142,6 +8155,7 @@ ORACLES: dict[str, str] = {
     "er_block_embed": SQL_ER_BLOCK_EMBED,
     "er_resolve_embed": SQL_ER_RESOLVE_EMBED,
     "er_progressive": SQL_ER_PROGRESSIVE,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -8241,4 +8255,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 157
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 158

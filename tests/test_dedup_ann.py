@@ -894,3 +894,45 @@ def test_pq_adc_kernel_matches_literal(spark):
             )
         )
         assert lit == ker, f"{sf_dir}: kernel ADC diverged from literal"
+
+
+def test_containment_finds_quoted_subset(spark):
+    """A short doc pasted inside a long one: containment(A in B) = 1.0
+    even though Jaccard is low; the reverse direction and unrelated
+    docs stay out."""
+    quote = "the quick brown fox jumps over the lazy dog every day"
+    long_doc = (
+        "padding words before the insert start here middle text " + quote +
+        " and then a very long tail " +
+        " ".join(f"tail{i} filler content words" for i in range(20))
+    )
+    other = " ".join(f"unrelated{i} material entirely" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got  # the long doc is NOT inside the quote
+    assert not any(3 in p for p in got)
+
+
+def test_containment_threshold_integer_boundary(spark):
+    """τ = 4/5 exactly: a doc sharing exactly 4 of its 5 shingles is
+    kept, 3 of 5 is not — the integer comparison has no float edge."""
+    # 7 tokens -> 5 trigram shingles; b shares 4 of them (one token
+    # changed at the end), c shares 3
+    a = "t1 t2 t3 t4 t5 t6 t7"
+    b = "t1 t2 t3 t4 t5 t6 x7"
+    c = "t1 t2 t3 t4 t5 x6 x7"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+        for r in dedup.containment_pairs(df).collect()
+    }
+    assert got.get((1, 2)) == 4
+    assert (1, 3) not in got
