@@ -1479,3 +1479,101 @@ select s.doc_id_a, s.doc_id_b, s.n_shared,
 from cshared s join csz z on z.doc_id = s.doc_id_a
 where s.n_shared * {tau_den} >= z.sz * {tau_num}
 """
+
+
+def extend_chunk_index(
+    prior_index: DataFrame | None,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Chunk rows over prior ∪ new docs; the chunking kernel runs on
+    NEW docs only (chunking is a pure per-doc function — committed
+    rows never change), the extend_band_index discipline."""
+    delta = cdc_chunks(new_docs, text_col, id_col, window, divisor)
+    if prior_index is None:
+        return delta
+    return prior_index.select(*delta.columns).unionByName(delta)
+
+
+def incremental_cdc_pairs(
+    prior_index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    max_docs: int = CDC_MAX_DOCS,
+    threshold: float = CDC_THRESHOLD,
+) -> DataFrame:
+    """Shared-chunk pairs involving ≥1 new document, against the
+    committed chunk index — per-batch cost proportional to the delta:
+    only new docs are chunked, candidates come from the new docs' kept
+    hashes probing the index, and the verify counts run over those
+    candidates only.  Unioned with the prior batch's pairs this equals
+    the full recompute (old×old shared counts never change when docs
+    are ADDED; a chunk hash crossing the df cap between batches is the
+    retraction/compaction path's business, same caveat as the band
+    index).  No full-corpus kernel, no all-pairs product."""
+    delta = cdc_chunks(new_docs, text_col, id_col, window, divisor)
+    index = (
+        prior_index.select("doc_id", "chunk_hash")
+        .unionByName(delta.select("doc_id", "chunk_hash"))
+        .localCheckpoint(eager=False)
+    )
+    hd = index.distinct().localCheckpoint(eager=False)
+    sz = hd.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_chunks"))
+    keep = (
+        hd.groupBy("chunk_hash")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") <= max_docs)
+        .select("chunk_hash")
+    )
+    k = hd.join(keep, "chunk_hash")
+    new_ids = new_docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    kn = k.join(new_ids, "doc_id", "left_semi")
+    cands = (
+        kn.select(F.col("doc_id").alias("d"), "chunk_hash")
+        .join(k.select(F.col("doc_id").alias("o"), "chunk_hash"), "chunk_hash")
+        .where(F.col("d") != F.col("o"))
+        .select(
+            F.least("d", "o").alias("doc_id_a"),
+            F.greatest("d", "o").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    shared = (
+        cands.join(
+            k.select(F.col("doc_id").alias("doc_id_a"), "chunk_hash"),
+            "doc_id_a",
+        )
+        .join(
+            k.select(F.col("doc_id").alias("doc_id_b"), "chunk_hash"),
+            ["doc_id_b", "chunk_hash"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sz.select(F.col("doc_id").alias("doc_id_a"),
+                      F.col("n_chunks").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_id_b"),
+                      F.col("n_chunks").alias("nb")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "ov",
+            F.col("n_shared") * F.lit(1.0) / F.least(F.col("na"), F.col("nb")),
+        )
+        .where(F.col("ov") >= threshold)
+    )
+    return out.select(
+        "doc_id_a", "doc_id_b", "n_shared",
+        F.round(F.col("ov"), 6).alias("overlap"),
+    )

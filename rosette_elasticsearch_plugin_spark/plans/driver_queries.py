@@ -6674,6 +6674,26 @@ SQL_DEDUP_CONTAINMENT = dedup.containment_pairs_sql(
 )
 
 
+def q_dedup_cdc_incremental(spark, sf_dir):
+    """Incremental CDC chunk dedup over a 20% delta: batch-1 pairs from
+    the committed chunk index, plus pairs touching the new batch with
+    chunking kernels run on the delta only — hash-proven equal to the
+    full recompute (the oracle IS SQL_DEDUP_CDC_PAIRS)."""
+    d = _docs(spark, sf_dir).localCheckpoint(eager=False)
+    batch1 = d.where(F.col("doc_id") % 5 != 0)
+    batch2 = d.where(F.col("doc_id") % 5 == 0)
+    prior_index = dedup.extend_chunk_index(None, batch1).localCheckpoint(
+        eager=False
+    )
+    prior_pairs = dedup.cdc_pairs(prior_index)
+    inc = dedup.incremental_cdc_pairs(prior_index, batch2)
+    # old×old (prior) and ≥1-new (incremental) pair spaces are disjoint
+    return prior_pairs.unionByName(inc)
+
+
+SQL_DEDUP_CDC_INCREMENTAL = SQL_DEDUP_CDC_PAIRS
+
+
 # --- full resolution with EVERY blocking family on at once (exact +
 # metaphone + minhash + token + suffix): the composition hash-check —
 # the five families' unions, the cap, scoring, threshold and CC all
@@ -7995,6 +8015,7 @@ QUERIES: dict[str, Callable] = {
     "er_resolve_embed": q_er_resolve_embed,
     "er_progressive": q_er_progressive,
     "dedup_containment": q_dedup_containment,
+    "dedup_cdc_incremental": q_dedup_cdc_incremental,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -8156,6 +8177,7 @@ ORACLES: dict[str, str] = {
     "er_resolve_embed": SQL_ER_RESOLVE_EMBED,
     "er_progressive": SQL_ER_PROGRESSIVE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "dedup_cdc_incremental": SQL_DEDUP_CDC_INCREMENTAL,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -8255,4 +8277,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 158
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 159

@@ -936,3 +936,36 @@ def test_containment_threshold_integer_boundary(spark):
     }
     assert got.get((1, 2)) == 4
     assert (1, 3) not in got
+
+
+def test_cdc_incremental_equals_full(spark):
+    """prior-batch pairs ∪ incremental(delta) must equal the one-shot
+    cdc_pairs over the whole corpus, including cross-batch and
+    new×new pairs; chunking kernels run only on the delta."""
+    base = " ".join(f"shared{i} corpus token" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base + " tiny tail change"),
+        (5, "something else entirely " * 5),
+        (10, base),                      # new batch: dup of 1 (cross)
+        (15, base + " tiny tail change"),  # new: dup of 2 (cross)
+        (20, "another unrelated doc " * 5),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    batch1 = d.where(F.col("doc_id") < 10)
+    batch2 = d.where(F.col("doc_id") >= 10)
+    full = {
+        (r["doc_id_a"], r["doc_id_b"]): (r["n_shared"], r["overlap"])
+        for r in dedup.cdc_pairs(dedup.cdc_chunks(d)).collect()
+    }
+    prior_index = dedup.extend_chunk_index(None, batch1)
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): (r["n_shared"], r["overlap"])
+        for r in dedup.cdc_pairs(prior_index)
+        .unionByName(dedup.incremental_cdc_pairs(prior_index, batch2))
+        .collect()
+    }
+    assert got == full
+    # sanity: the case exercises cross-batch AND new×new pairs
+    assert any(a < 10 <= b for a, b in full)
+    assert any(a >= 10 and b >= 10 for a, b in full)
