@@ -125,3 +125,80 @@ def interval_join(
         )
         .drop("__bkt")
     )
+
+
+FUNNEL_WINDOW_US = 86_400_000_000  # 24 h
+
+
+def funnel_stages(
+    events: DataFrame,
+    seq: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_us: int = FUNNEL_WINDOW_US,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """(user_id, funnel_stage): the deepest prefix of ``seq`` each user
+    completes as an ordered event chain e1 < e2 < e3 with the LAST
+    step within ``window_us`` of the first (the windowFunnel
+    semantics, stated as an exists-chain).
+
+    One shuffle (partition by user), then pure running-max windows over
+    the (ts, event_id)-ordered stream — never a per-user self-join:
+
+    * at each step-2 event, the latest step-1 time strictly before it
+      (the latest anchor is the within-window witness iff any is);
+    * at each step-3 event, the running max over prior step-2 events
+      of THEIR latest-prior-step-1 time — the best chain anchor; the
+      chain exists iff it is ≥ ts − window.
+
+    Scale shape: per-user state is O(1) window aggregates over one
+    sort — at 10^12 events this is the one-pass sessionization plan,
+    with AQE handling user skew."""
+    from pyspark.sql import Window
+
+    s1, s2, s3 = seq
+    order = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    ts = F.col(ts_col)
+    e = events.select(
+        user_col, "event_id", ts_col, F.col(type_col).alias("et")
+    )
+    e = e.withColumn(
+        "lv", F.max(F.when(F.col("et") == s1, ts)).over(prior)
+    )
+    e = e.withColumn(
+        "anchor2",
+        F.max(
+            F.when(F.col("et") == s2, F.col("lv"))
+        ).over(prior),
+    )
+    flags = e.select(
+        user_col,
+        F.when(F.col("et") == s1, 1).otherwise(0).alias("f1"),
+        F.when(
+            (F.col("et") == s2)
+            & F.col("lv").isNotNull()
+            & (ts - F.col("lv") <= window_us),
+            1,
+        ).otherwise(0).alias("f2"),
+        F.when(
+            (F.col("et") == s3)
+            & F.col("anchor2").isNotNull()
+            & (ts - F.col("anchor2") <= window_us),
+            1,
+        ).otherwise(0).alias("f3"),
+    )
+    agg = flags.groupBy(user_col).agg(
+        F.max("f1").alias("r1"), F.max("f2").alias("r2"),
+        F.max("f3").alias("r3"),
+    )
+    return agg.select(
+        user_col,
+        F.when(F.col("r3") == 1, 3)
+        .when(F.col("r2") == 1, 2)
+        .when(F.col("r1") == 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_stage"),
+    )

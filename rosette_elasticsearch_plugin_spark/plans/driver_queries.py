@@ -6694,6 +6694,116 @@ def q_dedup_cdc_incremental(spark, sf_dir):
 SQL_DEDUP_CDC_INCREMENTAL = SQL_DEDUP_CDC_PAIRS
 
 
+# --- windowed event funnel ------------------------------------------------------
+# The windowFunnel analytics operator: deepest prefix of
+# view → click → purchase completed as an ordered chain whose LAST
+# step falls within 24 h of the first.  The Spark plan is one shuffle
+# + running-max windows over the (ts, event_id)-ordered stream
+# (operators/asof.funnel_stages); the oracle is the QUADRATIC
+# exists-chain definition (tuple-ordered self-joins), so the hash
+# match proves the windowed rewrite logically exact — the asof-family
+# cross-check discipline.
+def q_events_funnel(spark, sf_dir):
+    from ..operators.asof import funnel_stages
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return funnel_stages(ev)
+
+
+def _sql_events_funnel() -> str:
+    from ..operators.asof import FUNNEL_WINDOW_US
+
+    w = FUNNEL_WINDOW_US
+    return f"""
+with e as (select user_id, event_id, epoch_us(ts) as ts_us, event_type
+           from events),
+v as (select user_id, ts_us, event_id from e where event_type = 'view'),
+c as (select user_id, ts_us, event_id from e where event_type = 'click'),
+p as (select user_id, ts_us, event_id from e
+      where event_type = 'purchase'),
+r1 as (select distinct user_id from v),
+r2 as (select distinct v.user_id
+       from v join c on c.user_id = v.user_id
+        and (v.ts_us, v.event_id) < (c.ts_us, c.event_id)
+        and c.ts_us - v.ts_us <= {w}),
+r3 as (select distinct v.user_id
+       from v join c on c.user_id = v.user_id
+        and (v.ts_us, v.event_id) < (c.ts_us, c.event_id)
+            join p on p.user_id = c.user_id
+        and (c.ts_us, c.event_id) < (p.ts_us, p.event_id)
+        and p.ts_us - v.ts_us <= {w}),
+users as (select distinct user_id from e)
+select u.user_id,
+       cast(case when r3.user_id is not null then 3
+                 when r2.user_id is not null then 2
+                 when r1.user_id is not null then 1
+                 else 0 end as bigint) as funnel_stage
+from users u
+     left join r3 on r3.user_id = u.user_id
+     left join r2 on r2.user_id = u.user_id
+     left join r1 on r1.user_id = u.user_id
+"""
+
+
+SQL_EVENTS_FUNNEL = _sql_events_funnel()
+
+
+# --- cohort retention matrix ----------------------------------------------------
+# Classic growth analytics: users cohorted by their FIRST signup day,
+# counted once per (cohort, day-offset) they are active on any event.
+# Days are exact epoch-day integers (floor of epoch-µs / 86.4e9 — both
+# engines compute the identical double division under 2^53), so the
+# matrix is pure integer aggregation: two shuffles (first-signup per
+# user, then the cohort×offset count), map-side combinable at any
+# scale.
+_DAY_US = 86_400_000_000.0
+
+
+def q_events_retention(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(_DAY_US)
+        ).cast("long").alias("day"),
+    )
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    active = ev.select("user_id", "day").distinct()
+    return (
+        active.join(cohort, "user_id")
+        .where(F.col("day") >= F.col("cohort_day"))
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+with e as (select user_id, event_type,
+                  cast(floor(epoch_us(ts) / {_DAY_US}) as bigint) as day
+           from events),
+cohort as (select user_id, min(day) as cohort_day from e
+           where event_type = 'signup' group by user_id),
+active as (select distinct user_id, day from e)
+select c.cohort_day, a.day - c.cohort_day as day_offset,
+       cast(count(distinct a.user_id) as bigint) as n_users
+from active a join cohort c using (user_id)
+where a.day >= c.cohort_day
+group by 1, 2
+"""
+
+
 # --- full resolution with EVERY blocking family on at once (exact +
 # metaphone + minhash + token + suffix): the composition hash-check —
 # the five families' unions, the cap, scoring, threshold and CC all
@@ -8016,6 +8126,8 @@ QUERIES: dict[str, Callable] = {
     "er_progressive": q_er_progressive,
     "dedup_containment": q_dedup_containment,
     "dedup_cdc_incremental": q_dedup_cdc_incremental,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -8178,6 +8290,8 @@ ORACLES: dict[str, str] = {
     "er_progressive": SQL_ER_PROGRESSIVE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_cdc_incremental": SQL_DEDUP_CDC_INCREMENTAL,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -8277,4 +8391,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 159
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 161

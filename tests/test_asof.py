@@ -225,3 +225,41 @@ def test_asof_join_single_exchange(spark):
     plan = _plan(asof_join(l, r, on="user_id", payload_cols=("value",)))
     n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n_exchange <= 1, plan
+
+
+def test_funnel_stages_semantics(spark):
+    """Crafted chains: full in-window chain → 3; purchase outside the
+    24 h window of the view → 2; purchase BEFORE the click → 2; click
+    with no prior view → 1 only if a view exists; no step-1 → 0."""
+    from rosette_elasticsearch_plugin_spark.operators.asof import (
+        FUNNEL_WINDOW_US,
+        funnel_stages,
+    )
+
+    H = 3_600_000_000  # one hour in µs
+    rows = [
+        # u1: view(0) click(1h) purchase(2h) — full chain
+        (1, 1, "view", 0), (2, 1, "click", H), (3, 1, "purchase", 2 * H),
+        # u2: purchase lands past the window of the only view
+        (4, 2, "view", 0), (5, 2, "click", H),
+        (6, 2, "purchase", FUNNEL_WINDOW_US + 2 * H),
+        # u3: purchase precedes the click — order broken, stage 2
+        (7, 3, "view", 0), (8, 3, "purchase", H), (9, 3, "click", 2 * H),
+        # u4: click before any view — stage 1 (a later view exists)
+        (10, 4, "click", 0), (11, 4, "view", H),
+        # u5: no view at all
+        (12, 5, "click", 0), (13, 5, "purchase", H),
+        # u6: late view re-anchors the window: old view far back, new
+        # view + click + purchase tight — stage 3 through the new chain
+        (14, 6, "view", 0), (15, 6, "click", H),
+        (16, 6, "view", 10 * H), (17, 6, "click", 11 * H),
+        (18, 6, "purchase", 12 * H),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    )
+    got = {
+        r["user_id"]: r["funnel_stage"]
+        for r in funnel_stages(df).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 1, 5: 0, 6: 3}
