@@ -1246,14 +1246,41 @@ def _pq_adc_col(
 def _topk_window_asc(
     scored: DataFrame, k: int, dist_col: str, rank_alias: str = "rank"
 ) -> DataFrame:
+    """Ascending top-k per query.  NULL distances (null / wrong-dim
+    vectors under the null-propagation rule) are DROPPED before
+    ranking — Spark's ascending sort is NULLS FIRST, which would
+    otherwise promote exactly the rows the encode guards demoted, and
+    the ADC kernel path (which masks bad rows) must agree with the
+    literal path row-for-row."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col(dist_col).asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn(rank_alias, F.row_number().over(w).cast("long"))
+        scored.where(F.col(dist_col).isNotNull())
+        .withColumn(rank_alias, F.row_number().over(w).cast("long"))
         .where(F.col(rank_alias) <= k)
+    )
+
+
+def _exact_rerank(
+    short: DataFrame, v: DataFrame, k: int
+) -> DataFrame:
+    """Shared PQ/IVF-PQ tail: join the bounded shortlist back to the
+    raw vectors and re-rank by exact squared L2."""
+    exact = short.join(
+        v.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
+        "neighbor_id",
+    ).join(
+        v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv2")),
+        "query_id",
+    ).withColumn(
+        "l2_dist", F.round(pair_l2sq_col(F.col("qv2"), F.col("nv")), 6)
+    )
+    return _topk_window_asc(
+        exact.select("query_id", "neighbor_id", "adc_dist", "l2_dist"),
+        k, "l2_dist",
     )
 
 
@@ -1375,10 +1402,15 @@ def pq_topk(
         from pyspark.sql import types as T
 
         # bounded probe-side collect — the same class as pq_fit's
-        # model read (n_queries rows), never the corpus
+        # model read (n_queries rows), never the corpus.  NULL or
+        # wrong-dimension query vectors are skipped: the literal path
+        # yields NULL distances for them (dropped by the ranking
+        # window), so emitting no rows is the agreeing behavior.
+        qdim = len(books) * len(books[0][0][1])
         qrows = [
             (int(r["vid"]), [float(x) for x in r["v"]])
             for r in v.where(F.col("vid") < n_queries).collect()
+            if r["v"] is not None and len(r["v"]) == qdim
         ]
         gen, _dim = _pq_adc_kernel(books, qrows, shortlist)
         schema = T.StructType([
@@ -1406,19 +1438,7 @@ def pq_topk(
             scored.select("query_id", "neighbor_id", "adc_dist"),
             shortlist, "adc_dist",
         ).drop("rank")
-    exact = short.join(
-        v.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
-        "neighbor_id",
-    ).join(
-        v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv2")),
-        "query_id",
-    ).withColumn(
-        "l2_dist", F.round(pair_l2sq_col(F.col("qv2"), F.col("nv")), 6)
-    )
-    return _topk_window_asc(
-        exact.select("query_id", "neighbor_id", "adc_dist", "l2_dist"),
-        k, "l2_dist",
-    )
+    return _exact_rerank(short, v, k)
 
 
 # --- IVF-PQ: coarse cells + ADC inside probed cells ----------------------------
@@ -1439,17 +1459,24 @@ def ivfpq_fit_coarse(
     return [(cid, cv) for cid, cv, _ in ivf_fit(embeddings, nlist, id_col, vec_col)]
 
 
-def ivfpq_cell_col(vec: Column, coarse: list[tuple[int, list[float]]]) -> Column:
-    """Scan-side L2 cell assignment: argmin rounded squared-L2 over the
-    literal coarse centroids (ties → smallest cid), zero shuffle."""
-    entries = [
+def _ivfpq_dist_entries(
+    vec: Column, coarse: list[tuple[int, list[float]]]
+) -> list[Column]:
+    """(rounded-L2, cid) structs against the literal coarse centroids —
+    shared by cell assignment (argmin) and probe ordering (sort)."""
+    return [
         F.struct(
             F.round(l2sq_col(vec.cast("array<double>"), cv), 6).alias("d"),
             F.lit(cid).cast("long").alias("cid"),
         )
         for cid, cv in coarse
     ]
-    return F.array_min(F.array(*entries))["cid"]
+
+
+def ivfpq_cell_col(vec: Column, coarse: list[tuple[int, list[float]]]) -> Column:
+    """Scan-side L2 cell assignment: argmin rounded squared-L2 over the
+    literal coarse centroids (ties → smallest cid), zero shuffle."""
+    return F.array_min(F.array(*_ivfpq_dist_entries(vec, coarse)))["cid"]
 
 
 def ivfpq_probe_cells_col(
@@ -1460,14 +1487,7 @@ def ivfpq_probe_cells_col(
     """The query's nprobe nearest cells under L2 (d asc, cid asc —
     includes its own cell first, so planted duplicates are always
     reachable)."""
-    entries = [
-        F.struct(
-            F.round(l2sq_col(vec.cast("array<double>"), cv), 6).alias("d"),
-            F.lit(cid).cast("long").alias("cid"),
-        )
-        for cid, cv in coarse
-    ]
-    ordered = F.array_sort(F.array(*entries))
+    ordered = F.array_sort(F.array(*_ivfpq_dist_entries(vec, coarse)))
     return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
 
 
@@ -1533,19 +1553,7 @@ def ivfpq_topk(
         scored.select("query_id", "neighbor_id", "adc_dist"),
         shortlist, "adc_dist",
     ).drop("rank")
-    exact = short.join(
-        v.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv")),
-        "neighbor_id",
-    ).join(
-        v.select(F.col("vid").alias("query_id"), F.col("v").alias("qv2")),
-        "query_id",
-    ).withColumn(
-        "l2_dist", F.round(pair_l2sq_col(F.col("qv2"), F.col("nv")), 6)
-    )
-    return _topk_window_asc(
-        exact.select("query_id", "neighbor_id", "adc_dist", "l2_dist"),
-        k, "l2_dist",
-    )
+    return _exact_rerank(short, v, k)
 
 
 def brute_l2_topk(

@@ -6674,24 +6674,39 @@ SQL_DEDUP_CONTAINMENT = dedup.containment_pairs_sql(
 )
 
 
+# Uncapped df for the equivalence gate: with a finite cap, a chunk
+# hash crossing it BETWEEN batches makes committed old×old pairs
+# diverge from the full recompute (cap-crossing maintenance is the
+# compaction path's business); with the cap off, adding documents can
+# only add pairs involving them, so prior ∪ increment ≡ full holds
+# unconditionally and the oracle can be the one-shot statement.  The
+# operator default keeps the production cap.
+_CDC_INC_MAX_DOCS = 1_000_000_000
+
+
 def q_dedup_cdc_incremental(spark, sf_dir):
     """Incremental CDC chunk dedup over a 20% delta: batch-1 pairs from
     the committed chunk index, plus pairs touching the new batch with
     chunking kernels run on the delta only — hash-proven equal to the
-    full recompute (the oracle IS SQL_DEDUP_CDC_PAIRS)."""
+    full recompute (the oracle IS the one-shot cdc_pairs statement at
+    the same df setting)."""
     d = _docs(spark, sf_dir).localCheckpoint(eager=False)
     batch1 = d.where(F.col("doc_id") % 5 != 0)
     batch2 = d.where(F.col("doc_id") % 5 == 0)
     prior_index = dedup.extend_chunk_index(None, batch1).localCheckpoint(
         eager=False
     )
-    prior_pairs = dedup.cdc_pairs(prior_index)
-    inc = dedup.incremental_cdc_pairs(prior_index, batch2)
+    prior_pairs = dedup.cdc_pairs(prior_index, max_docs=_CDC_INC_MAX_DOCS)
+    inc = dedup.incremental_cdc_pairs(
+        prior_index, batch2, max_docs=_CDC_INC_MAX_DOCS
+    )
     # old×old (prior) and ≥1-new (incremental) pair spaces are disjoint
     return prior_pairs.unionByName(inc)
 
 
-SQL_DEDUP_CDC_INCREMENTAL = SQL_DEDUP_CDC_PAIRS
+SQL_DEDUP_CDC_INCREMENTAL = dedup.cdc_pairs_sql(
+    "documents", max_docs=_CDC_INC_MAX_DOCS
+)
 
 
 # --- windowed event funnel ------------------------------------------------------

@@ -456,7 +456,12 @@ def bfs_depths(
         F.col(roots.columns[0]).alias("node"), F.lit(0).cast("long").alias("depth")
     ).distinct().localCheckpoint(eager=True)
     frontier = dist.select("node")
-    for r in range(1, max_rounds + 1):
+    # one extra iteration beyond max_rounds: depths themselves are
+    # capped at max_rounds (matching the recursive-CTE mirror's
+    # w.depth < cap), but a BFS that COMPLETES at exactly depth ==
+    # max_rounds must return, not raise — only a frontier still
+    # expanding past the cap is an error
+    for r in range(1, max_rounds + 2):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["u"])
             .select(F.col("v").alias("node"))
@@ -467,6 +472,8 @@ def bfs_depths(
         )
         if nxt.isEmpty():
             return dist
+        if r > max_rounds:
+            break
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     raise RuntimeError(

@@ -969,3 +969,37 @@ def test_cdc_incremental_equals_full(spark):
     # sanity: the case exercises cross-batch AND new×new pairs
     assert any(a < 10 <= b for a, b in full)
     assert any(a >= 10 and b >= 10 for a, b in full)
+
+
+def test_pq_topk_drops_dirty_vectors(spark):
+    """NULL / wrong-dimension corpus vectors must never appear in the
+    top-k (ascending sort is NULLS FIRST by default — the ranking
+    window drops NULL distances), and the kernel path must agree;
+    a NULL query vector yields no rows for that query on both paths."""
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    dirty = spark.createDataFrame(
+        [(900000, None), (900001, [0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    nullq = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>"
+    )
+    corpus = (
+        base.where(F.col("vec_id") > 0)
+        .unionByName(dirty)
+        .unionByName(nullq)
+        .localCheckpoint(eager=True)
+    )
+    books = ann.pq_fit(corpus)
+    lit = ann.pq_topk(corpus, k=3, n_queries=20, books=books).collect()
+    ker = ann.pq_topk(
+        corpus, k=3, n_queries=20, books=books, method="udf", adc="kernel"
+    ).collect()
+    for rows in (lit, ker):
+        assert rows, "clean queries must still return neighbors"
+        assert all(r["neighbor_id"] < 900000 for r in rows)
+        assert all(r["adc_dist"] is not None for r in rows)
+        assert all(r["query_id"] != 0 for r in rows)  # null query: no rows
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, ker))

@@ -388,3 +388,23 @@ def test_progressive_curve_front_loads_matches(spark):
     assert fracs == sorted(fracs)
     assert fracs[-1] == 1.0
     assert fracs[1] >= 0.3, f"20% budget found only {fracs[1]:.2f} of matches"
+
+
+def test_bfs_depths_completes_at_exactly_max_rounds(spark):
+    """A BFS finishing at depth == max_rounds is a SUCCESS (the depth
+    cap matches the oracle's w.depth < cap); only a frontier still
+    expanding past the cap raises."""
+    from rosette_elasticsearch_plugin_spark.resolution.clustering import (
+        bfs_depths,
+    )
+
+    chain = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(3)],
+        "node_a string, node_b string",
+    )
+    roots = spark.createDataFrame([("0",)], "node string")
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(chain, roots, max_rounds=3).collect()
+    }
+    assert got == {"0": 0, "1": 1, "2": 2, "3": 3}
