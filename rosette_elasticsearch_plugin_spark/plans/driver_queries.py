@@ -3833,6 +3833,163 @@ SQL_ER_BLOCK_FAMILY_RECALL_ALL = _sql_er_block_family_recall(
 )
 
 
+# --- blocking-SCHEME recall: every family subset ranked -------------------------
+# Scheme selection (the recall half of Michelson & Knoblock's learned
+# blocking schemes, AAAI 2006): with six key families, which SUBSET do
+# you deploy?  Each true pair gets a 6-bit mask of the families that
+# co-block it; subset recall is then a pure rollup — a pair is covered
+# by a subset iff its mask intersects the subset mask — so all 63
+# non-empty subsets come from ONE pass over the (≤64-row) mask
+# histogram, never 63 re-blockings.  Budget per family is measured at
+# vocabulary scale in BENCH.md (§6/§8/§11); this query supplies the
+# exact recall side from the labeled fixture.
+_FAMILY_ORDER = "xmhtse"
+
+
+def _scheme_families_expr(mask_col: str):
+    """Deterministic subset label: the family letters whose bit is set,
+    in _FAMILY_ORDER — built from the same case-chain on both engines."""
+    parts = [
+        F.when(
+            F.expr(f"cast({mask_col} as int) div {1 << b} % 2 = 1"),
+            F.lit(_FAMILY_ORDER[b]),
+        ).otherwise(F.lit(""))
+        for b in range(len(_FAMILY_ORDER))
+    ]
+    return F.concat(*parts)
+
+
+def q_er_block_scheme_recall(spark, sf_dir):
+    cfg = _all_family_cfg()
+    from .. import corpus
+    from ..operators.entities import distinct_mention_names
+    from ..resolution.blocking import all_blocks
+    from .er_pipeline import er_key_col
+
+    c = corpus.generate(n_docs=120, seed=42)
+    docs, truth = corpus.to_spark(spark, c)
+    keyed = (
+        distinct_mention_names(docs)
+        .select("node", er_key_col(F.col("node")).alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    blocks = all_blocks(keyed, cfg.blocking).localCheckpoint(eager=False)
+    tn = truth.select("entity_label", "normalized").distinct()
+    a, b = tn.alias("a"), tn.alias("b")
+    tpairs = (
+        a.join(
+            b,
+            (F.col("a.entity_label") == F.col("b.entity_label"))
+            & (F.col("a.normalized") < F.col("b.normalized")),
+        )
+        .select(
+            F.col("a.normalized").alias("node_a"),
+            F.col("b.normalized").alias("node_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ba = blocks.select(F.col("node").alias("node_a"), "block_key")
+    bb = blocks.select(F.col("node").alias("node_b"), "block_key")
+    fam = (
+        tpairs.join(ba, "node_a")
+        .join(bb, ["node_b", "block_key"])
+        .select(
+            "node_a", "node_b",
+            F.substring("block_key", 1, 1).alias("family"),
+        )
+        .distinct()
+    )
+    bitval = None
+    for i, ch in enumerate(_FAMILY_ORDER):
+        term = F.when(F.col("family") == ch, F.lit(1 << i)).otherwise(F.lit(0))
+        bitval = term if bitval is None else bitval + term
+    masks = (
+        fam.withColumn("bit", bitval)
+        .groupBy("node_a", "node_b")
+        .agg(F.sum("bit").cast("int").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    nt = tpairs.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    subsets = spark.range(1, 1 << len(_FAMILY_ORDER)).select(
+        F.col("id").cast("int").alias("smask")
+    )
+    cov = (
+        subsets.crossJoin(F.broadcast(masks))
+        .where(F.expr("cast(smask as int) & cast(mask as int) <> 0"))
+        .groupBy("smask")
+        .agg(F.sum("cnt").cast("long").alias("n_covered"))
+    )
+    # subsets covering zero pairs still get a row (left join from the
+    # full subset list)
+    out = (
+        subsets.join(cov, "smask", "left")
+        .withColumn("n_covered", F.coalesce("n_covered", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(nt))
+    )
+    return out.select(
+        _scheme_families_expr("smask").alias("families"),
+        "n_covered",
+        F.round(
+            F.col("n_covered") * F.lit(1.0)
+            / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _sql_er_block_scheme_recall() -> str:
+    from .er_oracle import blocks_ctes
+
+    names, truth = _name_f1_fixture()
+    tn = sorted({(e, n) for _m, e, n in truth})
+    tn_vals = ", ".join(
+        "('" + e.replace("'", "''") + "', '" + n.replace("'", "''") + "')"
+        for e, n in tn
+    )
+    bitval = " + ".join(
+        f"case when family = '{ch}' then {1 << i} else 0 end"
+        for i, ch in enumerate(_FAMILY_ORDER)
+    )
+    label = " || ".join(
+        f"case when cast(smask as int) // {1 << b} % 2 = 1 "
+        f"then '{_FAMILY_ORDER[b]}' else '' end"
+        for b in range(len(_FAMILY_ORDER))
+    )
+    return f"""
+with {blocks_ctes(names, _all_family_cfg())},
+tn(entity_label, normalized) as (values {tn_vals}),
+tpairs as materialized (select distinct a.normalized as node_a,
+                               b.normalized as node_b
+           from tn a join tn b
+           on a.entity_label = b.entity_label
+          and a.normalized < b.normalized),
+fam as (select distinct p.node_a, p.node_b,
+                        substring(ba.block_key, 1, 1) as family
+        from tpairs p join blocks ba on ba.node = p.node_a
+                      join blocks bb on bb.node = p.node_b
+                                    and bb.block_key = ba.block_key),
+pmask as (select node_a, node_b, cast(sum({bitval}) as int) as mask
+          from fam group by node_a, node_b),
+mh as (select mask, cast(count(*) as bigint) as cnt from pmask
+       group by mask),
+nt as (select cast(count(*) as bigint) as n_true_pairs from tpairs),
+subsets as (select cast(range as int) as smask from range(1, 64)),
+cov as (select smask, cast(sum(cnt) as bigint) as n_covered
+        from subsets join mh on (smask & mask) <> 0
+        group by smask)
+select ({label}) as families,
+       coalesce(c.n_covered, 0) as n_covered,
+       round(coalesce(c.n_covered, 0) * 1.0
+             / greatest(n_true_pairs, 1), 6) as recall
+from subsets s left join cov c using (smask) cross join nt
+"""
+
+
+SQL_ER_BLOCK_SCHEME_RECALL = _sql_er_block_scheme_recall()
+
+
 def _sql_er_blocking_recall() -> str:
     from .er_oracle import blocks_ctes
 
@@ -8143,6 +8300,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_cdc_incremental": q_dedup_cdc_incremental,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "er_block_scheme_recall": q_er_block_scheme_recall,
     "ros_entities_project": q_ros_entities_project,
     "ros_pipeline_all": q_ros_pipeline_all,
     "ros_entities_sentiment": q_ros_entities_sentiment,
@@ -8307,6 +8465,7 @@ ORACLES: dict[str, str] = {
     "dedup_cdc_incremental": SQL_DEDUP_CDC_INCREMENTAL,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "er_block_scheme_recall": SQL_ER_BLOCK_SCHEME_RECALL,
     "ros_entities_project": SQL_ROS_ENTITIES_PROJECT,
     "ros_pipeline_all": SQL_ROS_PIPELINE_ALL,
     "ros_entities_sentiment": SQL_ROS_ENTITIES_SENTIMENT,
@@ -8406,4 +8565,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 161
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 162

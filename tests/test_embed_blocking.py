@@ -137,3 +137,26 @@ def test_embed_kernel_matches_literal(spark):
         map(tuple, embed_blocks(sdf, planes_k=12, method="udf").collect())
     )
     assert lit2 == udf2
+
+
+def test_scheme_recall_monotone_and_consistent(spark):
+    """63 subsets; recall is monotone under subset inclusion; the full
+    six-family scheme attains the maximum; singleton rows agree with
+    the per-family recall ladder's ordering (m > t > e > h > s > x on
+    the fixture)."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        q_er_block_scheme_recall,
+    )
+
+    rows = q_er_block_scheme_recall(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 63
+    rec = {frozenset(r["families"]): r["recall"] for r in rows}
+    full = frozenset("xmhtse")
+    assert rec[full] == max(rec.values())
+    for a, ra in rec.items():
+        for b, rb in rec.items():
+            if a < b:
+                assert ra <= rb, (a, b, ra, rb)
+    singles = {next(iter(k)): v for k, v in rec.items() if len(k) == 1}
+    order = sorted(singles, key=singles.get, reverse=True)
+    assert order[:2] == ["m", "t"] and order[-1] == "x"
