@@ -4410,8 +4410,7 @@ tc as materialized (
          coalesce(c.cluster, t.normalized) as cluster
   from truth t left join clusters c on c.node = t.normalized),
 {v_measure_sql('tc')}
-select n_mentions, q_hck, q_hkc, q_hc, q_hk,
-       homogeneity, completeness, v_measure
+select n_mentions, homogeneity, completeness, v_measure
 from vm
 """
 

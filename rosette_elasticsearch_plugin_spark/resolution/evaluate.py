@@ -140,13 +140,18 @@ def pairwise_f1(labeled: DataFrame, predicted: DataFrame,
 # across clusters" (c); unlike ARI it is not chance-corrected but is
 # defined for every degenerate shape.
 #
-# Cross-engine exactness: each entropy TERM n·ln(n/d) is quantized to
+# Cross-engine determinism: each entropy TERM n·ln(n/d) is quantized to
 # integer MICRO-UNITS right after the ln (the only libm call), so every
 # Σ is an exact long in any aggregation order; the shared N·1e6 entropy
 # denominators cancel inside h and c, leaving one double division per
-# ratio and a final round-6 — identical IEEE expressions in both
-# engines.  At scale: three map-side-combinable contingency aggregates
-# over the mention table, no pair enumeration.
+# ratio and a final round-6.  ln itself is NOT correctly rounded, so a
+# term within an ulp of a .5 micro-unit boundary can differ by ±1
+# across libm builds — which is why only the post-division round-6
+# ratios leave this function (a ±1 sum flip moves a ratio by ~1/q_hc
+# micro-units, far below round-6 resolution), and why
+# tests/test_quantizer_boundaries.py audits fixture boundary
+# distances.  At scale: three map-side-combinable contingency
+# aggregates over the mention table, no pair enumeration.
 VM_MICRO = 1_000_000
 
 
@@ -203,12 +208,16 @@ def v_measure(tc: DataFrame) -> DataFrame:
     v = F.when(hc + cc == 0.0, F.lit(0.0)).otherwise(
         F.round(F.lit(2.0) * hc * cc / (hc + cc), 6)
     )
+    # Output carries only the round-6 ratios, never the raw micro-unit
+    # long sums: libm ln is not correctly rounded, so a term landing
+    # within an ulp of a .5 micro-unit boundary can flip a sum by ±1
+    # between JVM and DuckDB builds.  Division + round-6 shrinks that
+    # per-term flip surface to a per-ratio one (a ±1 flip in a ~1e6-unit
+    # sum moves the ratio by ~1e-6/q_hc — below round-6 resolution on
+    # any non-degenerate fixture; tests/test_quantizer_boundaries.py
+    # audits the remaining boundary distances).
     return j.select(
         F.col("n").cast("long").alias("n_mentions"),
-        "q_hck",
-        "q_hkc",
-        "q_hc",
-        "q_hk",
         hc.alias("homogeneity"),
         cc.alias("completeness"),
         v.alias("v_measure"),
@@ -250,8 +259,7 @@ vm_hc as (select
         else 1.0 - cast(q_hkc as double) / cast(q_hk as double) end, 6)
     as completeness
   from vm_q),
-vm as (select n_mentions, q_hck, q_hkc, q_hc, q_hk,
-              homogeneity, completeness,
+vm as (select n_mentions, homogeneity, completeness,
   case when homogeneity + completeness = 0.0 then 0.0
        else round(2.0 * homogeneity * completeness
                   / (homogeneity + completeness), 6)
