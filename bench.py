@@ -165,6 +165,11 @@ def _headline_queries(
         "region_customer_counts": lambda: DQ.q_region_customer_counts(
             spark, sf_dir
         ),
+        # seventh-wave kernels (VERDICT r4 #4): in the headline so
+        # driver-to-driver regressions in the CDC chunker and the
+        # PQ ADC scan kernel are visible round over round
+        "dedup_cdc_pairs": lambda: DQ.q_dedup_cdc_pairs(spark, sf_dir),
+        "ann_pq_topk": lambda: DQ.q_ann_pq_topk(spark, sf_dir),
     }
 
 

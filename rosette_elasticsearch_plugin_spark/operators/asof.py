@@ -137,6 +137,7 @@ def funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts_us",
+    event_id_col: str = "event_id",
 ) -> DataFrame:
     """(user_id, funnel_stage): the deepest prefix of ``seq`` each user
     completes as an ordered event chain e1 < e2 < e3 with the LAST
@@ -158,11 +159,11 @@ def funnel_stages(
     from pyspark.sql import Window
 
     s1, s2, s3 = seq
-    order = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    order = Window.partitionBy(user_col).orderBy(ts_col, event_id_col)
     prior = order.rowsBetween(Window.unboundedPreceding, -1)
     ts = F.col(ts_col)
     e = events.select(
-        user_col, "event_id", ts_col, F.col(type_col).alias("et")
+        user_col, event_id_col, ts_col, F.col(type_col).alias("et")
     )
     e = e.withColumn(
         "lv", F.max(F.when(F.col("et") == s1, ts)).over(prior)

@@ -1233,13 +1233,18 @@ cdcpos as (select doc_id, text, n, unnest(range({w}, n + 1)) as i
 cdccuts as (select doc_id, i from cdcpos where {wh} % {div} = 0),
 cdccl as (select doc_id, list_sort(list(i)) as cs from cdccuts
           group by doc_id),
-cdcb as (select d.doc_id, d.text, d.n,
-         case when len(cs) > 0 and cs[len(cs)] = d.n
+cdcb as (select doc_id, text, n,
+         case when len(cs) > 0 and cs[len(cs)] = n
               then list_prepend(0, cs)
-              else list_append(list_prepend(0, cs), d.n) end as bs
-         from cdcdocs d left join
-              (select doc_id, coalesce(cs, cast([] as bigint[])) as cs
-               from cdccl) c0 using (doc_id)
+              else list_append(list_prepend(0, cs), n) end as bs
+         from (
+           -- coalesce AFTER the left join: a no-cut doc has no cdccl
+           -- row at all, so its cs is NULL here — without this the
+           -- whole-doc-chunk case would lean on DuckDB's undocumented
+           -- list_prepend(0, NULL) = [0] behavior
+           select d.doc_id, d.text, d.n,
+                  coalesce(c0.cs, cast([] as bigint[])) as cs
+           from cdcdocs d left join cdccl c0 using (doc_id))
          ),
 cdcchunks as (select doc_id,
               cast(k - 1 as bigint) as chunk_idx,

@@ -379,7 +379,14 @@ def embed_blocks(
         bucket = embed_bucket_udf(dim, planes_k, seed)(F.col("key"))
     else:
         planes = hyperplanes(dim, planes_k, seed)
-        bucket = lsh_bucket_col(trigram_vector_col(F.col("key"), dim), planes)
+        # null-propagate to match the udf path: the raw literal fold
+        # would map a NULL key to the zero vector (all-signs-positive
+        # bucket) while embed_bucket_udf emits NULL
+        bucket = F.when(
+            F.col("key").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            lsh_bucket_col(trigram_vector_col(F.col("key"), dim), planes)
+        )
     b = F.col("b")
     probes = F.array(
         b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(planes_k)]

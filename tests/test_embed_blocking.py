@@ -139,6 +139,20 @@ def test_embed_kernel_matches_literal(spark):
     assert lit2 == udf2
 
 
+def test_embed_null_key_identical_across_encode_paths(spark):
+    """A NULL key must behave identically on the literal and udf encode
+    paths: NULL bucket → NULL block_keys (which no equi-join ever
+    matches), never the zero-vector all-signs-positive bucket."""
+    kdf = spark.createDataFrame(
+        [("x", "jon smith"), ("nullkey", None)], "node string, key string"
+    )
+    lit = sorted(map(tuple, embed_blocks(kdf).collect()))
+    udf = sorted(map(tuple, embed_blocks(kdf, method="udf").collect()))
+    assert lit == udf
+    null_rows = [r for r in lit if r[0] == "nullkey"]
+    assert null_rows and all(bk is None for _n, bk in null_rows)
+
+
 def test_scheme_recall_monotone_and_consistent(spark):
     """63 subsets; recall is monotone under subset inclusion; the full
     six-family scheme attains the maximum; singleton rows agree with

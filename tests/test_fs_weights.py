@@ -241,3 +241,27 @@ def test_multifield_link_weights_and_decisions(spark):
     # must be an unambiguous link
     assert (True, True, True) in by_feats
     assert all(w > 4.0 for w in by_feats[(True, True, True)])
+
+
+def test_multifield_u_sample_tracks_full_space(spark):
+    """The seeded-hash u-estimation sample (the scale path for the
+    m/u pair space) must agree with the complete cross-source space:
+    pct=100 IS the full space bit-for-bit, and a 60% per-side sample
+    (~36% of pairs) estimates every m/u within a tight absolute band —
+    the sample is of the pair SPACE, so the rare-agreement u rates are
+    the quantities under test."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        _MF_FEATURES,
+        mf_u_params,
+    )
+
+    full = mf_u_params(spark, pct=100).collect()[0].asDict()
+    sampled = mf_u_params(spark, pct=60).collect()[0].asDict()
+    assert sampled["n_match"] < full["n_match"]
+    assert sampled["n_non"] < full["n_non"]
+    for f in _MF_FEATURES:
+        for p in ("m_", "u_"):
+            got, want = sampled[p + f], full[p + f]
+            assert abs(got - want) < 0.12, (
+                f"{p}{f}: sampled {got:.4f} vs full {want:.4f}"
+            )
