@@ -1679,18 +1679,21 @@ def q_ann_pq_codes(spark, sf_dir):
     )
 
 
-def _sql_pq_common() -> str:
+def _sql_pq_common(sample_from: str = "embeddings") -> str:
     """Shared CTEs re-deriving ann.pq_fit + pq_codes_col from the table:
     h56-ranked ksub-row sample → per-subspace codebook slices → rounded
     squared-L2 argmin per (vector, subspace), ties to the smallest j —
     value-identical to Spark's literal folds (shared fold order, IEEE
-    ops, round-to-6 before the argmin)."""
+    ops, round-to-6 before the argmin).  ``sample_from`` parameterizes
+    WHICH rows the codebook is fit on (the incremental query freezes
+    the book on the committed base) — encoding always covers the full
+    table."""
     h = H.h56_sql("cast(vec_id as varchar)")
     d = ann.pair_l2sq_sql("sv", "cb")
     return f"""
 pqsample as (select embedding::double[] as cv,
                     row_number() over (order by {h} asc, vec_id asc) - 1 as j
-             from (select * from embeddings order by {h} asc, vec_id asc
+             from (select * from {sample_from} order by {h} asc, vec_id asc
                    limit {ann.PQ_KSUB})),
 pqs as (select range as s from range({ann.PQ_M})),
 pqbook as (select s, j, list_slice(cv, s*{PQ_DSUB}+1, (s+1)*{PQ_DSUB}) as cb
@@ -1717,6 +1720,56 @@ from pqcodes
 
 
 SQL_ANN_PQ_CODES = _sql_ann_pq_codes()
+
+
+# --- delta-proportional PQ index maintenance ---------------------------------
+# The daily life of a 10^9-vector PQ index is appends, not rebuilds:
+# FAISS practice freezes the codebook at index-build time (retraining
+# is an offline event, never the serving path), so folding new vectors
+# in costs exactly one delta scan against the broadcast codebook — the
+# committed codes are untouched.  Hash-proven equal to the full
+# re-encode under the same (base-fit) codebook, the same full-recompute
+# oracle discipline as dedup_cdc_incremental / er_incremental.
+PQ_INCR_MOD = 20  # delta = every 20th vec_id (5% — the daily-append shape)
+
+
+def _pq_codes_long(df, books):
+    return df.select(
+        "vec_id",
+        F.posexplode(ann.pq_codes_col(F.col("embedding"), books)),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("subspace"),
+        F.col("col").cast("long").alias("code"),
+    )
+
+
+def q_ann_pq_codes_incremental(spark, sf_dir):
+    """(vec_id, subspace, code) for base ∪ delta where the codebook is
+    fit on the COMMITTED BASE only and the delta is encoded against it
+    — the committed base codes ride a checkpoint (the persisted-index
+    stand-in) and only the delta scan does new work."""
+    e = _emb(spark, sf_dir)
+    base = e.where(F.col("vec_id") % PQ_INCR_MOD != 0)
+    delta = e.where(F.col("vec_id") % PQ_INCR_MOD == 0)
+    books = ann.pq_fit(base)
+    committed = _pq_codes_long(base, books).localCheckpoint(eager=False)
+    return committed.unionByName(_pq_codes_long(delta, books))
+
+
+def _sql_ann_pq_codes_incremental() -> str:
+    base = (
+        f"(select * from embeddings where vec_id % {PQ_INCR_MOD} <> 0)"
+    )
+    return f"""
+with {_sql_pq_common(sample_from=base)}
+select vid as vec_id, cast(s as bigint) as subspace,
+       cast(code as bigint) as code
+from pqcodes
+"""
+
+
+SQL_ANN_PQ_CODES_INCREMENTAL = _sql_ann_pq_codes_incremental()
 
 
 def _sql_pq_adc_terms(qv: str) -> str:
@@ -8318,6 +8371,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf_cells": q_ann_ivf_cells,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_codes": q_ann_pq_codes,
+    "ann_pq_codes_incremental": q_ann_pq_codes_incremental,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_pq_recall": q_ann_pq_recall,
@@ -8483,6 +8537,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_cells": SQL_ANN_IVF_CELLS,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_pq_codes": SQL_ANN_PQ_CODES,
+    "ann_pq_codes_incremental": SQL_ANN_PQ_CODES_INCREMENTAL,
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
@@ -8640,4 +8695,4 @@ def _rotated(d: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
-assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 162
+assert list(QUERIES) == list(ORACLES) and len(QUERIES) == 163

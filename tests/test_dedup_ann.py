@@ -1003,3 +1003,33 @@ def test_pq_topk_drops_dirty_vectors(spark):
         assert all(r["adc_dist"] is not None for r in rows)
         assert all(r["query_id"] != 0 for r in rows)  # null query: no rows
     assert sorted(map(tuple, lit)) == sorted(map(tuple, ker))
+
+
+def test_pq_incremental_equals_full_reencode(spark):
+    """Delta-proportional PQ maintenance: committed-base codes + a
+    delta-only encode under the FROZEN base-fit codebook must equal the
+    full re-encode of base ∪ delta under that same codebook — and the
+    delta books must really be fit on the base alone (drop the delta
+    from the fit sample and nothing changes; codes are per-vector given
+    the books)."""
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        PQ_INCR_MOD,
+        _pq_codes_long,
+        q_ann_pq_codes_incremental,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.where(F.col("vec_id") % PQ_INCR_MOD != 0)
+    books = ann.pq_fit(base)
+    full = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in _pq_codes_long(e, books).collect()
+    }
+    incr = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in q_ann_pq_codes_incremental(spark, sf_dir).collect()
+    }
+    assert incr == full
+    n_delta = e.where(F.col("vec_id") % PQ_INCR_MOD == 0).count()
+    assert 0 < n_delta < e.count() // 10  # the delta really is ~5%
