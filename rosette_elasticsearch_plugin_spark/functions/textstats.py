@@ -299,7 +299,19 @@ def char_lm_score(docs, model, id_col: str = "doc_id",
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum(F.round(F.col("lp") * 1e6).cast("long")).alias("sum_u"),
     )
-    avg = F.round(F.col("sum_u") / F.col("n_bigrams") / 1e6, 6)
+    # 6dp mean via EXACT integer half-away rounding of the rational
+    # sum_u/n_bigrams (sum_u is already micro-units), not
+    # round(su/n/1e6, 6): docs where 2·|su| ≡ n (mod 2n) sit exactly
+    # on a 6dp grid midpoint (1/2/14 docs at sf0.001/0.01/0.1), where
+    # the two engines' round algorithms can disagree — the same
+    # mechanism fixed in char_entropy.  Away from midpoints the value
+    # is bit-identical to the old expression.
+    su, n = F.col("sum_u"), F.col("n_bigrams")
+    sgn = F.when(su < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    avg_micro = sgn * F.floor(
+        (2 * F.abs(su) + n) / (2 * n)
+    ).cast("long")
+    avg = avg_micro / F.lit(1e6)
     return agg.select(
         id_col,
         "n_bigrams",
@@ -331,11 +343,15 @@ scored as (select g.{id_col}, coalesce(m.logp, m2.logp_oov) as lp
                               from model) m2),
 agg as (select {id_col}, cast(count(*) as bigint) as n_bigrams,
                sum(cast(round(lp * 1e6) as bigint)) as sum_u
-        from scored group by {id_col})
-select {id_col}, n_bigrams,
-       round(sum_u / n_bigrams / 1e6, 6) as avg_logp2,
-       round(pow(2.0, -(round(sum_u / n_bigrams / 1e6, 6))), 6) as ppl
-from agg
+        from scored group by {id_col}),
+aggm as (select {id_col}, n_bigrams,
+                (case when sum_u < 0 then -1 else 1 end
+                 * ((2 * abs(sum_u) + n_bigrams) // (2 * n_bigrams)))
+                  / 1e6 as avg_logp2
+         from agg)
+select {id_col}, n_bigrams, avg_logp2,
+       round(pow(2.0, -avg_logp2), 6) as ppl
+from aggm
 """
 
 
@@ -375,10 +391,19 @@ def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     p = F.col("__cnt").cast("double") / F.col("__n").cast("double")
     term = F.round(-p * F.log2(p) * 1e9).cast("long")
     agg = counts.groupBy(id_col, "__n").agg(F.sum(term).alias("__sum"))
+    # 6dp output via EXACT integer half-up on the nano sum, not
+    # round(s/1e9, 6): one doc in ~1000 lands exactly on a 6dp grid
+    # midpoint (s % 1000 == 500), where Spark's BigDecimal HALF_UP on
+    # the binary expansion and DuckDB's scaled-double round disagree —
+    # observed as 3 last-digit flips at sf0.1.  (s + 500) div 1000 is
+    # the same half-up decision made identically by both engines;
+    # micro/1e6 is a correctly-rounded division, so non-midpoint
+    # values are bit-identical to the old expression.
+    micro = F.floor((F.col("__sum") + F.lit(500)) / F.lit(1000)).cast("long")
     return agg.select(
         id_col,
         F.col("__n").cast("long").alias("n_chars"),
-        F.round(F.col("__sum") / 1e9, 6).alias("entropy_bits"),
+        (micro / F.lit(1e6)).alias("entropy_bits"),
     )
 
 
@@ -403,6 +428,6 @@ agg as (select {id_col}, n,
                  as s
         from counts group by {id_col}, n)
 select {id_col}, cast(n as bigint) as n_chars,
-       round(s / 1e9, 6) as entropy_bits
+       ((s + 500) // 1000) / 1e6 as entropy_bits
 from agg
 """

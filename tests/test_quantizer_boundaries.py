@@ -38,6 +38,7 @@ from collections import Counter
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 TOL = 1e-4  # micro-units (or nano-units for the 1e9 quantizers)
 
@@ -343,3 +344,105 @@ def test_jw_threshold_off_boundary():
         f"a fixture token pair's JW sits {gap:.3e} from TOKEN_JW_MIN — "
         f"cross-implementation ulp drift could flip the soft match"
     )
+
+
+# --- 6dp grid midpoints: exact-tie quantization must be engine-exact ----------
+# round(x, 6) of a double is NOT a cross-engine operation at grid
+# midpoints: Spark HALF_UPs the exact binary expansion while DuckDB
+# rounds a scaled double, and the two disagree on some exact ties.
+# char_entropy (s % 1000 == 500 nano sums: 6 docs at sf0.1, 3 flipped)
+# and char_lm (2·|su| ≡ n mod 2n: 1/2/14 docs across sfs) hit such
+# ties STRUCTURALLY, so their final quantization now runs in exact
+# integer arithmetic.  These tests pin that the tie docs (a) still
+# exist in the fixtures, so the tests keep biting, and (b) agree
+# bit-for-bit across engines.
+def test_entropy_grid_midpoint_docs_cross_engine(spark):
+    from rosette_elasticsearch_plugin_spark.functions.textstats import (
+        char_entropy,
+        char_entropy_sql,
+    )
+
+    p = "/root/testdata/sf0.1/documents.parquet"
+    tie_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+with src as (select doc_id, lower(text) as t from read_parquet('{p}')
+             where text is not null and length(text) > 0),
+chars as (select doc_id, length(t) as n,
+                 unnest(list_transform(generate_series(1, length(t)),
+                                       i -> t[i])) as c from src),
+counts as (select doc_id, n, c, count(*) as cnt from chars
+           group by doc_id, n, c),
+agg as (select doc_id, sum(cast(round(-(cnt / cast(n as double))
+            * log2(cnt / cast(n as double)) * 1e9) as bigint)) as s
+        from counts group by doc_id)
+select doc_id from agg where s % 1000 = 500 order by doc_id
+"""
+        ).fetchall()
+    ]
+    assert len(tie_ids) >= 3, "fixture lost its entropy grid midpoints"
+    docs = spark.read.parquet(p).where(F.col("doc_id").isin(tie_ids))
+    got = {
+        r["doc_id"]: (r["n_chars"], r["entropy_bits"])
+        for r in char_entropy(docs).collect()
+    }
+    ids = ", ".join(str(i) for i in tie_ids)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            char_entropy_sql(
+                f"(select * from read_parquet('{p}') where doc_id in ({ids}))"
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_char_lm_half_micro_docs_cross_engine(spark):
+    from rosette_elasticsearch_plugin_spark.functions.hashing import (
+        shingles_sql,
+    )
+    from rosette_elasticsearch_plugin_spark.functions.textstats import (
+        char_lm_model,
+        char_lm_score,
+        char_lm_score_sql,
+    )
+
+    p = "/root/testdata/sf0.01/documents.parquet"
+    grams = shingles_sql("lower(text)", 2)
+    tie_ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"""
+with g as (select doc_id, unnest({grams}) as gram
+           from read_parquet('{p}') where text is not null),
+counts as (select gram, count(*) as cnt from g group by gram),
+tot as (select cast(sum(cnt) as double) as total,
+               cast(count(*) as double) as vocab from counts),
+model as (select gram, round(log2((cnt + 1.0) / (total + vocab)), 6)
+            as logp from counts, tot),
+scored as (select g.doc_id, m.logp as lp from g join model m using (gram)),
+agg as (select doc_id, cast(count(*) as bigint) as n,
+               sum(cast(round(lp * 1e6) as bigint)) as su
+        from scored group by doc_id)
+select doc_id from agg where (2 * abs(su)) % (2 * n) = n
+"""
+        ).fetchall()
+    }
+    assert tie_ids, "fixture lost its char-lm half-micro docs"
+    docs = spark.read.parquet(p)
+    model = char_lm_model(docs).localCheckpoint(eager=False)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp2"], r["ppl"])
+        for r in char_lm_score(docs, model).collect()
+        if r["doc_id"] in tie_ids
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(
+            char_lm_score_sql(f"read_parquet('{p}')")
+        ).fetchall()
+        if r[0] in tie_ids
+    }
+    assert set(got) == tie_ids and got == want
