@@ -871,18 +871,28 @@ def monge_elkan_scores(pairs: DataFrame, names: DataFrame) -> DataFrame:
         .join(kb, "node_b")
         .withColumn("s", me_sums_udf(F.col("ka"), F.col("kb")))
     )
-    me_ab = F.col("s.sa").cast("double") / (
-        F.col("s.na").cast("double") * float(ME_MICRO)
-    )
-    me_ba = F.col("s.sb").cast("double") / (
-        F.col("s.nb").cast("double") * float(ME_MICRO)
-    )
+    # 6dp means via EXACT integer half-up on the micro-sum rationals,
+    # not round(·, 6) on the double ratios: sa/(na·1e6) with na=2 and
+    # sa odd is an exact 6dp grid midpoint — 590 of the fixture's 951
+    # candidate pairs sit on one — and on exact ties DuckDB's round is
+    # value-dependent while Spark's (shortest-repr HALF_UP) always
+    # rounds up.  (2p+q) div (2q) is that same half-up made identically
+    # in both engines; non-tie values are bit-identical to the old
+    # expressions.
+    sa, na = F.col("s.sa"), F.col("s.na")
+    sb, nb = F.col("s.sb"), F.col("s.nb")
+    # the sums are ALREADY micro-units, so the 6dp micro value of
+    # sa/(na·1e6) is round-half-up(sa/na)
+    half_up = lambda p, q: F.floor((2 * p + q) / (2 * q)).cast("long")  # noqa: E731
+    me_ab = half_up(sa, na) / F.lit(1e6)
+    me_ba = half_up(sb, nb) / F.lit(1e6)
+    me = half_up(sa * nb + sb * na, 2 * na * nb) / F.lit(1e6)
     return s.select(
         "node_a",
         "node_b",
-        F.round(me_ab, 6).alias("me_ab"),
-        F.round(me_ba, 6).alias("me_ba"),
-        F.round((me_ab + me_ba) / F.lit(2.0), 6).alias("me"),
+        me_ab.alias("me_ab"),
+        me_ba.alias("me_ba"),
+        me.alias("me"),
     )
 
 
@@ -920,13 +930,10 @@ me_sa as (select node_a, node_b, sum(cnt * m) as sa, sum(cnt) as na
 me_sb as (select node_a, node_b, sum(cnt * m) as sb, sum(cnt) as nb
           from me_mb group by node_a, node_b),
 {out} as (select p.node_a, p.node_b,
-       round(cast(sa as double) / (cast(na as double) * {micro}.0), 6)
-         as me_ab,
-       round(cast(sb as double) / (cast(nb as double) * {micro}.0), 6)
-         as me_ba,
-       round((cast(sa as double) / (cast(na as double) * {micro}.0)
-            + cast(sb as double) / (cast(nb as double) * {micro}.0))
-             / 2.0, 6) as me
+       ((2 * sa + na) // (2 * na)) / 1e6 as me_ab,
+       ((2 * sb + nb) // (2 * nb)) / 1e6 as me_ba,
+       ((2 * (sa * nb + sb * na) + 2 * na * nb)
+        // (4 * na * nb)) / 1e6 as me
 from me_pk p
 join me_sa using (node_a, node_b)
 join me_sb using (node_a, node_b))"""

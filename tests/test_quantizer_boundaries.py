@@ -446,3 +446,77 @@ select doc_id from agg where (2 * abs(su)) % (2 * n) = n
         if r[0] in tie_ids
     }
     assert set(got) == tie_ids and got == want
+
+
+# --- exact-tie audit for the integer-rational round-6 emitters -----------------
+# Scope note: tfidf-cosine and soft-tfidf divide by sqrt() norms
+# (irrational denominators), so their round-6 inputs cannot land on an
+# exact decimal midpoint; F1/B³/recall on the fixtures are exact 1.0 or
+# integer-grid ratios.  Monge-Elkan's me_ab/me_ba/me are PURE integer
+# rationals (micro-sum / token-count) and 590 of the fixture's 951
+# candidate pairs sit EXACTLY on a 6dp midpoint — which is why the
+# operator quantizes through exact integer half-up in both engines.
+# Pin that: ties still abound (the premise stays honest) and every
+# oracle value equals the exact-rational half-up computed in Python.
+def _is_round6_tie(p: int, q: int) -> bool:
+    """True iff the exact rational p/q sits exactly on a 6dp midpoint."""
+    return q > 0 and (2_000_000 * p) % (2 * q) == q
+
+
+def _half_up6(p: int, q: int) -> float:
+    """Exact half-up 6dp quantization of the rational p/q (p, q > 0)."""
+    return ((2_000_000 * p + q) // (2 * q)) / 1e6
+
+
+def test_monge_elkan_ties_quantize_exactly():
+    from rosette_elasticsearch_plugin_spark.plans.driver_queries import (
+        _name_f1_fixture,
+    )
+    from rosette_elasticsearch_plugin_spark.plans.er_oracle import blocks_ctes
+    from rosette_elasticsearch_plugin_spark.plans.er_pipeline import ERConfig
+    from rosette_elasticsearch_plugin_spark.resolution.scoring import (
+        ME_MICRO,
+        monge_elkan_ctes,
+    )
+
+    cfg = ERConfig()
+    names, _truth = _name_f1_fixture()
+    rows = duckdb.sql(
+        f"""
+with {blocks_ctes(names)},
+bsz as (select block_key, count(*) as n from blocks group by block_key),
+cpairs as (select distinct a.node as node_a, b.node as node_b
+           from blocks a join blocks b using (block_key)
+                         join bsz using (block_key)
+           where n <= {cfg.max_block_size} and a.node < b.node),
+{monge_elkan_ctes('cpairs', 'names')}
+select sa, na, sb, nb, me_ab, me_ba, me
+from mescores join me_sa using (node_a, node_b)
+              join me_sb using (node_a, node_b)
+"""
+    ).fetchall()
+    assert rows
+    n_ties = 0
+    for sa, na, sb, nb, me_ab, me_ba, me in rows:
+        qa, qb = na * ME_MICRO, nb * ME_MICRO
+        n_ties += (
+            _is_round6_tie(sa, qa)
+            or _is_round6_tie(sb, qb)
+            or _is_round6_tie(sa * nb + sb * na, 2 * na * nb * ME_MICRO)
+        )
+        assert me_ab == _half_up6(sa, qa)
+        assert me_ba == _half_up6(sb, qb)
+        assert me == _half_up6(sa * nb + sb * na, 2 * na * nb * ME_MICRO)
+    assert n_ties > 100, "fixture lost its monge-elkan grid midpoints"
+
+
+def test_f1_family_ratios_have_no_round6_ties():
+    from rosette_elasticsearch_plugin_spark.plans import driver_queries as DQ
+
+    tp, fp, fn = duckdb.sql(DQ.SQL_ER_NAME_F1).fetchall()[0][:3]
+    for p, q in (
+        (tp, tp + fp),          # precision
+        (tp, tp + fn),          # recall
+        (2 * tp, 2 * tp + fp + fn),  # f1
+    ):
+        assert not _is_round6_tie(p, q)
