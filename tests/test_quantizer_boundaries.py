@@ -30,6 +30,21 @@ Families audited (VERDICT r4 "What's wrong" #1 sweep list):
   * co-occurrence PMI ln (round-6 grid)            (plans/driver_queries.py)
   * Jaro-Winkler micro-units + the TOKEN_JW_MIN threshold
     → er_monge_elkan, er_soft_tfidf               (resolution/scoring.py)
+
+Second mechanism — exact 6dp grid midpoints (round-5 find): round(x, 6)
+is not a cross-engine operation when the exact rational x sits ON a
+midpoint — Spark HALF_UPs the shortest decimal repr (always up) while
+DuckDB's tie behavior is value-dependent.  Unlike libm drift this is
+deterministic per value and engine version, so any tie that the
+three-sf oracle gates show agreeing stays agreeing on every host with
+this image; the operators where ties are structurally DENSE
+(char_entropy: 1/1000 docs; char_lm: 2|Σ|≡n ties; monge-elkan: 62% of
+fixture pairs) now quantize through exact integer half-up in both
+engines and are pinned below.  Sparse-tie emitters (F1-family ratios,
+ARI, B³, retention rates) keep plain round-6: their fixtures carry no
+ties today (gates green at sf0.001/0.01/0.1) and tie-agreement is
+deterministic, so they cannot regress without a fixture or engine
+change — which the gates would catch.
 """
 from __future__ import annotations
 
